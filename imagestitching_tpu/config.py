@@ -1,0 +1,113 @@
+"""Typed configuration for the TPU-native stitching framework.
+
+The reference app (Iamctb/ImageStitching) keeps its configuration as
+compile-time constants at the top of ``pages/index/index.js:4-11`` plus
+per-platform branches on ``getSystemInfoSync().platform`` scattered through the
+code (``index.js:130-137,1325-1336,1363``).  Here the same knobs become typed,
+immutable dataclasses with hardware-profile defaults.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+# Directions and modes mirror the reference's user-facing settings
+# (index.js:17-20, the settings modal index.js:791-885).
+DIRECTIONS = ("vertical", "horizontal")
+MODES = ("min", "max", "original")
+
+# Supported input formats (reference whitelist at index.js:4; HEIC/HEIF are
+# handled by a transcode fallback, canvas.js:255-267).
+SUPPORTED_TYPES = ("jpg", "jpeg", "png", "webp", "bmp", "gif")
+
+
+@dataclasses.dataclass(frozen=True)
+class CanvasLimits:
+    """Output-canvas size governor.
+
+    TPU-native analog of the reference's device canvas caps
+    (``index.js:1323-1357``): a max side length, a max total pixel count and a
+    supersampling ceiling.  On TPU these bound HBM usage of the output buffer
+    rather than a GPU texture limit; they are configurable rather than probed.
+    """
+
+    max_side: int = 65536
+    max_pixels: int = 1 << 30          # ~1 Gpx default; effectively "unlimited"
+    max_supersample: float = 2.2       # reference: 2.2 iOS / 2.6 android (index.js:1363)
+
+    @staticmethod
+    def reference_ios() -> "CanvasLimits":
+        # index.js:1325-1329 — side 12288, pixel cap 16384*1400
+        return CanvasLimits(max_side=12288, max_pixels=16384 * 1400,
+                            max_supersample=2.2)
+
+    @staticmethod
+    def reference_android(max_side: int = 4096) -> "CanvasLimits":
+        # index.js:1325,1330-1332 — side 4096, pixel cap side*min(side,8192)
+        return CanvasLimits(max_side=max_side,
+                            max_pixels=max_side * min(max_side, 8192),
+                            max_supersample=2.6)
+
+
+@dataclasses.dataclass(frozen=True)
+class MemoryBudget:
+    """HBM budget governor (replaces reference pixel caps + big-task mode).
+
+    ``hbm_bytes`` bounds the device working set of one stitch job: output
+    canvas + staged source(s) + intermediates.  The tiler
+    (:mod:`imagestitching_tpu.runtime.tiler`) picks a streaming/banding plan so
+    peak HBM stays under this bound — the TPU answer to the reference's
+    ``scaleDown`` clamping (index.js:1323-1357) and big-task serial flushes
+    (index.js:1560-1571): never shrink the user's output, just tile it.
+    """
+
+    hbm_bytes: int = 2 * (1 << 30)     # BASELINE config 4: 2 GB
+    host_cache_pixels: int = 64 * 1_000_000  # bitmap-cache analog (index.js:6-7)
+    host_cache_entries: int = 6              # (index.js:8-9)
+
+
+@dataclasses.dataclass(frozen=True)
+class StitchOptions:
+    """User-facing stitch parameters (reference: direction/mode/gap,
+    index.js:17-20,824-832; gap clamped to [0, 20] at index.js:824-832)."""
+
+    direction: str = "vertical"
+    mode: str = "min"
+    gap: float = 0.0
+    supersample: bool = True           # reference enables unless big-task (index.js:1363)
+    background: Tuple[int, int, int] = (255, 255, 255)  # white fill (index.js:1423-1424)
+    filter: str = "bilinear"           # "bilinear" | "triangle" (AA downscale) | "box"
+    max_images: Optional[int] = 9      # MAX_IMAGES (index.js:311); None = unlimited
+
+    def validate(self) -> "StitchOptions":
+        if self.direction not in DIRECTIONS:
+            raise ValueError(f"direction must be one of {DIRECTIONS}, got {self.direction!r}")
+        if self.mode not in MODES:
+            raise ValueError(f"mode must be one of {MODES}, got {self.mode!r}")
+        if self.gap < 0:
+            raise ValueError(f"gap must be >= 0, got {self.gap}")
+        if self.filter not in ("bilinear", "triangle", "box"):
+            raise ValueError(f"unknown filter {self.filter!r}")
+        return self
+
+
+@dataclasses.dataclass(frozen=True)
+class RuntimeConfig:
+    """Engine/runtime knobs."""
+
+    engine: str = "auto"               # "auto" | "pallas" | "xla" | "oracle"
+    limits: CanvasLimits = dataclasses.field(default_factory=CanvasLimits)
+    budget: MemoryBudget = dataclasses.field(default_factory=MemoryBudget)
+    compute_dtype: str = "float32"
+    interpret: bool = False            # run Pallas kernels in interpreter mode
+    profile: bool = False              # enable jax.profiler traces per phase
+    decode_threads: int = 8            # host codec pool (replaces serial decode,
+                                       # index.js:1125-1157, with true parallelism)
+    tile_rows: int = 256               # output band height for the tiler
+    donate_canvas: bool = True
+
+    def validate(self) -> "RuntimeConfig":
+        if self.engine not in ("auto", "pallas", "xla", "oracle"):
+            raise ValueError(f"unknown engine {self.engine!r}")
+        return self

@@ -1,0 +1,212 @@
+"""Pure geometry: EXIF orientation maps, sampling/filter math, rect raster.
+
+This module is the shared mathematical ground truth for the NumPy oracle, the
+XLA compositing path and the Pallas kernels.  Everything here is pure and
+NumPy-only (no JAX import) so it can be property-tested cheaply.
+
+Reference semantics being modelled
+----------------------------------
+* ``drawImage(img, sx,sy,sw,sh, dx,dy,dw,dh)`` with bilinear smoothing —
+  reference invokes it through ``drawWithOrientation`` (utils/canvas.js:153-202)
+  for every image in the stitch hot loop (pages/index/index.js:1526-1554).
+* The 8 EXIF orientations are applied as a canvas transform stack around the
+  draw (canvas.js:160-197).  Because all 8 are axis-aligned (flips/transposes),
+  they reduce to *pure source-index swizzles*: orienting the raw pixel array
+  first and then doing a plain axis-aligned resize is mathematically identical.
+  That is how both the oracle and the TPU kernels implement it (no rotation in
+  sampling space ⇒ separable filters stay separable).
+
+  Note: the reference's case 7 (canvas.js:187-192) composes
+  translate/rotate/scale such that the drawn quad lands *above* the dest rect
+  (y ∈ (dy-dh, dy]) — an upstream bug.  We implement the standard EXIF-7
+  ("transverse") placement inside the dest rect instead, and document the
+  deviation here.
+* Sampling model: half-pixel centers with clamp-to-edge, i.e. output pixel X
+  inside a dest span [a, a+L) covering source extent m samples the continuous
+  source coordinate ``s = (X + 0.5 - a) / L * m - 0.5`` and bilinearly blends
+  ``floor(s)`` and ``floor(s)+1`` (each clamped to [0, m-1]).  This is the
+  canonical GPU/canvas bilinear contract.
+* Separable-filter-as-matrix: any separable linear resampler (bilinear /
+  triangle-AA / box) is a pair of weight matrices ``W_rows (n_out, m_src)`` and
+  ``W_cols``; resize = ``W_rows @ img @ W_cols.T``.  On TPU those matmuls ride
+  the MXU — this identity is the core of the whole compute path.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Orientation
+# ---------------------------------------------------------------------------
+
+#: Orientations whose display dims are the transpose of the raw dims.
+TRANSPOSED_ORIENTATIONS = (5, 6, 7, 8)
+
+
+def display_size(raw_w: int, raw_h: int, orientation: int) -> Tuple[int, int]:
+    """Display (oriented) dimensions for a raw ``raw_w x raw_h`` image."""
+    if orientation in TRANSPOSED_ORIENTATIONS:
+        return raw_h, raw_w
+    return raw_w, raw_h
+
+
+def orient_array(img: np.ndarray, orientation: int) -> np.ndarray:
+    """Apply EXIF orientation to an HWC (or HW) array -> display-oriented array.
+
+    Derived from the inverse of the canvas transform stack in
+    canvas.js:160-197 (verified case-by-case; see module docstring for the
+    case-7 deviation).  Index-permutation only — no resampling.
+    """
+    if orientation in (0, 1):
+        return img
+    if orientation == 2:      # mirror horizontal
+        return img[:, ::-1]
+    if orientation == 3:      # rotate 180
+        return img[::-1, ::-1]
+    if orientation == 4:      # mirror vertical
+        return img[::-1, :]
+    axes = (1, 0) + tuple(range(2, img.ndim))
+    t = np.transpose(img, axes)
+    if orientation == 5:      # transpose (main diagonal)
+        return t
+    if orientation == 6:      # rotate 90 CW
+        return t[:, ::-1]
+    if orientation == 7:      # transverse (anti-diagonal)
+        return t[::-1, ::-1]
+    if orientation == 8:      # rotate 90 CCW
+        return t[::-1, :]
+    raise ValueError(f"invalid EXIF orientation {orientation}")
+
+
+# ---------------------------------------------------------------------------
+# Dest-rect rasterization
+# ---------------------------------------------------------------------------
+
+def pixel_span(a: float, length: float) -> Tuple[int, int]:
+    """Integer pixel index range [lo, hi) whose centers fall in [a, a+length).
+
+    Pixel X has center X + 0.5; it is covered iff a <= X + 0.5 < a + length.
+    """
+    lo = math.ceil(a - 0.5)
+    hi = math.ceil(a + length - 0.5)
+    return lo, hi
+
+
+def clipped_pixel_span(a: float, length: float, limit: int) -> Tuple[int, int]:
+    """`pixel_span` additionally clipped to the canvas range [0, limit)."""
+    lo, hi = pixel_span(a, length)
+    return max(0, lo), max(max(0, lo), min(limit, hi))
+
+
+# ---------------------------------------------------------------------------
+# Sampling coordinates & filter weight matrices  (NumPy builders)
+# ---------------------------------------------------------------------------
+
+def source_coords(px: np.ndarray, a: float, length: float, m: int) -> np.ndarray:
+    """Continuous source coords for integer dest pixels ``px`` (float64).
+
+    ``s = (px + 0.5 - a) / length * m - 0.5`` — half-pixel-center mapping of a
+    dest span [a, a+length) onto m source samples.
+    """
+    return (np.asarray(px, np.float64) + 0.5 - a) / length * m - 0.5
+
+
+def filter_matrix(px_lo: int, px_hi: int, a: float, length: float, m: int,
+                  kind: str = "bilinear", dtype=np.float32) -> np.ndarray:
+    """Dense (n_out, m) separable-filter weight matrix.
+
+    kinds:
+      * ``bilinear`` — plain 2-tap bilinear with clamp-to-edge (the canvas
+        ``drawImage`` contract; exactly 2 taps regardless of scale).
+      * ``triangle`` — scale-aware tent (antialiasing) filter: support widens
+        by 1/scale on downscale (Pillow/`jax.image.resize` style).
+      * ``box`` — area-average on downscale, nearest-ish tent on upscale.
+
+    Rows always sum to 1 (clamp-to-edge accumulates boundary weight).
+    """
+    n = px_hi - px_lo
+    if n <= 0:
+        return np.zeros((0, m), dtype)
+    px = np.arange(px_lo, px_hi, dtype=np.float64)
+    s = source_coords(px, a, length, m)          # (n,)
+    idx = np.arange(m, dtype=np.float64)         # (m,)
+    scale = length / m                           # dest pixels per source pixel
+
+    if kind == "bilinear":
+        sc = np.clip(s, 0.0, m - 1.0)
+        w = np.maximum(0.0, 1.0 - np.abs(sc[:, None] - idx[None, :]))
+    elif kind == "triangle":
+        support = max(1.0, 1.0 / scale)          # widen on downscale
+        d = np.abs(s[:, None] - idx[None, :]) / support
+        w = np.maximum(0.0, 1.0 - d)
+        wsum = w.sum(axis=1, keepdims=True)
+        # Degenerate rows (fully outside) fall back to nearest clamped tap.
+        bad = (wsum <= 0.0).ravel()
+        if bad.any():
+            nearest = np.clip(np.rint(s[bad]), 0, m - 1).astype(np.int64)
+            w[bad] = 0.0
+            w[bad, nearest] = 1.0
+            wsum = w.sum(axis=1, keepdims=True)
+        w = w / wsum
+    elif kind == "box":
+        # Box filter: integrate source over the dest pixel's footprint
+        # [ (px - a)/length*m , (px+1 - a)/length*m ).
+        left = (px - a) / length * m
+        right = (px + 1.0 - a) / length * m
+        li = left[:, None]
+        ri = right[:, None]
+        cell_lo = idx[None, :]
+        cell_hi = idx[None, :] + 1.0
+        w = np.clip(np.minimum(ri, cell_hi) - np.maximum(li, cell_lo), 0.0, None)
+        wsum = w.sum(axis=1, keepdims=True)
+        wsum[wsum <= 0] = 1.0
+        w = w / wsum
+    else:
+        raise ValueError(f"unknown filter kind {kind!r}")
+
+    if kind == "bilinear":
+        # Clamp-to-edge can leave row sums < 1 only if both taps collapse onto
+        # the same clamped index; renormalize defensively (no-op in interior).
+        wsum = w.sum(axis=1, keepdims=True)
+        wsum[wsum <= 0] = 1.0
+        w = w / wsum
+    return w.astype(dtype)
+
+
+def bilinear_taps(px_lo: int, px_hi: int, a: float, length: float, m: int):
+    """2-tap form of the bilinear matrix: (idx0, idx1, w1) int32/int32/f64.
+
+    ``out[X] = src[idx0[X]] * (1 - w1[X]) + src[idx1[X]] * w1[X]`` — the form
+    the Pallas kernel materializes as a banded weight block on the fly.
+    """
+    px = np.arange(px_lo, px_hi, dtype=np.float64)
+    s = np.clip(source_coords(px, a, length, m), 0.0, m - 1.0)
+    i0 = np.floor(s).astype(np.int64)
+    i0 = np.minimum(i0, m - 1)
+    i1 = np.minimum(i0 + 1, m - 1)
+    w1 = s - np.floor(s)
+    return i0.astype(np.int32), i1.astype(np.int32), w1
+
+
+def source_band(px_lo: int, px_hi: int, a: float, length: float, m: int,
+                kind: str = "bilinear") -> Tuple[int, int]:
+    """Source index range [lo, hi) needed to produce dest pixels [px_lo, px_hi).
+
+    Used by the tiler and the Pallas kernel to bound DMA bands.  Monotonic in
+    the dest range, so bands of adjacent tiles are adjacent.
+    """
+    if px_hi <= px_lo:
+        return 0, 0
+    edges = source_coords(np.asarray([px_lo, px_hi - 1], np.float64), a, length, m)
+    if kind == "bilinear":
+        r = 1.0
+    else:
+        scale = length / m
+        r = max(1.0, 1.0 / scale)
+    lo = int(math.floor(min(edges) - (r - 1.0))) if kind != "bilinear" else int(math.floor(edges[0]))
+    hi = (int(math.ceil(max(edges) + r)) + 1) if kind != "bilinear" else (int(math.floor(edges[1])) + 2)
+    return max(0, min(lo, m - 1)), max(1, min(m, hi))
