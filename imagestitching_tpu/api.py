@@ -1,0 +1,187 @@
+"""High-level stitch API: files/arrays in -> stitched array/file out.
+
+The L5 replacement for the reference's touch UI (SURVEY.md §1): what
+``onChooseImages`` + ``onStitch`` (pages/index/index.js:1013,1186) do across
+1,700 lines of orchestration becomes three functions — with the reference's
+behavioral contract (prepare with failure isolation, geometry, background,
+progress reporting, export) and TPU-native execution underneath.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as _futures
+import os
+from typing import Callable, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from .config import CanvasLimits, RuntimeConfig, StitchOptions
+from .core import oracle as _oracle
+from .core.layout import ImageSpec, LayoutPlan, solve
+from .imgio import codec
+from .runtime.logger import get_logger
+
+ArrayLike = np.ndarray
+ImageInput = Union[str, os.PathLike, bytes, ArrayLike,
+                   Tuple[ArrayLike, int]]  # (array, exif_orientation)
+
+ProgressFn = Callable[[str, float], None]   # (phase, fraction 0..1)
+
+
+def _noop_progress(phase: str, fraction: float) -> None:
+    del phase, fraction
+
+
+def _load_one(item: ImageInput) -> Tuple[np.ndarray, int]:
+    """Normalize one input to (raw uint8 HWC array, orientation)."""
+    if isinstance(item, tuple):
+        arr, orientation = item
+        return _as_uint8(arr), int(orientation)
+    if isinstance(item, np.ndarray):
+        return _as_uint8(item), 1
+    if isinstance(item, (str, os.PathLike)):
+        path = codec.transcode_if_needed(item)
+        return codec.decode(path)
+    if isinstance(item, bytes):
+        return codec.decode(item)
+    raise TypeError(f"unsupported image input {type(item)!r}")
+
+
+def _as_uint8(arr: np.ndarray) -> np.ndarray:
+    arr = np.asarray(arr)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3:
+        raise ValueError(f"expected HWC image, got shape {arr.shape}")
+    if arr.dtype == np.uint8:
+        return arr
+    if np.issubdtype(arr.dtype, np.floating):
+        return _oracle.to_uint8(arr)
+    return np.clip(arr, 0, 255).astype(np.uint8)
+
+
+def prepare(items: Sequence[ImageInput], config: RuntimeConfig,
+            on_error: str = "raise",
+            progress: ProgressFn = _noop_progress,
+            ) -> Tuple[List[np.ndarray], List[ImageSpec], List[Tuple[int, Exception]]]:
+    """Parallel decode + normalize with per-image failure isolation.
+
+    The reference prepares strictly serially to avoid OOM
+    (index.js:1125-1157); on a host with a real allocator we decode on a
+    thread pool instead.  ``on_error``:
+
+    * ``"raise"`` — first failure aborts the job (reference stitch-phase
+      behavior, index.js:1507-1509);
+    * ``"skip"``  — drop failed images and stitch the rest (reference
+      prepare-phase behavior, index.js:1133-1149).
+    """
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
+    log = get_logger()
+    images: List[Optional[np.ndarray]] = [None] * len(items)
+    orientations: List[int] = [1] * len(items)
+    failures: List[Tuple[int, Exception]] = []
+    workers = max(1, config.decode_threads)
+    done = 0
+    with _futures.ThreadPoolExecutor(max_workers=workers) as pool:
+        futs = {pool.submit(_load_one, it): i for i, it in enumerate(items)}
+        for fut in _futures.as_completed(futs):
+            i = futs[fut]
+            try:
+                images[i], orientations[i] = fut.result()
+            except Exception as e:  # noqa: BLE001 — isolation boundary
+                log.event("prepare.fail", index=i, error=repr(e))
+                if on_error == "raise":
+                    for other in futs:
+                        other.cancel()
+                    raise
+                failures.append((i, e))
+            done += 1
+            progress("prepare", done / max(1, len(items)))
+
+    kept_images: List[np.ndarray] = []
+    specs: List[ImageSpec] = []
+    for img, o in zip(images, orientations):
+        if img is None:
+            continue
+        kept_images.append(img)
+        specs.append(ImageSpec(raw_w=img.shape[1], raw_h=img.shape[0],
+                               orientation=o))
+    return kept_images, specs, failures
+
+
+def _run_engine(plan: LayoutPlan, images: Sequence[np.ndarray],
+                config: RuntimeConfig) -> np.ndarray:
+    engine = config.engine
+    if engine == "auto":
+        engine = "pallas"
+    if engine == "pallas":
+        try:
+            from .ops import pallas_resize
+            return pallas_resize.stitch(plan, images,
+                                        interpret=config.interpret)
+        except (ImportError, NotImplementedError):
+            engine = "xla"
+    if engine == "xla":
+        from .ops import xla_compose
+        return xla_compose.stitch(plan, images)
+    if engine == "oracle":
+        return _oracle.stitch(plan, images)
+    raise ValueError(f"unknown engine {config.engine!r}")
+
+
+def stitch_arrays(images: Sequence[np.ndarray],
+                  specs: Optional[Sequence[ImageSpec]] = None,
+                  options: Optional[StitchOptions] = None,
+                  config: Optional[RuntimeConfig] = None,
+                  limits: Optional[CanvasLimits] = None,
+                  progress: ProgressFn = _noop_progress) -> np.ndarray:
+    """Stitch already-decoded raw arrays (uint8 HWC) into one strip."""
+    options = (options or StitchOptions()).validate()
+    config = (config or RuntimeConfig()).validate()
+    images = [_as_uint8(a) for a in images]
+    if specs is None:
+        specs = [ImageSpec(a.shape[1], a.shape[0]) for a in images]
+    log = get_logger()
+    plan = solve(specs, options, limits)
+    log.event("stitch.plan", canvas=(plan.canvas_w, plan.canvas_h),
+              n=len(images), mode=plan.mode, direction=plan.direction,
+              supersample=plan.supersample, scale_down=plan.scale_down)
+    progress("layout", 1.0)
+    out = _run_engine(plan, images, config)
+    progress("composite", 1.0)
+    log.event("stitch.done", shape=tuple(out.shape))
+    return out
+
+
+def stitch(items: Sequence[ImageInput],
+           direction: str = "vertical", mode: str = "min", gap: float = 0.0,
+           options: Optional[StitchOptions] = None,
+           config: Optional[RuntimeConfig] = None,
+           limits: Optional[CanvasLimits] = None,
+           on_error: str = "raise",
+           progress: ProgressFn = _noop_progress) -> np.ndarray:
+    """Stitch image files/bytes/arrays into one strip (returns uint8 HWC).
+
+    The one-call equivalent of the reference's full user flow: pick
+    (onChooseImages) -> prepare (_prepareImages) -> stitch (onStitch).
+    ``options`` overrides the individual direction/mode/gap arguments.
+    """
+    if options is None:
+        options = StitchOptions(direction=direction, mode=mode, gap=gap)
+    config = (config or RuntimeConfig()).validate()
+    images, specs, failures = prepare(items, config, on_error, progress)
+    if not images:
+        if failures:
+            raise RuntimeError(
+                f"all {len(failures)} images failed to prepare; "
+                f"first: {failures[0][1]!r}")
+        raise ValueError("no images to stitch")
+    return stitch_arrays(images, specs, options, config, limits, progress)
+
+
+def stitch_to_file(items: Sequence[ImageInput], out_path: Union[str, os.PathLike],
+                   quality: int = 95, **kwargs) -> str:
+    """Stitch and write the result (format from extension; PNG default)."""
+    out = stitch(items, **kwargs)
+    return codec.encode(out_path, out, quality=quality)

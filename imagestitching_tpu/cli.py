@@ -1,0 +1,120 @@
+"""Command-line interface: ``python -m imagestitching_tpu.cli``.
+
+The file-based replacement for the reference's touch UI (SURVEY.md §1 L5):
+everything the settings modal exposes (direction, per-direction mode, gap —
+pages/index/index.js:791-885) plus the engineering knobs the app hard-codes
+(canvas limits, supersampling, budgets, engine selection).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from typing import List, Optional
+
+from . import api
+from .config import CanvasLimits, RuntimeConfig, StitchOptions
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="imagestitching-tpu",
+        description="Stitch images into one vertical/horizontal strip "
+                    "(TPU-native; bilinear resize to a common edge + concat).")
+    p.add_argument("images", nargs="+",
+                   help="input image files, in strip order (reorder = ordering "
+                        "here; the app's drag-to-reorder analog)")
+    p.add_argument("-o", "--output", required=True, help="output image path")
+    p.add_argument("--direction", choices=("vertical", "horizontal"),
+                   default="vertical")
+    p.add_argument("--mode", choices=("min", "max", "original"), default="min",
+                   help="common-edge sizing: min/max scale to the "
+                        "smallest/largest edge; original keeps sizes, centered")
+    p.add_argument("--gap", type=float, default=0.0,
+                   help="inter-image gap in output pixels (reference UI "
+                        "clamps to 0-20; unbounded here)")
+    p.add_argument("--filter", choices=("bilinear", "triangle", "box"),
+                   default="bilinear",
+                   help="resampling filter (bilinear = Canvas-2D parity; "
+                        "triangle = antialiased downscale)")
+    p.add_argument("--background", default="255,255,255",
+                   help="background/gap color R,G,B (default white)")
+    p.add_argument("--supersample", action="store_true", default=False,
+                   help="render above target resolution when under the pixel "
+                        "cap (reference does this by default on phones)")
+    p.add_argument("--max-side", type=int, default=None,
+                   help="max output side (reference device cap analog)")
+    p.add_argument("--max-pixels", type=int, default=None,
+                   help="max output pixels; larger outputs are scaled down")
+    p.add_argument("--max-images", type=int, default=None,
+                   help="cap on input count (reference MAX_IMAGES=9; "
+                        "default here: unlimited)")
+    p.add_argument("--engine", choices=("auto", "pallas", "xla", "oracle"),
+                   default="auto")
+    p.add_argument("--on-error", choices=("raise", "skip"), default="raise",
+                   help="per-image failure policy during prepare")
+    p.add_argument("--quality", type=int, default=95, help="JPEG quality")
+    p.add_argument("--quiet", action="store_true")
+    p.add_argument("--json", action="store_true", dest="as_json",
+                   help="print a single JSON result line")
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        bg = tuple(int(x) for x in args.background.split(","))
+        if len(bg) != 3 or not all(0 <= v <= 255 for v in bg):
+            raise ValueError
+    except ValueError:
+        print(f"error: --background must be R,G,B in 0-255, "
+              f"got {args.background!r}", file=sys.stderr)
+        return 2
+
+    options = StitchOptions(direction=args.direction, mode=args.mode,
+                            gap=args.gap, supersample=args.supersample,
+                            background=bg, filter=args.filter,
+                            max_images=args.max_images)
+    limits_kw = {}
+    if args.max_side is not None:
+        limits_kw["max_side"] = args.max_side
+    if args.max_pixels is not None:
+        limits_kw["max_pixels"] = args.max_pixels
+    limits = CanvasLimits(**limits_kw) if limits_kw else None
+    config = RuntimeConfig(engine=args.engine)
+
+    last = {"phase": None}
+
+    def progress(phase: str, frac: float) -> None:
+        if args.quiet or args.as_json:
+            return
+        if phase != last["phase"]:
+            print(f"[{phase}]", end="", file=sys.stderr)
+            last["phase"] = phase
+        print(f" {frac * 100:.0f}%", end="\r" if frac < 1 else "\n",
+              file=sys.stderr, flush=True)
+
+    t0 = time.perf_counter()
+    try:
+        out = api.stitch(args.images, options=options, config=config,
+                         limits=limits, on_error=args.on_error,
+                         progress=progress)
+        from .imgio import codec
+        codec.encode(args.output, out, quality=args.quality)
+    except (ValueError, RuntimeError, OSError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    dt = time.perf_counter() - t0
+    h, w = out.shape[:2]
+    if args.as_json:
+        print(json.dumps({"output": args.output, "width": w, "height": h,
+                          "seconds": round(dt, 4)}))
+    elif not args.quiet:
+        print(f"{args.output}: {w}x{h} in {dt:.2f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

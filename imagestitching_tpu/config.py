@@ -75,7 +75,10 @@ class StitchOptions:
     direction: str = "vertical"
     mode: str = "min"
     gap: float = 0.0
-    supersample: bool = True           # reference enables unless big-task (index.js:1363)
+    # The reference supersamples by default for phone-display sharpness
+    # (index.js:1360-1386); as a framework default that 2.2x output-size
+    # surprise is wrong, so it is opt-in here (parity mode: pass True).
+    supersample: bool = False
     background: Tuple[int, int, int] = (255, 255, 255)  # white fill (index.js:1423-1424)
     filter: str = "bilinear"           # "bilinear" | "triangle" (AA downscale) | "box"
     max_images: Optional[int] = 9      # MAX_IMAGES (index.js:311); None = unlimited

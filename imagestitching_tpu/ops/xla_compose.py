@@ -1,0 +1,209 @@
+"""XLA compositing engine: orient -> separable resize -> place, all under jit.
+
+This is the plain-XLA reference path of the device compute core (SURVEY.md
+§7(4c)) — the TPU-native replacement for the reference's per-image
+``drawWithOrientation`` calls into the platform canvas
+(pages/index/index.js:1526-1554, utils/canvas.js:153-202):
+
+* EXIF orientation  -> static flips/transpose (index permutations, free-ish
+  under XLA fusion).
+* Bilinear resize   -> exact 2-tap separable gather: tap indices/weights are
+  computed host-side by :mod:`..core.geometry` (the same math the NumPy
+  oracle uses) and shipped as tiny 1-D arrays, so no recompile when only
+  fractional offsets change and no dense weight matrices over the wire.
+* General filters   -> dense weight-matrix matmuls (triangle/box AA).
+* Placement         -> ``lax.dynamic_update_slice`` at static offsets into the
+  background-filled canvas (the ``fillRect`` analog, index.js:1423-1424).
+
+The fused Pallas kernel (:mod:`.pallas_resize`) is the fast path; this module
+is its cross-check and the fallback on any platform.  Both must match the
+oracle within 1 uint8 step (f32 vs f64 accumulation).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core import geometry
+from ..core.layout import LayoutPlan, Placement
+
+
+# ---------------------------------------------------------------------------
+# Orientation as static index permutation (jnp twin of geometry.orient_array)
+# ---------------------------------------------------------------------------
+
+def orient_jnp(img: jnp.ndarray, orientation: int) -> jnp.ndarray:
+    if orientation in (0, 1):
+        return img
+    if orientation == 2:
+        return img[:, ::-1]
+    if orientation == 3:
+        return img[::-1, ::-1]
+    if orientation == 4:
+        return img[::-1, :]
+    axes = (1, 0) + tuple(range(2, img.ndim))
+    t = jnp.transpose(img, axes)
+    if orientation == 5:
+        return t
+    if orientation == 6:
+        return t[:, ::-1]
+    if orientation == 7:
+        return t[::-1, ::-1]
+    if orientation == 8:
+        return t[::-1, :]
+    raise ValueError(f"invalid EXIF orientation {orientation}")
+
+
+# ---------------------------------------------------------------------------
+# Host-side tap/matrix preparation (one small pytree per placement)
+# ---------------------------------------------------------------------------
+
+def _axis_params(lo: int, hi: int, a: float, length: float, m: int,
+                 kind: str):
+    """Per-axis resample params: 2-tap arrays for bilinear, dense matrix else."""
+    if kind == "bilinear":
+        i0, i1, w1 = geometry.bilinear_taps(lo, hi, a, length, m)
+        return {"i0": i0, "i1": i1, "w1": w1.astype(np.float32)}
+    return {"w": geometry.filter_matrix(lo, hi, a, length, m, kind=kind)}
+
+
+def placement_params(p: Placement, kind: str) -> dict:
+    """All device-shippable resample params for one placement."""
+    disp_w, disp_h = geometry.display_size(p.raw_w, p.raw_h, p.orientation)
+    r0, r1 = p.row_span
+    c0, c1 = p.col_span
+    return {
+        "rows": _axis_params(r0, r1, p.y0, p.h, disp_h, kind),
+        "cols": _axis_params(c0, c1, p.x0, p.w, disp_w, kind),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Device-side resample + composite
+# ---------------------------------------------------------------------------
+
+def _resample_axis0(img: jnp.ndarray, prm: dict) -> jnp.ndarray:
+    if "i0" in prm:
+        w1 = prm["w1"][:, None, None]
+        return (jnp.take(img, prm["i0"], axis=0) * (1.0 - w1)
+                + jnp.take(img, prm["i1"], axis=0) * w1)
+    return jnp.einsum("nm,mwc->nwc", prm["w"], img,
+                      preferred_element_type=jnp.float32)
+
+
+def _resample_axis1(img: jnp.ndarray, prm: dict) -> jnp.ndarray:
+    if "i0" in prm:
+        w1 = prm["w1"][None, :, None]
+        return (jnp.take(img, prm["i0"], axis=1) * (1.0 - w1)
+                + jnp.take(img, prm["i1"], axis=1) * w1)
+    return jnp.einsum("nwc,kw->nkc", img, prm["w"],
+                      preferred_element_type=jnp.float32)
+
+
+def draw_one(canvas: jnp.ndarray, raw: jnp.ndarray, placement: Placement,
+             params: dict) -> jnp.ndarray:
+    """Fused orient+resize+place of one image into the f32 canvas."""
+    r0, r1 = placement.row_span
+    c0, c1 = placement.col_span
+    if r1 <= r0 or c1 <= c0:
+        return canvas
+    img = orient_jnp(raw, placement.orientation).astype(jnp.float32)
+    img = _resample_axis0(img, params["rows"])
+    img = _resample_axis1(img, params["cols"])
+    return jax.lax.dynamic_update_slice(canvas, img, (r0, c0, 0))
+
+
+def to_uint8(x: jnp.ndarray) -> jnp.ndarray:
+    """Framework-wide float->uint8 contract (oracle.to_uint8 twin)."""
+    return jnp.clip(jnp.floor(x + 0.5), 0.0, 255.0).astype(jnp.uint8)
+
+
+def _stitch_impl(plan: LayoutPlan, channels: int, images: Sequence[jnp.ndarray],
+                 params: Sequence[dict]) -> jnp.ndarray:
+    bg = jnp.asarray(plan.background[:channels], jnp.float32)
+    canvas = jnp.broadcast_to(bg, (plan.canvas_h, plan.canvas_w, channels))
+    for raw, p, prm in zip(images, plan.placements, params):
+        canvas = draw_one(canvas, raw, p, prm)
+    return to_uint8(canvas)
+
+
+class CompiledStitch:
+    """One jit-compiled stitch executable for a fixed layout signature.
+
+    The analog of the reference's per-job canvas setup (index.js:1388-1428),
+    except compiled once and reused for every job with the same signature —
+    the serving layer buckets jobs by ``plan.signature()`` to exploit this.
+    """
+
+    def __init__(self, plan: LayoutPlan, channels: int = 3):
+        self.plan = plan
+        self.channels = channels
+        self.params = [placement_params(p, plan.filter)
+                       for p in plan.placements]
+
+        def fn(images, params):
+            return _stitch_impl(plan, channels, images, params)
+
+        self._jitted = jax.jit(fn)
+
+    def __call__(self, images: Sequence[np.ndarray]) -> np.ndarray:
+        if len(images) != len(self.plan.placements):
+            raise ValueError("image count does not match plan")
+        dev_images: List[jnp.ndarray] = []
+        for arr, p in zip(images, self.plan.placements):
+            arr = np.asarray(arr)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            if arr.shape[:2] != (p.raw_h, p.raw_w):
+                raise ValueError(
+                    f"image {p.index}: got {arr.shape[1]}x{arr.shape[0]}, "
+                    f"plan says {p.raw_w}x{p.raw_h}")
+            if arr.shape[2] != self.channels:
+                raise ValueError(
+                    f"image {p.index}: {arr.shape[2]} channels, "
+                    f"expected {self.channels}")
+            dev_images.append(jnp.asarray(arr))
+        out = self._jitted(dev_images, self.params)
+        return np.asarray(out)
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_cache(plan_key: "_PlanKey", channels: int) -> CompiledStitch:
+    return CompiledStitch(plan_key.plan, channels)
+
+
+class _PlanKey:
+    """Hash/eq by signature so lru_cache can key on the plan's shape info."""
+
+    __slots__ = ("plan", "_sig")
+
+    def __init__(self, plan: LayoutPlan):
+        self.plan = plan
+        self._sig = plan.signature()
+
+    def __hash__(self):
+        return hash(self._sig)
+
+    def __eq__(self, other):
+        return isinstance(other, _PlanKey) and self._sig == other._sig
+
+
+def get_compiled(plan: LayoutPlan, channels: int = 3) -> CompiledStitch:
+    """Fetch (or build) the compiled executable for this layout signature."""
+    return _compiled_cache(_PlanKey(plan), channels)
+
+
+def stitch(plan: LayoutPlan, images: Sequence[np.ndarray]) -> np.ndarray:
+    """One-shot convenience: compile (cached) and run."""
+    channels = 3
+    if images and np.asarray(images[0]).ndim == 3:
+        channels = np.asarray(images[0]).shape[2]
+    elif images and np.asarray(images[0]).ndim == 2:
+        channels = 1
+    return get_compiled(plan, channels)(images)

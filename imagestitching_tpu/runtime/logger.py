@@ -1,0 +1,86 @@
+"""Crash-safe structured logger: in-memory ring + append-only file.
+
+TPU-native twin of the reference's dual-sink logger (pages/index/index.js:
+76-124): a bounded in-memory ring of ``{ts, tag, payload}`` records (ring size
+160, index.js:10) mirrored to persistent storage on every write, plus an
+append-only log file truncated when it exceeds a size cap (300 KB,
+index.js:89-96) — so the last moments before a crash are always readable.
+
+Here the "storage mirror" is the file itself (fsync-able, survives process
+death), the ring serves fast introspection/tests, and records are JSON lines.
+"""
+
+from __future__ import annotations
+
+import collections
+import json
+import os
+import threading
+import time
+from typing import Any, Deque, Dict, List, Optional
+
+_RING_SIZE = 160                 # index.js:10  LOG_RING_SIZE
+_MAX_LOG_BYTES = 300 * 1024      # index.js:89  300KB truncation threshold
+
+
+class StitchLogger:
+    def __init__(self, path: Optional[str] = None,
+                 ring_size: int = _RING_SIZE,
+                 max_bytes: int = _MAX_LOG_BYTES):
+        self._ring: Deque[Dict[str, Any]] = collections.deque(maxlen=ring_size)
+        self._lock = threading.Lock()
+        self._path = path
+        self._max_bytes = max_bytes
+        if path:
+            self._init_file()
+
+    def _init_file(self) -> None:
+        # Truncate oversized logs at startup (index.js:85-96): keep the tail.
+        try:
+            if os.path.exists(self._path) and \
+                    os.path.getsize(self._path) > self._max_bytes:
+                with open(self._path, "rb") as f:
+                    f.seek(-self._max_bytes // 2, os.SEEK_END)
+                    tail = f.read()
+                with open(self._path, "wb") as f:
+                    f.write(tail)
+        except OSError:
+            self._path = None
+
+    def event(self, tag: str, **payload: Any) -> None:
+        rec = {"ts": time.time(), "tag": tag, **payload}
+        with self._lock:
+            self._ring.append(rec)
+            if self._path:
+                try:
+                    with open(self._path, "a") as f:
+                        f.write(json.dumps(rec, default=repr) + "\n")
+                except OSError:
+                    self._path = None  # degrade to ring-only, never crash
+
+    def ring(self) -> List[Dict[str, Any]]:
+        with self._lock:
+            return list(self._ring)
+
+    def clear(self) -> None:
+        with self._lock:
+            self._ring.clear()
+
+
+_global: Optional[StitchLogger] = None
+_global_lock = threading.Lock()
+
+
+def get_logger() -> StitchLogger:
+    """Process-wide logger; file sink enabled via IMAGESTITCH_LOG env var."""
+    global _global
+    with _global_lock:
+        if _global is None:
+            _global = StitchLogger(os.environ.get("IMAGESTITCH_LOG"))
+        return _global
+
+
+def set_logger(logger: StitchLogger) -> None:
+    global _global
+    with _global_lock:
+        _global = logger

@@ -1,0 +1,233 @@
+"""End-to-end API / CLI / codec tests (SURVEY.md §4(3))."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import imagestitching_tpu as ist
+from imagestitching_tpu import api
+from imagestitching_tpu.config import RuntimeConfig, StitchOptions
+from imagestitching_tpu.core import oracle
+from imagestitching_tpu.imgio import codec
+
+rng = np.random.default_rng(7)
+
+
+def make_png(path, w, h):
+    arr = rng.integers(0, 256, (h, w, 3), np.uint8)
+    Image.fromarray(arr).save(path)
+    return arr
+
+
+def make_jpeg_with_exif(path, w, h, orientation):
+    arr = rng.integers(0, 256, (h, w, 3), np.uint8)
+    img = Image.fromarray(arr)
+    exif = img.getexif()
+    exif[274] = orientation
+    img.save(path, quality=95, exif=exif)
+    return arr
+
+
+# ------------------------------------------------------------------- codec
+
+def test_codec_roundtrip_png(tmp_path):
+    p = tmp_path / "x.png"
+    arr = make_png(p, 33, 21)
+    info = codec.get_image_info(p)
+    assert (info.raw_w, info.raw_h, info.orientation) == (33, 21, 1)
+    assert info.format == "png"
+    dec, o = codec.decode(p)
+    assert o == 1
+    np.testing.assert_array_equal(dec, arr)
+
+
+def test_codec_exif_orientation(tmp_path):
+    p = tmp_path / "x.jpg"
+    make_jpeg_with_exif(p, 40, 30, 6)
+    info = codec.get_image_info(p)
+    assert info.orientation == 6
+    assert (info.raw_w, info.raw_h) == (40, 30)  # raw dims, not display
+    dec, o = codec.decode(p)
+    assert o == 6 and dec.shape == (30, 40, 3)
+
+
+def test_codec_rgba_composites_on_white(tmp_path):
+    p = tmp_path / "a.png"
+    arr = np.zeros((4, 4, 4), np.uint8)
+    arr[..., 0] = 200            # red
+    arr[..., 3] = 128            # half alpha
+    Image.fromarray(arr, "RGBA").save(p)
+    dec, _ = codec.decode(p)
+    # 200*128/255 + 255*(1-128/255) = 227.4 -> 227
+    assert dec.shape == (4, 4, 3)
+    np.testing.assert_array_equal(dec[..., 0], np.full((4, 4), 227))
+    np.testing.assert_array_equal(dec[..., 1], np.full((4, 4), 127))
+
+
+def test_codec_draft_downscale(tmp_path):
+    p = tmp_path / "big.jpg"
+    make_jpeg_with_exif(p, 640, 480, 1)
+    dec, _ = codec.decode(p, max_pixels=100 * 100)
+    # 640*480 / 1e4 = 30.7 -> denom 8 -> 80x60
+    assert dec.shape[0] <= 480 // 4 and dec.shape[1] <= 640 // 4
+
+
+def test_codec_encode_jpeg_quality(tmp_path):
+    arr = rng.integers(0, 256, (32, 32, 3), np.uint8)
+    p = codec.encode(tmp_path / "o.jpg", arr, quality=90)
+    assert codec.get_image_info(p).format == "jpeg"
+
+
+def test_transcode_passthrough_and_unknown(tmp_path):
+    p = tmp_path / "x.png"
+    make_png(p, 8, 8)
+    assert codec.transcode_if_needed(p) == str(p)
+    bad = tmp_path / "x.heic"
+    bad.write_bytes(b"not an image")
+    with pytest.raises(RuntimeError, match="cannot decode"):
+        codec.transcode_if_needed(bad)
+    # a mislabeled-but-decodable file gets transcoded to jpg
+    odd = tmp_path / "y.weird"
+    Image.fromarray(rng.integers(0, 256, (8, 8, 3), np.uint8)).save(
+        odd, format="PNG")
+    out = codec.transcode_if_needed(odd)
+    assert out.endswith(".transcoded.jpg")
+
+
+# ------------------------------------------------------------------- API
+
+def test_stitch_files_vs_oracle(tmp_path):
+    p1, p2 = tmp_path / "a.png", tmp_path / "b.png"
+    a1 = make_png(p1, 64, 48)
+    a2 = make_png(p2, 32, 32)
+    out = ist.stitch([p1, p2], direction="vertical", mode="min",
+                     config=RuntimeConfig(engine="xla"))
+    plan = ist.solve([ist.ImageSpec(64, 48), ist.ImageSpec(32, 32)],
+                     StitchOptions(direction="vertical", mode="min"))
+    want = oracle.stitch(plan, [a1, a2])
+    diff = np.abs(out.astype(int) - want.astype(int))
+    assert diff.max() <= 1
+
+
+def test_stitch_applies_exif(tmp_path):
+    p = tmp_path / "r.jpg"
+    make_jpeg_with_exif(p, 40, 30, 6)
+    out = ist.stitch([p], config=RuntimeConfig(engine="xla"),
+                     options=StitchOptions(supersample=False))
+    # orientation 6: display is 30x40
+    assert out.shape == (40, 30, 3)
+
+
+def test_stitch_arrays_and_mixed_inputs(tmp_path):
+    p = tmp_path / "a.png"
+    make_png(p, 16, 16)
+    arr = rng.integers(0, 256, (16, 16, 3), np.uint8)
+    out = ist.stitch([p, arr, (arr, 3)], gap=2,
+                     config=RuntimeConfig(engine="xla"))
+    assert out.shape == (16 * 3 + 4, 16, 3)
+
+
+def test_on_error_skip(tmp_path):
+    good = tmp_path / "g.png"
+    make_png(good, 16, 16)
+    bad = tmp_path / "bad.png"
+    bad.write_bytes(b"garbage")
+    out = ist.stitch([good, bad, good], on_error="skip",
+                     config=RuntimeConfig(engine="xla"))
+    assert out.shape == (32, 16, 3)
+    with pytest.raises(Exception):
+        ist.stitch([good, bad], on_error="raise")
+
+
+def test_all_failed_raises(tmp_path):
+    bad = tmp_path / "bad.png"
+    bad.write_bytes(b"garbage")
+    with pytest.raises(RuntimeError, match="failed to prepare"):
+        ist.stitch([bad], on_error="skip")
+
+
+def test_progress_callback(tmp_path):
+    p = tmp_path / "a.png"
+    make_png(p, 8, 8)
+    phases = []
+    ist.stitch([p, p], progress=lambda ph, f: phases.append((ph, f)),
+               config=RuntimeConfig(engine="xla"))
+    names = [ph for ph, _ in phases]
+    assert "prepare" in names and "layout" in names and "composite" in names
+    fracs = [f for ph, f in phases if ph == "prepare"]
+    assert fracs == sorted(fracs) and fracs[-1] == 1.0
+
+
+def test_engine_oracle_matches_xla(tmp_path):
+    arrs = [rng.integers(0, 256, (24, 31, 3), np.uint8) for _ in range(3)]
+    o1 = api.stitch_arrays(arrs, config=RuntimeConfig(engine="oracle"))
+    o2 = api.stitch_arrays(arrs, config=RuntimeConfig(engine="xla"))
+    assert np.abs(o1.astype(int) - o2.astype(int)).max() <= 1
+
+
+def test_stitch_to_file(tmp_path):
+    p = tmp_path / "a.png"
+    make_png(p, 16, 16)
+    outp = api.stitch_to_file([p, p], tmp_path / "out.png",
+                              config=RuntimeConfig(engine="xla"))
+    info = codec.get_image_info(outp)
+    assert (info.raw_w, info.raw_h) == (16, 32)
+
+
+# ------------------------------------------------------------------- CLI
+
+def run_cli(*argv):
+    return subprocess.run(
+        [sys.executable, "-m", "imagestitching_tpu.cli", *map(str, argv)],
+        capture_output=True, text=True,
+        env={"PYTHONPATH": ".", "PATH": "/usr/bin:/bin",
+             "JAX_PLATFORMS": "cpu", "HOME": "/tmp"})
+
+
+def test_cli_basic(tmp_path):
+    a, b = tmp_path / "a.png", tmp_path / "b.png"
+    make_png(a, 32, 16)
+    make_png(b, 32, 24)
+    out = tmp_path / "out.png"
+    r = run_cli(a, b, "-o", out, "--engine", "xla", "--json")
+    assert r.returncode == 0, r.stderr
+    res = json.loads(r.stdout)
+    assert (res["width"], res["height"]) == (32, 40)
+    assert codec.get_image_info(out).raw_h == 40
+
+
+def test_cli_options(tmp_path):
+    a = tmp_path / "a.png"
+    make_png(a, 20, 10)
+    out = tmp_path / "o.png"
+    r = run_cli(a, a, "-o", out, "--direction", "horizontal", "--mode",
+                "original", "--gap", "5", "--background", "0,0,0",
+                "--engine", "oracle", "--json")
+    assert r.returncode == 0, r.stderr
+    res = json.loads(r.stdout)
+    assert (res["width"], res["height"]) == (45, 10)
+
+
+def test_cli_bad_inputs(tmp_path):
+    a = tmp_path / "a.png"
+    make_png(a, 8, 8)
+    r = run_cli(a, "-o", tmp_path / "o.png", "--background", "purple")
+    assert r.returncode == 2 and "background" in r.stderr
+    r = run_cli(tmp_path / "missing.png", "-o", tmp_path / "o.png",
+                "--engine", "oracle")
+    assert r.returncode == 1 and "error" in r.stderr.lower()
+
+
+def test_cli_max_pixels_scale_down(tmp_path):
+    a = tmp_path / "a.png"
+    make_png(a, 100, 100)
+    out = tmp_path / "o.png"
+    r = run_cli(a, a, "-o", out, "--max-pixels", "5000",
+                "--engine", "oracle", "--json")
+    assert r.returncode == 0, r.stderr
+    res = json.loads(r.stdout)
+    assert res["width"] * res["height"] <= 5000
