@@ -113,14 +113,19 @@ def prepare(items: Sequence[ImageInput], config: RuntimeConfig,
 def _run_engine(plan: LayoutPlan, images: Sequence[np.ndarray],
                 config: RuntimeConfig) -> np.ndarray:
     engine = config.engine
-    if engine == "auto":
+    auto = engine == "auto"
+    if auto:
         engine = "pallas"
     if engine == "pallas":
         try:
             from .ops import pallas_resize
             return pallas_resize.stitch(plan, images,
                                         interpret=config.interpret)
-        except (ImportError, NotImplementedError):
+        except NotImplementedError:
+            # Fall back silently only under "auto"; an explicit engine
+            # request must not be downgraded behind the caller's back.
+            if not auto:
+                raise
             engine = "xla"
     if engine == "xla":
         from .ops import xla_compose

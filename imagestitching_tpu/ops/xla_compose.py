@@ -142,6 +142,8 @@ class CompiledStitch:
     """
 
     def __init__(self, plan: LayoutPlan, channels: int = 3):
+        from ..runtime.jaxcfg import ensure_compile_cache
+        ensure_compile_cache()
         self.plan = plan
         self.channels = channels
         self.params = [placement_params(p, plan.filter)

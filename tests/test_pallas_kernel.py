@@ -1,0 +1,128 @@
+"""Fused Pallas resize-and-place kernel vs oracle (interpret mode on CPU).
+
+Taps are host-exact (float64, identical to the oracle's); the only numeric
+difference is f32 matmul accumulation, so parity is within 1 uint8 step.
+Real-TPU execution of the same kernel is exercised by bench.py.
+"""
+
+import numpy as np
+import pytest
+
+from imagestitching_tpu.config import CanvasLimits, StitchOptions
+from imagestitching_tpu.core import oracle
+from imagestitching_tpu.core.layout import ImageSpec, solve
+from imagestitching_tpu.ops import pallas_resize
+
+rng = np.random.default_rng(3)
+
+
+def rand_img(w, h, c=3):
+    return rng.integers(0, 256, (h, w, c), np.uint8)
+
+
+def assert_parity(plan, images, atol=1):
+    want = oracle.stitch(plan, images)
+    got = pallas_resize.stitch(plan, images, interpret=True)
+    assert got.shape == want.shape
+    diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+    assert diff.max() <= atol, (
+        f"max diff {diff.max()} at "
+        f"{np.unravel_index(diff.argmax(), diff.shape)}")
+
+
+def plan_for(specs, **kw):
+    kw.setdefault("supersample", False)
+    limits = kw.pop("limits", None)
+    return solve(specs, StitchOptions(**kw), limits)
+
+
+def test_identity_concat_exact():
+    imgs = [rand_img(32, 16), rand_img(32, 24)]
+    plan = plan_for([ImageSpec(32, 16), ImageSpec(32, 24)])
+    assert_parity(plan, imgs, atol=0)
+
+
+def test_downscale():
+    imgs = [rand_img(200, 160), rand_img(100, 80)]
+    plan = plan_for([ImageSpec(200, 160), ImageSpec(100, 80)], mode="min")
+    assert_parity(plan, imgs)
+
+
+def test_upscale():
+    imgs = [rand_img(40, 30), rand_img(160, 90)]
+    plan = plan_for([ImageSpec(40, 30), ImageSpec(160, 90)], mode="max")
+    assert_parity(plan, imgs)
+
+
+def test_horizontal_gap_fractional():
+    # scale_down makes gaps/cursors fractional -> fractional dest rects
+    limits = CanvasLimits(max_side=150, max_pixels=10**9, max_supersample=1.0)
+    specs = [ImageSpec(200, 180), ImageSpec(160, 200)]
+    imgs = [rand_img(200, 180), rand_img(160, 200)]
+    plan = plan_for(specs, direction="horizontal", mode="min", gap=9,
+                    limits=limits)
+    assert plan.scale_down < 1.0
+    assert_parity(plan, imgs)
+
+
+@pytest.mark.parametrize("orientation", [2, 3, 5, 6, 8])
+def test_orientations(orientation):
+    raw = rand_img(48, 36)
+    specs = [ImageSpec(48, 36, orientation=orientation), ImageSpec(36, 48)]
+    imgs = [raw, rand_img(36, 48)]
+    plan = plan_for(specs, mode="min")
+    assert_parity(plan, imgs)
+
+
+def test_tile_boundaries_multitile():
+    # output wider/taller than one tile in both axes (tiny tiles would be
+    # nicer but tile sizes are fixed; 600x520 crosses 256/512 boundaries)
+    imgs = [rand_img(600, 300), rand_img(520, 320)]
+    plan = plan_for([ImageSpec(600, 300), ImageSpec(520, 320)], mode="min")
+    assert plan.canvas_h > 256 or plan.canvas_w > 512
+    assert_parity(plan, imgs)
+
+
+def test_original_mode_centered():
+    imgs = [rand_img(31, 17), rand_img(64, 23)]
+    plan = plan_for([ImageSpec(31, 17), ImageSpec(64, 23)], mode="original",
+                    gap=3)
+    assert_parity(plan, imgs)
+
+
+def test_grayscale():
+    imgs = [rand_img(40, 20, 1), rand_img(30, 30, 1)]
+    plan = plan_for([ImageSpec(40, 20), ImageSpec(30, 30)], mode="min")
+    assert_parity(plan, imgs)
+
+
+def test_nonbilinear_rejected():
+    plan = plan_for([ImageSpec(16, 16)], filter="triangle")
+    with pytest.raises(NotImplementedError):
+        pallas_resize.stitch(plan, [rand_img(16, 16)], interpret=True)
+
+
+def test_api_auto_falls_back_for_triangle():
+    from imagestitching_tpu import api
+    from imagestitching_tpu.config import RuntimeConfig
+    arrs = [rand_img(40, 30), rand_img(30, 40)]
+    out = api.stitch_arrays(arrs,
+                            options=StitchOptions(filter="triangle"),
+                            config=RuntimeConfig(engine="auto",
+                                                 interpret=True))
+    want = api.stitch_arrays(arrs,
+                             options=StitchOptions(filter="triangle"),
+                             config=RuntimeConfig(engine="oracle"))
+    assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_api_pallas_engine_e2e():
+    from imagestitching_tpu import api
+    from imagestitching_tpu.config import RuntimeConfig
+    arrs = [rand_img(100, 80), rand_img(64, 64), rand_img(80, 100)]
+    out = api.stitch_arrays(arrs, options=StitchOptions(gap=4),
+                            config=RuntimeConfig(engine="pallas",
+                                                 interpret=True))
+    want = api.stitch_arrays(arrs, options=StitchOptions(gap=4),
+                             config=RuntimeConfig(engine="oracle"))
+    assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
