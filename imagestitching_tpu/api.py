@@ -111,28 +111,11 @@ def prepare(items: Sequence[ImageInput], config: RuntimeConfig,
 
 
 def _run_engine(plan: LayoutPlan, images: Sequence[np.ndarray],
-                config: RuntimeConfig) -> np.ndarray:
-    engine = config.engine
-    auto = engine == "auto"
-    if auto:
-        engine = "pallas"
-    if engine == "pallas":
-        try:
-            from .ops import pallas_resize
-            return pallas_resize.stitch(plan, images,
-                                        interpret=config.interpret)
-        except NotImplementedError:
-            # Fall back silently only under "auto"; an explicit engine
-            # request must not be downgraded behind the caller's back.
-            if not auto:
-                raise
-            engine = "xla"
-    if engine == "xla":
-        from .ops import xla_compose
-        return xla_compose.stitch(plan, images)
-    if engine == "oracle":
-        return _oracle.stitch(plan, images)
-    raise ValueError(f"unknown engine {config.engine!r}")
+                config: RuntimeConfig,
+                progress: ProgressFn = _noop_progress) -> np.ndarray:
+    from .runtime import pipeline
+    out, _metrics = pipeline.run(plan, images, config, progress)
+    return out
 
 
 def stitch_arrays(images: Sequence[np.ndarray],
@@ -152,9 +135,7 @@ def stitch_arrays(images: Sequence[np.ndarray],
     log.event("stitch.plan", canvas=(plan.canvas_w, plan.canvas_h),
               n=len(images), mode=plan.mode, direction=plan.direction,
               supersample=plan.supersample, scale_down=plan.scale_down)
-    progress("layout", 1.0)
-    out = _run_engine(plan, images, config)
-    progress("composite", 1.0)
+    out = _run_engine(plan, images, config, progress)
     log.event("stitch.done", shape=tuple(out.shape))
     return out
 
@@ -190,3 +171,27 @@ def stitch_to_file(items: Sequence[ImageInput], out_path: Union[str, os.PathLike
     """Stitch and write the result (format from extension; PNG default)."""
     out = stitch(items, **kwargs)
     return codec.encode(out_path, out, quality=quality)
+
+
+def preview_size(width: int, height: int, box_w: int,
+                 min_height: int = 180) -> Tuple[int, int]:
+    """Fit-to-width preview dims with a minimum height.
+
+    The ``calcPreviewHeight`` analog (utils/canvas.js:124-128): preview height
+    follows the aspect ratio at the box width, floored at 180 px.
+    """
+    h = max(min_height, round(box_w * height / max(1, width)))
+    return box_w, h
+
+
+def make_preview(image: np.ndarray, box_w: int,
+                 min_height: int = 180) -> np.ndarray:
+    """Downscaled preview of a stitched strip (reference preview draw,
+    pages/index/index.js:1593-1609), using the same bilinear contract."""
+    image = _as_uint8(image)
+    h, w = image.shape[:2]
+    pw, ph = preview_size(w, h, box_w, min_height)
+    from .core import oracle as _o
+    rows = _o.resample_axis(image.astype(np.float64), 0, 0, ph, 0.0, float(ph))
+    full = _o.resample_axis(rows, 1, 0, pw, 0.0, float(pw))
+    return _oracle.to_uint8(full)

@@ -102,9 +102,31 @@ def get_image_info(src: PathOrBytes) -> ImageInfo:
         )
 
 
+def _sniff(data: bytes) -> str:
+    if data[:2] == b"\xff\xd8":
+        return "jpeg"
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    return ""
+
+
+def _jpeg_scale_denom(w: int, h: int, max_pixels: Optional[int]) -> int:
+    if max_pixels is None or w * h <= max_pixels:
+        return 1
+    scale = (w * h / max_pixels) ** 0.5
+    denom = 1
+    while denom < 8 and denom < scale:
+        denom *= 2
+    return denom
+
+
 def decode(src: PathOrBytes,
            max_pixels: Optional[int] = None) -> Tuple[np.ndarray, int]:
     """Decode to raw (un-oriented) RGB uint8 HWC + EXIF orientation.
+
+    Uses the native codec (native/codec.cpp via ctypes; GIL-free decode on
+    the prepare pool) for JPEG/PNG, falling back to Pillow for everything
+    else or when the native library is unavailable.
 
     ``max_pixels``: if set and the image exceeds it, JPEGs are decoded with
     libjpeg draft (DCT-domain) downscaling — cheaper than decode-then-resize.
@@ -116,6 +138,27 @@ def decode(src: PathOrBytes,
     RGBA/LA/P-alpha onto white at decode (the draw loop always targets the
     white-filled canvas, index.js:1423-1424).
     """
+    from . import native
+
+    data = src if isinstance(src, bytes) else open(os.fspath(src), "rb").read()
+    fmt = _sniff(data)
+    if fmt and native.available():
+        # orientation still comes from the (cheap, header-only) EXIF parse
+        orientation = 1
+        if fmt == "jpeg":
+            try:
+                with _open(data) as img:
+                    orientation = _read_orientation(img)
+                    denom = _jpeg_scale_denom(img.width, img.height,
+                                              max_pixels)
+            except Exception:
+                denom = 1
+            arr = native.decode_jpeg(data, denom)
+        else:
+            arr = native.decode_png(data)
+        if arr is not None:
+            return arr, orientation
+
     with _open(src) as img:
         orientation = _read_orientation(img)
         if (max_pixels is not None and img.format == "JPEG"
@@ -153,8 +196,22 @@ def encode(path: Union[str, os.PathLike], array: np.ndarray,
         raise ValueError("encode expects uint8")
     if arr.ndim == 3 and arr.shape[2] == 1:
         arr = arr[:, :, 0]
-    img = Image.fromarray(arr)
     ext = os.path.splitext(path)[1].lower().lstrip(".")
+
+    if arr.ndim == 3 and arr.shape[2] == 3:
+        from . import native
+        if native.available():
+            data = None
+            if ext in ("jpg", "jpeg"):
+                data = native.encode_jpeg(arr, quality=quality)
+            elif ext in ("png", ""):
+                data = native.encode_png(arr)
+            if data is not None:
+                with open(path if ext else path + ".png", "wb") as f:
+                    f.write(data)
+                return path if ext else path + ".png"
+
+    img = Image.fromarray(arr)
     if ext in ("jpg", "jpeg"):
         img.save(path, quality=quality)
     else:

@@ -1,0 +1,154 @@
+"""ctypes bindings to the native host codec (native/codec.cpp).
+
+Built on demand with ``make`` (g++, libjpeg, libpng, zlib — all baked into
+the image).  ctypes releases the GIL for the call duration, so the prepare
+pool's decodes run truly in parallel.  Falls back transparently to Pillow
+when the toolchain or libraries are missing (see imgio.codec).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "build", "libisxcodec.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+_build_failed = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True, timeout=120)
+        return os.path.exists(_SO_PATH)
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native codec; None if unavailable."""
+    global _lib, _build_failed
+    if _lib is not None:
+        return _lib
+    if _build_failed or os.environ.get("IMAGESTITCH_NATIVE", "1") == "0":
+        return None
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_SO_PATH) and not _build():
+            _build_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError:
+            _build_failed = True
+            return None
+        lib.isx_last_error.restype = ctypes.c_char_p
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.isx_decode_jpeg.argtypes = [
+            u8p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.isx_decode_png.argtypes = [
+            u8p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.isx_encode_jpeg.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_size_t)]
+        lib.isx_encode_png.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_size_t)]
+        lib.isx_free.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _as_u8p(data: bytes):
+    return ctypes.cast(ctypes.create_string_buffer(data, len(data)),
+                       ctypes.POINTER(ctypes.c_uint8))
+
+
+def _take(lib, ptr, nbytes: int) -> np.ndarray:
+    # np.ctypeslib.as_array on a bare pointer is pathologically slow for
+    # large buffers; cast to a sized array and memcpy via frombuffer.
+    sized = ctypes.cast(ptr, ctypes.POINTER(ctypes.c_uint8 * nbytes)).contents
+    arr = np.frombuffer(sized, dtype=np.uint8).copy()
+    lib.isx_free(ptr)
+    return arr
+
+
+def decode_jpeg(data: bytes, scale_denom: int = 1) -> Optional[np.ndarray]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    w, h = ctypes.c_int(), ctypes.c_int()
+    rc = lib.isx_decode_jpeg(_as_u8p(data), len(data), scale_denom,
+                             ctypes.byref(out), ctypes.byref(w),
+                             ctypes.byref(h))
+    if rc != 0:
+        raise ValueError(f"jpeg decode: {lib.isx_last_error().decode()}")
+    flat = _take(lib, out, w.value * h.value * 3)
+    return flat.reshape(h.value, w.value, 3)
+
+
+def decode_png(data: bytes) -> Optional[np.ndarray]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    w, h = ctypes.c_int(), ctypes.c_int()
+    rc = lib.isx_decode_png(_as_u8p(data), len(data), ctypes.byref(out),
+                            ctypes.byref(w), ctypes.byref(h))
+    if rc != 0:
+        raise ValueError(f"png decode: {lib.isx_last_error().decode()}")
+    flat = _take(lib, out, w.value * h.value * 3)
+    return flat.reshape(h.value, w.value, 3)
+
+
+def encode_jpeg(rgb: np.ndarray, quality: int = 95) -> Optional[bytes]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    rgb = np.ascontiguousarray(rgb, np.uint8)
+    h, w = rgb.shape[:2]
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = ctypes.c_size_t()
+    rc = lib.isx_encode_jpeg(
+        rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w, h, quality,
+        ctypes.byref(out), ctypes.byref(n))
+    if rc != 0:
+        raise ValueError(f"jpeg encode: {lib.isx_last_error().decode()}")
+    return bytes(_take(lib, out, n.value))
+
+
+def encode_png(rgb: np.ndarray, compression: int = 6) -> Optional[bytes]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    rgb = np.ascontiguousarray(rgb, np.uint8)
+    h, w = rgb.shape[:2]
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = ctypes.c_size_t()
+    rc = lib.isx_encode_png(
+        rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w, h,
+        compression, ctypes.byref(out), ctypes.byref(n))
+    if rc != 0:
+        raise ValueError(f"png encode: {lib.isx_last_error().decode()}")
+    return bytes(_take(lib, out, n.value))

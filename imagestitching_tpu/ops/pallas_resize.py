@@ -182,21 +182,28 @@ def _pad_to(arr: np.ndarray, n: int) -> np.ndarray:
 # Kernel
 # ---------------------------------------------------------------------------
 
-def _make_kernel(s: _Schedule):
+def _make_kernel(s: _Schedule, batched: bool):
     bh, bw = s.bh, s.bw
     grid_r = s.grid_r
 
     def kernel(ints, src, row_i0, row_w1, col_i0, col_w1, out, band, sem):
-        i = pl.program_id(1)
-        j = pl.program_id(2)
-        c = pl.program_id(0)
+        # grid is (C, gr, gc) single-job or (B, C, gr, gc) batched; the last
+        # three axes always mean (channel, row-tile, col-tile).
+        off = 1 if batched else 0
+        c = pl.program_id(off)
+        i = pl.program_id(off + 1)
+        j = pl.program_id(off + 2)
         # Band starts are host-aligned to the (8, 128) slice tiling; the
         # multiple_of hints let Mosaic prove it for the dynamic slice.
         rs = pl.multiple_of(ints[i], 8)
         cs = pl.multiple_of(ints[grid_r + j], 128)
 
-        dma = pltpu.make_async_copy(
-            src.at[c, pl.ds(rs, bh), pl.ds(cs, bw)], band, sem)
+        if batched:
+            b = pl.program_id(0)
+            src_slice = src.at[b, c, pl.ds(rs, bh), pl.ds(cs, bw)]
+        else:
+            src_slice = src.at[c, pl.ds(rs, bh), pl.ds(cs, bw)]
+        dma = pltpu.make_async_copy(src_slice, band, sem)
         dma.start()
 
         # Row weight block (Th, Bh): source-absolute iota vs host-exact taps.
@@ -219,47 +226,74 @@ def _make_kernel(s: _Schedule):
         tmp = jnp.dot(wr, bandf, preferred_element_type=jnp.float32)
         res = jnp.dot(tmp, wc, preferred_element_type=jnp.float32)
         q = jnp.clip(jnp.floor(res + 0.5), 0.0, 255.0).astype(jnp.int32)
-        out[0] = q.astype(jnp.uint8)
+        if batched:
+            out[0, 0] = q.astype(jnp.uint8)
+        else:
+            out[0] = q.astype(jnp.uint8)
 
     return kernel
 
 
 @functools.lru_cache(maxsize=512)
-def _build_call(key: Tuple, channels: int, interpret: bool):
-    """Build the pallas_call for one placement schedule (cached)."""
+def _build_call(key: Tuple, channels: int, interpret: bool, batch: int = 0):
+    """Build the pallas_call for one placement schedule (cached).
+
+    ``batch=0`` -> single-job call on (C, mh, mw) sources; ``batch=B`` -> one
+    fused call over a stacked batch (B, C, mh, mw) with a leading batch grid
+    dimension (BASELINE config 5 serving mode).
+    """
     p, filter_kind = key
     s = _Schedule(p, filter_kind)
+    batched = batch > 0
+
+    if batched:
+        grid = (batch, channels, s.grid_r, s.grid_c)
+        row_map = lambda b, c, i, j, ints: (i, 0)          # noqa: E731
+        col_map = lambda b, c, i, j, ints: (0, j)          # noqa: E731
+        out_spec = pl.BlockSpec((1, 1, s.th, s.tw),
+                                lambda b, c, i, j, ints: (b, c, i, j))
+        out_shape = jax.ShapeDtypeStruct(
+            (batch, channels, s.rows_pad, s.cols_pad), jnp.uint8)
+        semantics = ("parallel", "parallel", "arbitrary", "arbitrary")
+    else:
+        grid = (channels, s.grid_r, s.grid_c)
+        row_map = lambda c, i, j, ints: (i, 0)             # noqa: E731
+        col_map = lambda c, i, j, ints: (0, j)             # noqa: E731
+        out_spec = pl.BlockSpec((1, s.th, s.tw),
+                                lambda c, i, j, ints: (c, i, j))
+        out_shape = jax.ShapeDtypeStruct(
+            (channels, s.rows_pad, s.cols_pad), jnp.uint8)
+        semantics = ("parallel", "arbitrary", "arbitrary")
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(channels, s.grid_r, s.grid_c),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),                       # src
-            pl.BlockSpec((s.th, 1), lambda c, i, j, ints: (i, 0)),   # row_i0
-            pl.BlockSpec((s.th, 1), lambda c, i, j, ints: (i, 0)),   # row_w1
-            pl.BlockSpec((1, s.tw), lambda c, i, j, ints: (0, j)),   # col_i0
-            pl.BlockSpec((1, s.tw), lambda c, i, j, ints: (0, j)),   # col_w1
+            pl.BlockSpec(memory_space=pl.ANY),             # src
+            pl.BlockSpec((s.th, 1), row_map),              # row_i0
+            pl.BlockSpec((s.th, 1), row_map),              # row_w1
+            pl.BlockSpec((1, s.tw), col_map),              # col_i0
+            pl.BlockSpec((1, s.tw), col_map),              # col_w1
         ],
-        out_specs=pl.BlockSpec((1, s.th, s.tw),
-                               lambda c, i, j, ints: (c, i, j)),
+        out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM((s.bh, s.bw), jnp.uint8),
             pltpu.SemaphoreType.DMA,
         ],
     )
+    nb = max(1, batch)
     call = pl.pallas_call(
-        _make_kernel(s),
+        _make_kernel(s, batched),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (channels, s.rows_pad, s.cols_pad), jnp.uint8),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            dimension_semantics=semantics,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * channels * (s.rows_pad * s.bh * s.cols_pad
-                                  + s.rows_pad * s.bw * s.cols_pad),
-            bytes_accessed=channels * (s.m_h * s.m_w
-                                       + s.rows_pad * s.cols_pad),
+            flops=2 * nb * channels * (s.rows_pad * s.bh * s.cols_pad
+                                       + s.rows_pad * s.bw * s.cols_pad),
+            bytes_accessed=nb * channels * (s.m_h * s.m_w
+                                            + s.rows_pad * s.cols_pad),
             transcendentals=0,
         ),
         interpret=interpret,
@@ -280,6 +314,21 @@ def resize_place_one(src_chw: jnp.ndarray, placement: Placement,
     s, call = _build_call((placement, filter_kind), channels, interpret)
     region = call(jnp.asarray(s.ints),
                   src_chw,
+                  jnp.asarray(s.row_i0), jnp.asarray(s.row_w1),
+                  jnp.asarray(s.col_i0), jnp.asarray(s.col_w1))
+    return region, (s.r0, s.c0, s.n_rows, s.n_cols)
+
+
+def resize_place_batch(src_bchw: jnp.ndarray, placement: Placement,
+                       filter_kind: str = "bilinear",
+                       interpret: bool = False) -> Tuple[jnp.ndarray, Tuple[int, int, int, int]]:
+    """Batched twin of :func:`resize_place_one` over stacked (B, C, mh, mw)
+    sources: one fused kernel with a leading batch grid dimension."""
+    batch, channels = src_bchw.shape[0], src_bchw.shape[1]
+    s, call = _build_call((placement, filter_kind), channels, interpret,
+                          batch=batch)
+    region = call(jnp.asarray(s.ints),
+                  src_bchw,
                   jnp.asarray(s.row_i0), jnp.asarray(s.row_w1),
                   jnp.asarray(s.col_i0), jnp.asarray(s.col_w1))
     return region, (s.r0, s.c0, s.n_rows, s.n_cols)

@@ -1,0 +1,161 @@
+"""Batched multi-job stitching (BASELINE config 5: 64 concurrent 9-image jobs).
+
+The reference processes one job at a time behind a UI mutex
+(pages/index/index.js:25,1193).  Here, jobs sharing a layout signature stack
+into (B, H_i, W_i, C) arrays per image slot and run as ONE device program:
+
+* ``engine="pallas"`` — the fused kernel with a leading batch grid dimension
+  (:func:`..ops.pallas_resize.resize_place_batch`): B x C x tiles in one
+  launch, taps shared across the batch.
+* ``engine="xla"``    — the 2-tap gather engine under ``jax.vmap``.
+
+With a :class:`jax.sharding.Mesh`, batches are sharded over the ``jobs`` axis
+— jobs are independent, so SPMD partitioning introduces **zero collectives**;
+N chips give Nx throughput over ICI-free pure data parallelism.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.layout import LayoutPlan
+from ..ops import pallas_resize, xla_compose
+
+
+def _batched_pallas(plan: LayoutPlan, channels: int, interpret: bool,
+                    images: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """images[i]: (B, H_i, W_i, C) uint8 -> (B, canvas_h, canvas_w, C) uint8."""
+    batch = images[0].shape[0]
+    bg = jnp.asarray(plan.background[:channels], jnp.uint8)
+    canvas = jnp.broadcast_to(
+        bg[None, :, None, None],
+        (batch, channels, plan.canvas_h, plan.canvas_w))
+    for raw, p in zip(images, plan.placements):
+        if p.row_span[1] <= p.row_span[0] or p.col_span[1] <= p.col_span[0]:
+            continue
+        sched = pallas_resize._Schedule(p, plan.filter)
+        src = _orient_pad_bchw(raw, p.orientation,
+                               sched.m_h_pad, sched.m_w_pad)
+        region, (r0, c0, nr, nc) = pallas_resize.resize_place_batch(
+            src, p, plan.filter, interpret)
+        canvas = jax.lax.dynamic_update_slice(
+            canvas, region[:, :, :nr, :nc], (0, 0, r0, c0))
+    return jnp.transpose(canvas, (0, 2, 3, 1))
+
+
+def _orient_pad_bchw(raw_bhwc: jnp.ndarray, orientation: int,
+                     h_pad: int, w_pad: int) -> jnp.ndarray:
+    """(B, H, W, C) uint8 -> oriented, padded (B, C, H', W') uint8."""
+    x = raw_bhwc
+    if orientation not in (0, 1):
+        # same swizzles as orient_jnp but on axes (1, 2)
+        if orientation == 2:
+            x = x[:, :, ::-1]
+        elif orientation == 3:
+            x = x[:, ::-1, ::-1]
+        elif orientation == 4:
+            x = x[:, ::-1, :]
+        else:
+            t = jnp.transpose(x, (0, 2, 1, 3))
+            if orientation == 5:
+                x = t
+            elif orientation == 6:
+                x = t[:, :, ::-1]
+            elif orientation == 7:
+                x = t[:, ::-1, ::-1]
+            elif orientation == 8:
+                x = t[:, ::-1, :]
+            else:
+                raise ValueError(f"invalid orientation {orientation}")
+    bchw = jnp.transpose(x, (0, 3, 1, 2))
+    return jnp.pad(bchw, ((0, 0), (0, 0),
+                          (0, h_pad - bchw.shape[2]),
+                          (0, w_pad - bchw.shape[3])))
+
+
+def _batched_xla(plan: LayoutPlan, channels: int,
+                 images: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    params = [xla_compose.placement_params(p, plan.filter)
+              for p in plan.placements]
+
+    def one(imgs):
+        return xla_compose._stitch_impl(plan, channels, imgs, params)
+
+    return jax.vmap(one)(list(images))
+
+
+class BatchedStitch:
+    """Compiled batched stitch for one layout signature x batch size.
+
+    ``mesh``: optional jobs-axis mesh; inputs/outputs are sharded over it
+    (pure DP, no collectives).  Jobs with mismatched shapes must be bucketed
+    by ``plan.signature()`` upstream (see serve.server).
+    """
+
+    def __init__(self, plan: LayoutPlan, batch_size: int, channels: int = 3,
+                 engine: str = "pallas", mesh: Optional[Mesh] = None,
+                 interpret: bool = False):
+        from ..runtime.jaxcfg import ensure_compile_cache
+        ensure_compile_cache()
+        if engine not in ("pallas", "xla"):
+            raise ValueError(f"unsupported batch engine {engine!r}")
+        if engine == "pallas":
+            for p in plan.placements:
+                pallas_resize._Schedule(p, plan.filter)  # feasibility check
+        self.plan = plan
+        self.batch_size = batch_size
+        self.channels = channels
+        self.engine = engine
+        self.mesh = mesh
+
+        if engine == "pallas":
+            fn = functools.partial(_batched_pallas, plan, channels, interpret)
+        else:
+            fn = functools.partial(_batched_xla, plan, channels)
+
+        if mesh is not None:
+            in_shard = NamedSharding(mesh, P("jobs"))
+            out_shard = NamedSharding(mesh, P("jobs"))
+            n_img = len(plan.placements)
+            self._jitted = jax.jit(
+                fn,
+                in_shardings=([in_shard] * n_img,),
+                out_shardings=out_shard)
+        else:
+            self._jitted = jax.jit(fn)
+
+    def __call__(self, stacked_images: Sequence[np.ndarray]) -> np.ndarray:
+        """stacked_images[i]: (B, H_i, W_i, C) uint8 for image slot i."""
+        if len(stacked_images) != len(self.plan.placements):
+            raise ValueError("image-slot count does not match plan")
+        dev = []
+        for arr, p in zip(stacked_images, self.plan.placements):
+            arr = np.asarray(arr)
+            if arr.ndim != 4 or arr.shape[0] != self.batch_size:
+                raise ValueError(
+                    f"slot {p.index}: expected (B={self.batch_size}, H, W, C),"
+                    f" got {arr.shape}")
+            if arr.shape[1:3] != (p.raw_h, p.raw_w):
+                raise ValueError(
+                    f"slot {p.index}: got {arr.shape[2]}x{arr.shape[1]}, "
+                    f"plan says {p.raw_w}x{p.raw_h}")
+            if arr.dtype != np.uint8:
+                raise ValueError("batched stitch expects uint8")
+            dev.append(jnp.asarray(arr))
+        return np.asarray(self._jitted(dev))
+
+
+def stitch_batch(plan: LayoutPlan, stacked_images: Sequence[np.ndarray],
+                 engine: str = "pallas", mesh: Optional[Mesh] = None,
+                 interpret: bool = False) -> np.ndarray:
+    batch = int(np.asarray(stacked_images[0]).shape[0])
+    channels = int(np.asarray(stacked_images[0]).shape[3])
+    return BatchedStitch(plan, batch, channels, engine, mesh,
+                         interpret)(stacked_images)

@@ -1,0 +1,331 @@
+"""The stitch pipeline: prepare -> stage -> composite -> readback -> encode.
+
+This is the L4 orchestrator (SURVEY.md §1): what ``onStitch``
+(pages/index/index.js:1186-1633) does with progress phases, caches, flush
+hacks and fallback ladders becomes an explicit pipeline with:
+
+* a host decode pool (replacing serialized decodes, index.js:1125-1157),
+* the HBM budget governor picking resident/streamed/banded execution
+  (:mod:`.tiler`, replacing canvas caps + big-task mode),
+* async H2D staging that overlaps the next image's upload with the current
+  kernel (replacing the bitmap cache's load-ahead role, index.js:534-627),
+* canvas donation between streamed updates (replacing the 1x1 getImageData
+  flush + bmp.close() dance, index.js:1560-1571),
+* per-phase wall-clock metrics feeding MP/s (the jax.profiler-friendly
+  observability the reference's timing console.logs approximate).
+
+Progress fractions mirror the reference's schedule: prepare 0.01-0.25,
+layout 0.30, composite 0.30-0.90, export 0.96, done 1.0
+(index.js:1193,1247,1358,1556-1557,1581,1611).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CanvasLimits, RuntimeConfig, StitchOptions
+from ..core import geometry, oracle
+from ..core.layout import ImageSpec, LayoutPlan, Placement, solve
+from ..ops import xla_compose
+from . import tiler
+from .logger import get_logger
+
+ProgressFn = Callable[[str, float], None]
+
+
+@dataclasses.dataclass
+class StitchMetrics:
+    """Per-phase wall clock + throughput for one job."""
+
+    strategy: str = "resident"
+    prepare_s: float = 0.0
+    layout_s: float = 0.0
+    compute_s: float = 0.0
+    readback_s: float = 0.0
+    total_s: float = 0.0
+    canvas_w: int = 0
+    canvas_h: int = 0
+    est_peak_bytes: int = 0
+
+    @property
+    def out_megapixels(self) -> float:
+        return self.canvas_w * self.canvas_h / 1e6
+
+    @property
+    def mp_per_sec(self) -> float:
+        return self.out_megapixels / self.total_s if self.total_s else 0.0
+
+
+def _noop(phase: str, fraction: float) -> None:
+    del phase, fraction
+
+
+# ---------------------------------------------------------------------------
+# Streamed execution (canvas persists, donated between per-image updates)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=256)
+def _streamed_update_fn(plan_key, index: int, channels: int,
+                        use_pallas: bool, interpret: bool):
+    """jit fn: (canvas CHW uint8 [donated], raw HWC uint8) -> canvas."""
+    plan = plan_key.plan
+    p = plan.placements[index]
+
+    if use_pallas:
+        from ..ops import pallas_resize
+
+        sched = pallas_resize._Schedule(p, plan.filter)
+
+        def fn(canvas, raw):
+            src = pallas_resize._orient_chw(raw, p.orientation,
+                                            sched.m_h_pad, sched.m_w_pad)
+            region, (r0, c0, nr, nc) = pallas_resize.resize_place_one(
+                src, p, plan.filter, interpret)
+            return jax.lax.dynamic_update_slice(
+                canvas, region[:, :nr, :nc], (0, r0, c0))
+    else:
+        params = xla_compose.placement_params(p, plan.filter)
+
+        def fn(canvas, raw):
+            img = xla_compose.orient_jnp(raw, p.orientation).astype(jnp.float32)
+            img = xla_compose._resample_axis0(img, params["rows"])
+            img = xla_compose._resample_axis1(img, params["cols"])
+            region = xla_compose.to_uint8(img)
+            chw = jnp.transpose(region, (2, 0, 1))
+            return jax.lax.dynamic_update_slice(
+                canvas, chw, (0, p.row_span[0], p.col_span[0]))
+
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+def _run_streamed(plan: LayoutPlan, images: Sequence[np.ndarray],
+                  channels: int, config: RuntimeConfig,
+                  progress: ProgressFn) -> np.ndarray:
+    from ..ops.xla_compose import _PlanKey
+    use_pallas = _pallas_ok(plan, config)
+    key = _PlanKey(plan)
+    bg = np.asarray(plan.background[:channels], np.uint8)
+    canvas = jnp.broadcast_to(
+        jnp.asarray(bg)[:, None, None],
+        (channels, plan.canvas_h, plan.canvas_w))
+    canvas = jnp.array(canvas)  # materialize so it is donatable
+
+    # async staging: upload image i+1 while image i computes
+    staged = jnp.asarray(images[0]) if images else None
+    n = len(images)
+    for i in range(n):
+        src = staged
+        if i + 1 < n:
+            staged = jnp.asarray(images[i + 1])  # async H2D
+        p = plan.placements[i]
+        if p.row_span[1] > p.row_span[0] and p.col_span[1] > p.col_span[0]:
+            fn = _streamed_update_fn(key, i, channels, use_pallas,
+                                     config.interpret)
+            canvas = fn(canvas, src)
+        progress("composite", 0.30 + 0.60 * (i + 1) / n)
+    out = jnp.transpose(canvas, (1, 2, 0))
+    return np.asarray(out)
+
+
+# ---------------------------------------------------------------------------
+# Banded execution (canvas never fully materializes on device)
+# ---------------------------------------------------------------------------
+
+class _BandedExecutor:
+    """Composites the canvas in fixed-height row bands.
+
+    For each band, every overlapping image contributes a host-cropped row
+    window of its (oriented) pixels; per-band row taps are rebased to the
+    crop and shipped as arguments, so ONE compiled program serves all bands.
+    Column taps are band-invariant constants.
+    """
+
+    def __init__(self, plan: LayoutPlan, band_rows: int, channels: int):
+        self.plan = plan
+        self.band = band_rows
+        self.channels = channels
+        # fixed crop height per image (worst case over bands)
+        self.crop_rows: List[int] = []
+        self.col_taps = []
+        for p in plan.placements:
+            disp_w, disp_h = geometry.display_size(p.raw_w, p.raw_h,
+                                                   p.orientation)
+            scale = p.h / max(1, disp_h)
+            need = min(disp_h,
+                       int(np.ceil(band_rows / max(scale, 1e-9))) + 3)
+            self.crop_rows.append(need)
+            c0, c1 = p.col_span
+            if c1 > c0:
+                ci0, _, cw1 = geometry.bilinear_taps(c0, c1, p.x0, p.w,
+                                                     disp_w)
+                self.col_taps.append(
+                    {"i0": ci0, "w1": cw1.astype(np.float32)})
+            else:
+                self.col_taps.append(None)
+        self._jitted = jax.jit(self._compose)
+
+    def _compose(self, crops, rows_i0, rows_w1, rows_in):
+        plan, band, channels = self.plan, self.band, self.channels
+        bg = jnp.asarray(plan.background[:channels], jnp.float32)
+        canvas = jnp.broadcast_to(bg, (band, plan.canvas_w, channels))
+        for idx, p in enumerate(plan.placements):
+            tp = self.col_taps[idx]
+            if tp is None:
+                continue
+            crop = crops[idx].astype(jnp.float32)
+            mh = crop.shape[0]
+            ri0 = rows_i0[idx]
+            rw1 = rows_w1[idx][:, None, None]
+            rows = (jnp.take(crop, ri0, axis=0) * (1.0 - rw1)
+                    + jnp.take(crop, jnp.minimum(ri0 + 1, mh - 1),
+                               axis=0) * rw1)
+            cw1 = jnp.asarray(tp["w1"])[None, :, None]
+            ci0 = jnp.asarray(tp["i0"])
+            mw = crop.shape[1]
+            full = (jnp.take(rows, ci0, axis=1) * (1.0 - cw1)
+                    + jnp.take(rows, jnp.minimum(ci0 + 1, mw - 1),
+                               axis=1) * cw1)
+            c0, c1 = p.col_span
+            region = jax.lax.dynamic_update_slice(
+                jnp.zeros((band, plan.canvas_w, channels), jnp.float32),
+                full, (0, c0, 0))
+            in_rows = rows_in[idx][:, None, None]
+            col_ids = jax.lax.broadcasted_iota(
+                jnp.int32, (1, plan.canvas_w, 1), 1)
+            in_cols = ((col_ids >= c0) & (col_ids < c1)).astype(jnp.float32)
+            mask = in_rows * in_cols
+            canvas = canvas * (1.0 - mask) + region * mask
+        return xla_compose.to_uint8(canvas)
+
+    def run(self, oriented_images: Sequence[np.ndarray],
+            progress: ProgressFn = _noop) -> np.ndarray:
+        plan, band = self.plan, self.band
+        out = np.empty((plan.canvas_h, plan.canvas_w, self.channels),
+                       np.uint8)
+        bands = tiler.band_ranges(plan, band)
+        for bi, (lo, hi) in enumerate(bands):
+            crops, r_i0, r_w1, r_in = [], [], [], []
+            for idx, p in enumerate(plan.placements):
+                need = self.crop_rows[idx]
+                img = oriented_images[idx]
+                disp_h = img.shape[0]
+                i0 = np.zeros((band,), np.int32)
+                w1 = np.zeros((band,), np.float32)
+                inb = np.zeros((band,), np.float32)
+                win = tiler.band_source_rows(p, lo, hi)
+                if win is None or self.col_taps[idx] is None:
+                    crops.append(np.zeros((need,) + img.shape[1:], np.uint8))
+                else:
+                    br0, br1, s_lo, s_hi = win
+                    s_lo = min(s_lo, max(0, disp_h - need))
+                    crop = img[s_lo: s_lo + need]
+                    if crop.shape[0] < need:      # short image
+                        crop = np.pad(crop, ((0, need - crop.shape[0]),
+                                             (0, 0), (0, 0)))
+                    ri0, _, rw1 = geometry.bilinear_taps(
+                        br0, br1, p.y0, p.h, disp_h)
+                    i0[br0 - lo: br1 - lo] = np.minimum(ri0 - s_lo, need - 1)
+                    w1[br0 - lo: br1 - lo] = rw1
+                    inb[br0 - lo: br1 - lo] = 1.0
+                    crops.append(np.ascontiguousarray(crop))
+                r_i0.append(i0)
+                r_w1.append(w1)
+                r_in.append(inb)
+            band_out = np.asarray(self._jitted(
+                [jnp.asarray(c) for c in crops],
+                [jnp.asarray(x) for x in r_i0],
+                [jnp.asarray(x) for x in r_w1],
+                [jnp.asarray(x) for x in r_in]))
+            out[lo:hi] = band_out[: hi - lo]
+            progress("composite", 0.30 + 0.60 * (bi + 1) / len(bands))
+        return out
+
+
+def _run_banded(plan: LayoutPlan, images: Sequence[np.ndarray],
+                channels: int, band_rows: int,
+                progress: ProgressFn) -> np.ndarray:
+    oriented = [geometry.orient_array(np.asarray(img), p.orientation)
+                for img, p in zip(images, plan.placements)]
+    return _BandedExecutor(plan, band_rows, channels).run(oriented, progress)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline front door
+# ---------------------------------------------------------------------------
+
+def _pallas_ok(plan: LayoutPlan, config: RuntimeConfig) -> bool:
+    if config.engine == "xla" or config.engine == "oracle":
+        return False
+    if plan.filter != "bilinear":
+        if config.engine == "pallas":
+            raise NotImplementedError(
+                "pallas engine implements the bilinear filter only")
+        return False
+    try:
+        from ..ops import pallas_resize
+        for p in plan.placements:
+            if p.row_span[1] > p.row_span[0] and p.col_span[1] > p.col_span[0]:
+                pallas_resize._Schedule(p, plan.filter)
+        return True
+    except NotImplementedError:
+        if config.engine == "pallas":
+            raise
+        return False
+
+
+def run(plan: LayoutPlan, images: Sequence[np.ndarray],
+        config: Optional[RuntimeConfig] = None,
+        progress: ProgressFn = _noop,
+        ) -> Tuple[np.ndarray, StitchMetrics]:
+    """Execute one solved stitch job under the configured budget."""
+    config = (config or RuntimeConfig()).validate()
+    log = get_logger()
+    m = StitchMetrics(canvas_w=plan.canvas_w, canvas_h=plan.canvas_h)
+    t_start = time.perf_counter()
+
+    channels = 3
+    if images:
+        a0 = np.asarray(images[0])
+        channels = a0.shape[2] if a0.ndim == 3 else 1
+
+    if config.engine == "oracle":
+        ex = tiler.ExecutionPlan("oracle", 0, config.budget.hbm_bytes)
+    else:
+        ex = tiler.plan_execution(plan, config.budget, channels)
+    m.strategy = ex.strategy
+    m.est_peak_bytes = ex.est_peak_bytes
+    log.event("pipeline.plan", strategy=ex.strategy,
+              est_peak_mb=round(ex.est_peak_bytes / 1e6, 1),
+              budget_mb=round(ex.budget_bytes / 1e6, 1),
+              canvas=(plan.canvas_w, plan.canvas_h))
+    progress("layout", 1.0)
+
+    t0 = time.perf_counter()
+    if ex.strategy == "oracle":
+        out = oracle.stitch(plan, images)
+    elif ex.strategy == "resident":
+        if _pallas_ok(plan, config):
+            from ..ops import pallas_resize
+            out = pallas_resize.stitch(plan, images,
+                                       interpret=config.interpret)
+        else:
+            out = xla_compose.stitch(plan, images)
+    elif ex.strategy == "streamed":
+        out = _run_streamed(plan, images, channels, config, progress)
+    else:
+        out = _run_banded(plan, images, channels, ex.band_rows, progress)
+    m.compute_s = time.perf_counter() - t0
+    m.total_s = time.perf_counter() - t_start
+    log.event("pipeline.done", strategy=ex.strategy,
+              compute_s=round(m.compute_s, 4),
+              mp_per_sec=round(m.mp_per_sec, 1))
+    progress("composite", 1.0)
+    return out, m

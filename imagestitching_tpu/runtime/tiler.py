@@ -1,0 +1,133 @@
+"""HBM budget governor: choose an execution strategy that bounds peak memory.
+
+TPU-native replacement for the reference's memory-peak machinery — the canvas
+side/pixel caps with uniform ``scaleDown`` (pages/index/index.js:1323-1357),
+the big-task mode that disables caches and frees bitmaps after every draw
+(index.js:1210-1220,1560-1571), and the decoded-bitmap pixel budgets
+(index.js:6-7).  Those all *shrink or serialize the user's job*; here the job
+stays full-resolution and the governor picks how to schedule it:
+
+* ``resident`` — all sources on device at once, one fused program.  Fastest;
+  needs sources + canvas + scratch under budget.
+* ``streamed`` — one source on device at a time; the canvas persists and is
+  donated between per-image updates (the big-task analog, but in-place and
+  without flush hacks).  Peak ~= canvas + largest source + its region.
+* ``banded``   — output row bands composited one at a time, each from
+  host-cropped source bands, result streamed back to the host (the blockwise
+  spatial-tiling answer to "canvas larger than HBM", SURVEY.md §5).
+
+Byte accounting is deliberately conservative (canvas counted twice for the
+non-donated resident path; padded planar copies counted per image).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, Optional, Tuple
+
+from ..config import MemoryBudget
+from ..core import geometry
+from ..core.layout import LayoutPlan, Placement
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _src_bytes(p: Placement, channels: int) -> int:
+    """Device bytes for one staged source: raw HWC + oriented padded CHW."""
+    disp_w, disp_h = geometry.display_size(p.raw_w, p.raw_h, p.orientation)
+    padded = _round_up(disp_h, 8) * _round_up(disp_w, 128)
+    return channels * (p.raw_w * p.raw_h + padded)
+
+
+def _region_bytes(p: Placement, channels: int) -> int:
+    nr = max(0, p.row_span[1] - p.row_span[0])
+    nc = max(0, p.col_span[1] - p.col_span[0])
+    return channels * _round_up(max(1, nr), 256) * _round_up(max(1, nc), 512)
+
+
+@dataclasses.dataclass(frozen=True)
+class ExecutionPlan:
+    strategy: str                   # "resident" | "streamed" | "banded"
+    est_peak_bytes: int
+    budget_bytes: int
+    band_rows: Optional[int] = None  # for "banded"
+
+
+def plan_execution(plan: LayoutPlan, budget: MemoryBudget,
+                   channels: int = 3) -> ExecutionPlan:
+    """Pick the cheapest strategy whose conservative peak fits the budget."""
+    limit = budget.hbm_bytes
+    canvas = channels * plan.canvas_w * plan.canvas_h
+    srcs = [_src_bytes(p, channels) for p in plan.placements]
+    regions = [_region_bytes(p, channels) for p in plan.placements]
+
+    resident_peak = 2 * canvas + sum(srcs) + (max(regions) if regions else 0)
+    if resident_peak <= limit:
+        return ExecutionPlan("resident", resident_peak, limit)
+
+    streamed_peak = canvas + max(
+        (s + r for s, r in zip(srcs, regions)), default=0)
+    if streamed_peak <= limit:
+        return ExecutionPlan("streamed", streamed_peak, limit)
+
+    # banded: choose band height so band canvas + the worst per-image band
+    # working set fits.  A band of B canvas rows needs, per overlapping image,
+    # ~B/scale source rows (+2) of width disp_w.
+    for band in _band_candidates(plan.canvas_h):
+        peak = _banded_peak(plan, band, channels)
+        if peak <= limit:
+            return ExecutionPlan("banded", peak, limit, band_rows=band)
+    raise MemoryError(
+        f"stitch cannot fit in {limit / 1e9:.3f} GB HBM even with 8-row "
+        f"bands (canvas {plan.canvas_w}x{plan.canvas_h}); raise the budget")
+
+
+def _band_candidates(rows: int) -> List[int]:
+    out = []
+    b = min(rows, 4096)
+    while b >= 8:
+        out.append(b)
+        b //= 2
+    if not out:
+        out.append(max(1, rows))
+    return out
+
+
+def _banded_peak(plan: LayoutPlan, band: int, channels: int) -> int:
+    band_canvas = channels * plan.canvas_w * band
+    worst = 0
+    for p in plan.placements:
+        r0, r1 = p.row_span
+        if r1 <= r0:
+            continue
+        disp_w, disp_h = geometry.display_size(p.raw_w, p.raw_h,
+                                               p.orientation)
+        scale = p.h / max(1, disp_h)          # canvas rows per source row
+        rows_needed = min(disp_h, int(math.ceil(band / max(scale, 1e-9))) + 2)
+        worst = max(worst, channels * rows_needed * _round_up(disp_w, 128) * 2)
+    return 2 * band_canvas + worst
+
+
+def band_ranges(plan: LayoutPlan, band_rows: int) -> List[Tuple[int, int]]:
+    return [(lo, min(plan.canvas_h, lo + band_rows))
+            for lo in range(0, plan.canvas_h, band_rows)]
+
+
+def band_source_rows(p: Placement, band_lo: int, band_hi: int
+                     ) -> Optional[Tuple[int, int, int, int]]:
+    """Source rows needed for canvas rows [band_lo, band_hi) of placement p.
+
+    Returns (canvas_r0, canvas_r1, src_lo, src_hi) of the intersection, or
+    None if the image doesn't touch the band.  Source rows are in *display*
+    (oriented) space.
+    """
+    r0, r1 = p.row_span
+    br0, br1 = max(r0, band_lo), min(r1, band_hi)
+    if br1 <= br0:
+        return None
+    _, disp_h = geometry.display_size(p.raw_w, p.raw_h, p.orientation)
+    lo, hi = geometry.source_band(br0, br1, p.y0, p.h, disp_h)
+    return br0, br1, lo, hi

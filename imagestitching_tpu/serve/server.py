@@ -1,0 +1,184 @@
+"""Batch stitch server: queue, signature bucketing, one device program per
+flush (BASELINE config 5: 64 concurrent 9-image jobs).
+
+The reference is strictly one-job-at-a-time behind the ``isStitching`` UI
+mutex (pages/index/index.js:25,1193).  This server is its throughput-mode
+replacement:
+
+* jobs are grouped by ``plan.signature()`` — same signature => same compiled
+  executable (see ops.xla_compose.CompiledStitch docstring);
+* a bucket flushes when it reaches ``max_batch`` or when ``max_wait_s``
+  elapses with work pending (classic dynamic batching);
+* each flush runs ONE fused batched program
+  (:class:`..parallel.batch.BatchedStitch`), optionally sharded over a
+  ``jobs``-axis device mesh;
+* per-job failure isolation: a bad job fails its own future, never the batch
+  (the serving analog of per-image skip-and-continue, index.js:1133-1149).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import CanvasLimits, RuntimeConfig, StitchOptions
+from ..core.layout import ImageSpec, LayoutPlan, solve
+from ..parallel.batch import BatchedStitch
+from ..parallel import mesh as pmesh
+from ..runtime.logger import get_logger
+
+
+@dataclasses.dataclass
+class _Job:
+    images: List[np.ndarray]
+    plan: LayoutPlan
+    future: Future
+    enqueued_at: float
+
+
+class StitchServer:
+    """Dynamic-batching stitch service.
+
+    >>> server = StitchServer(max_batch=64, max_wait_s=0.005)
+    >>> fut = server.submit([img_a, img_b], StitchOptions(gap=4))
+    >>> strip = fut.result()
+    """
+
+    def __init__(self, max_batch: int = 64, max_wait_s: float = 0.005,
+                 engine: str = "pallas", use_mesh: bool = False,
+                 config: Optional[RuntimeConfig] = None,
+                 interpret: bool = False):
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_s
+        self.engine = engine
+        self.interpret = interpret
+        self.config = (config or RuntimeConfig()).validate()
+        self.mesh = pmesh.make_mesh() if use_mesh else None
+        self._queue: "queue.Queue[Optional[_Job]]" = queue.Queue()
+        self._compiled: Dict[Tuple, Dict[int, BatchedStitch]] = {}
+        self._log = get_logger()
+        self._stats = {"jobs": 0, "batches": 0, "failed": 0}
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._closed = False
+        self._thread.start()
+
+    # ------------------------------------------------------------- client
+
+    def submit(self, images: Sequence[np.ndarray],
+               options: Optional[StitchOptions] = None,
+               limits: Optional[CanvasLimits] = None) -> Future:
+        """Enqueue one stitch job; resolves to the uint8 HWC strip."""
+        if self._closed:
+            raise RuntimeError("server is closed")
+        options = (options or StitchOptions()).validate()
+        imgs = [np.ascontiguousarray(np.asarray(a)) for a in images]
+        specs = [ImageSpec(a.shape[1], a.shape[0]) for a in imgs]
+        plan = solve(specs, options, limits)
+        fut: Future = Future()
+        self._queue.put(_Job(imgs, plan, fut, time.perf_counter()))
+        return fut
+
+    def stats(self) -> dict:
+        return dict(self._stats)
+
+    def close(self, timeout: float = 10.0) -> None:
+        if not self._closed:
+            self._closed = True
+            self._queue.put(None)
+            self._thread.join(timeout)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ------------------------------------------------------------- worker
+
+    def _loop(self) -> None:
+        buckets: Dict[Tuple, List[_Job]] = {}
+        deadline: Optional[float] = None
+        while True:
+            timeout = None
+            if deadline is not None:
+                timeout = max(0.0, deadline - time.perf_counter())
+            try:
+                job = self._queue.get(timeout=timeout)
+            except queue.Empty:
+                job = False       # timer fired: flush everything pending
+            if job is None:
+                for jobs in buckets.values():
+                    self._flush(jobs)
+                return
+            if job is not False:
+                sig = job.plan.signature()
+                buckets.setdefault(sig, []).append(job)
+                if len(buckets[sig]) >= self.max_batch:
+                    self._flush(buckets.pop(sig))
+                if buckets and deadline is None:
+                    deadline = time.perf_counter() + self.max_wait_s
+                continue
+            # flush on deadline
+            for sig in list(buckets):
+                self._flush(buckets.pop(sig))
+            deadline = None
+
+    def _get_compiled(self, plan: LayoutPlan, batch: int) -> BatchedStitch:
+        sig = plan.signature()
+        per_size = self._compiled.setdefault(sig, {})
+        if batch not in per_size:
+            per_size[batch] = BatchedStitch(
+                plan, batch, engine=self.engine, mesh=self.mesh,
+                interpret=self.interpret)
+        return per_size[batch]
+
+    def _flush(self, jobs: List[_Job]) -> None:
+        if not jobs:
+            return
+        plan = jobs[0].plan
+        try:
+            # Pad the batch to a power-of-two bucket to bound the number of
+            # compiled batch sizes (recompilation governor); under a mesh the
+            # batch must also divide evenly across the jobs axis.
+            b = len(jobs)
+            padded = 1
+            while padded < b:
+                padded *= 2
+            padded = min(padded, self.max_batch)
+            if self.mesh is not None:
+                unit = self.mesh.shape["jobs"]
+                padded = max(padded, unit)
+                padded = ((padded + unit - 1) // unit) * unit
+            stacks = []
+            for slot in range(len(plan.placements)):
+                arrs = [j.images[slot] for j in jobs]
+                while len(arrs) < padded:
+                    arrs.append(arrs[0])          # pad with a copy
+                stacks.append(np.stack(arrs))
+            compiled = self._get_compiled(plan, padded)
+            out = compiled(stacks)
+            for i, j in enumerate(jobs):
+                j.future.set_result(out[i])
+            self._stats["jobs"] += b
+            self._stats["batches"] += 1
+            self._log.event("serve.flush", batch=b, padded=padded,
+                            canvas=(plan.canvas_w, plan.canvas_h))
+        except Exception as e:  # noqa: BLE001 — isolation boundary
+            # batch-level failure: retry jobs individually so one poisoned
+            # job cannot take down its batch-mates
+            if len(jobs) == 1:
+                jobs[0].future.set_exception(e)
+                self._stats["failed"] += 1
+                self._log.event("serve.job_fail", error=repr(e))
+                return
+            self._log.event("serve.batch_fail_retry_split", n=len(jobs),
+                            error=repr(e))
+            mid = len(jobs) // 2
+            self._flush(jobs[:mid])
+            self._flush(jobs[mid:])

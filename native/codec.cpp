@@ -1,0 +1,286 @@
+// Native host codec for imagestitching_tpu: libjpeg-turbo + libpng/zlib.
+//
+// TPU-native replacement for the image decode/encode the reference delegates
+// to the WeChat runtime's C++ engine (SURVEY.md §2b): decode fires on
+// `img.src = path` (utils/canvas.js:110) and PNG export on
+// `wx.canvasToTempFilePath` (utils/canvas.js:205-242).  Here the same work is
+// an explicit C ABI consumed from Python via ctypes; calls release the GIL,
+// so the decode thread pool gets real parallelism (the reference had to
+// *serialize* decodes to survive, pages/index/index.js:1125-1157 — a real
+// allocator and real threads make that unnecessary).
+//
+// Contract notes:
+//  * all decoders output tightly-packed RGB8 (w*h*3);
+//  * PNG alpha is pre-composited onto opaque white with round-half-up,
+//    matching core/oracle.to_uint8 (the draw loop always targets the white
+//    canvas, index.js:1423-1424);
+//  * JPEG decode supports DCT-domain scale_denom in {1,2,4,8} — the
+//    downscale-on-decode analog of the reference's bitmap pixel budgets
+//    (index.js:6-7);
+//  * buffers are malloc'd here and released with isx_free.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <csetjmp>
+
+#include <jpeglib.h>
+#include <png.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------- errors
+
+static thread_local char g_err[256];
+
+const char* isx_last_error() { return g_err; }
+
+static void set_err(const char* msg) {
+    std::snprintf(g_err, sizeof(g_err), "%s", msg);
+}
+
+void isx_free(void* p) { std::free(p); }
+
+// ---------------------------------------------------------------- JPEG
+
+struct JpegErr {
+    jpeg_error_mgr mgr;
+    jmp_buf jump;
+};
+
+static void jpeg_err_exit(j_common_ptr cinfo) {
+    JpegErr* e = reinterpret_cast<JpegErr*>(cinfo->err);
+    char buf[JMSG_LENGTH_MAX];
+    (*cinfo->err->format_message)(cinfo, buf);
+    set_err(buf);
+    longjmp(e->jump, 1);
+}
+
+// Decode JPEG bytes to RGB8. scale_denom in {1,2,4,8}.
+// Returns 0 on success; *out is malloc'd (w*h*3).
+int isx_decode_jpeg(const uint8_t* data, size_t len, int scale_denom,
+                    uint8_t** out, int* out_w, int* out_h) {
+    *out = nullptr;
+    jpeg_decompress_struct cinfo;
+    JpegErr jerr;
+    cinfo.err = jpeg_std_error(&jerr.mgr);
+    jerr.mgr.error_exit = jpeg_err_exit;
+    uint8_t* buf = nullptr;
+    if (setjmp(jerr.jump)) {
+        std::free(buf);
+        jpeg_destroy_decompress(&cinfo);
+        return 1;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data),
+                 static_cast<unsigned long>(len));
+    jpeg_read_header(&cinfo, TRUE);
+    cinfo.out_color_space = JCS_RGB;
+    if (scale_denom == 2 || scale_denom == 4 || scale_denom == 8) {
+        cinfo.scale_num = 1;
+        cinfo.scale_denom = static_cast<unsigned>(scale_denom);
+    }
+    jpeg_start_decompress(&cinfo);
+    const int w = static_cast<int>(cinfo.output_width);
+    const int h = static_cast<int>(cinfo.output_height);
+    const size_t stride = static_cast<size_t>(w) * 3;
+    buf = static_cast<uint8_t*>(std::malloc(stride * h));
+    if (!buf) { set_err("oom"); longjmp(jerr.jump, 1); }
+    while (cinfo.output_scanline < cinfo.output_height) {
+        uint8_t* rows[8];
+        int n = 0;
+        for (; n < 8 && cinfo.output_scanline + n < cinfo.output_height; ++n)
+            rows[n] = buf + (cinfo.output_scanline + n) * stride;
+        jpeg_read_scanlines(&cinfo, rows, n);
+    }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    *out = buf;
+    *out_w = w;
+    *out_h = h;
+    return 0;
+}
+
+// Encode RGB8 to JPEG bytes (quality 1..100).
+int isx_encode_jpeg(const uint8_t* rgb, int w, int h, int quality,
+                    uint8_t** out, size_t* out_len) {
+    *out = nullptr;
+    jpeg_compress_struct cinfo;
+    JpegErr jerr;
+    cinfo.err = jpeg_std_error(&jerr.mgr);
+    jerr.mgr.error_exit = jpeg_err_exit;
+    unsigned char* mem = nullptr;
+    unsigned long mem_len = 0;
+    if (setjmp(jerr.jump)) {
+        std::free(mem);
+        jpeg_destroy_compress(&cinfo);
+        return 1;
+    }
+    jpeg_create_compress(&cinfo);
+    jpeg_mem_dest(&cinfo, &mem, &mem_len);
+    cinfo.image_width = static_cast<JDIMENSION>(w);
+    cinfo.image_height = static_cast<JDIMENSION>(h);
+    cinfo.input_components = 3;
+    cinfo.in_color_space = JCS_RGB;
+    jpeg_set_defaults(&cinfo);
+    jpeg_set_quality(&cinfo, quality, TRUE);
+    jpeg_start_compress(&cinfo, TRUE);
+    const size_t stride = static_cast<size_t>(w) * 3;
+    while (cinfo.next_scanline < cinfo.image_height) {
+        JSAMPROW row = const_cast<uint8_t*>(rgb)
+                       + cinfo.next_scanline * stride;
+        jpeg_write_scanlines(&cinfo, &row, 1);
+    }
+    jpeg_finish_compress(&cinfo);
+    jpeg_destroy_compress(&cinfo);
+    *out = mem;          // libjpeg mem dest uses malloc; freed by isx_free
+    *out_len = mem_len;
+    return 0;
+}
+
+// ---------------------------------------------------------------- PNG
+
+struct PngReadCtx {
+    const uint8_t* data;
+    size_t len;
+    size_t pos;
+};
+
+static void png_read_fn(png_structp png, png_bytep out, png_size_t n) {
+    PngReadCtx* ctx = static_cast<PngReadCtx*>(png_get_io_ptr(png));
+    if (ctx->pos + n > ctx->len) {
+        png_error(png, "png: truncated input");
+        return;
+    }
+    std::memcpy(out, ctx->data + ctx->pos, n);
+    ctx->pos += n;
+}
+
+// Decode PNG bytes to RGB8 (alpha composited on white, round-half-up).
+int isx_decode_png(const uint8_t* data, size_t len,
+                   uint8_t** out, int* out_w, int* out_h) {
+    *out = nullptr;
+    if (len < 8 || png_sig_cmp(data, 0, 8)) {
+        set_err("png: bad signature");
+        return 1;
+    }
+    png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING,
+                                             nullptr, nullptr, nullptr);
+    if (!png) { set_err("png: alloc"); return 1; }
+    png_infop info = png_create_info_struct(png);
+    uint8_t* rgba = nullptr;
+    uint8_t* buf = nullptr;
+    png_bytep* rows = nullptr;
+    if (setjmp(png_jmpbuf(png))) {
+        std::free(rgba);
+        std::free(buf);
+        std::free(rows);
+        png_destroy_read_struct(&png, &info, nullptr);
+        if (!g_err[0]) set_err("png: decode error");
+        return 1;
+    }
+    PngReadCtx ctx{data, len, 0};
+    png_set_read_fn(png, &ctx, png_read_fn);
+    png_read_info(png, info);
+    png_set_expand(png);                    // palette/gray/tRNS -> 8-bit
+    png_set_strip_16(png);
+    png_set_gray_to_rgb(png);
+    png_set_add_alpha(png, 0xFF, PNG_FILLER_AFTER);   // uniform RGBA
+    png_read_update_info(png, info);
+    const int w = static_cast<int>(png_get_image_width(png, info));
+    const int h = static_cast<int>(png_get_image_height(png, info));
+    const size_t stride4 = static_cast<size_t>(w) * 4;
+    rgba = static_cast<uint8_t*>(std::malloc(stride4 * h));
+    rows = static_cast<png_bytep*>(std::malloc(sizeof(png_bytep) * h));
+    if (!rgba || !rows) { set_err("oom"); longjmp(png_jmpbuf(png), 1); }
+    for (int y = 0; y < h; ++y) rows[y] = rgba + y * stride4;
+    png_read_image(png, rows);
+    png_read_end(png, nullptr);
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::free(rows);
+    rows = nullptr;
+
+    // composite on white: out = a*px + (1-a)*255, round-half-up
+    const size_t stride3 = static_cast<size_t>(w) * 3;
+    buf = static_cast<uint8_t*>(std::malloc(stride3 * h));
+    if (!buf) { std::free(rgba); set_err("oom"); return 1; }
+    const size_t n = static_cast<size_t>(w) * h;
+    for (size_t i = 0; i < n; ++i) {
+        const uint8_t* px = rgba + i * 4;
+        uint8_t* dst = buf + i * 3;
+        const unsigned a = px[3];
+        if (a == 255) {
+            dst[0] = px[0]; dst[1] = px[1]; dst[2] = px[2];
+        } else {
+            const unsigned ia = 255 - a;
+            for (int c = 0; c < 3; ++c) {
+                // (px*a + 255*ia) / 255 with round-half-up
+                const unsigned v = px[c] * a + 255u * ia;
+                dst[c] = static_cast<uint8_t>((2 * v + 255) / (2 * 255));
+            }
+        }
+    }
+    std::free(rgba);
+    *out = buf;
+    *out_w = w;
+    *out_h = h;
+    return 0;
+}
+
+struct PngWriteCtx {
+    uint8_t* data;
+    size_t len;
+    size_t cap;
+};
+
+static void png_write_fn(png_structp png, png_bytep src, png_size_t n) {
+    PngWriteCtx* ctx = static_cast<PngWriteCtx*>(png_get_io_ptr(png));
+    if (ctx->len + n > ctx->cap) {
+        size_t cap = ctx->cap ? ctx->cap * 2 : 1 << 16;
+        while (cap < ctx->len + n) cap *= 2;
+        uint8_t* p = static_cast<uint8_t*>(std::realloc(ctx->data, cap));
+        if (!p) { png_error(png, "oom"); return; }
+        ctx->data = p;
+        ctx->cap = cap;
+    }
+    std::memcpy(ctx->data + ctx->len, src, n);
+    ctx->len += n;
+}
+
+static void png_flush_fn(png_structp) {}
+
+// Encode RGB8 to PNG bytes. compression: zlib level 0..9 (reference exports
+// PNG at quality 1.0, i.e. max fidelity — PNG is lossless, the level only
+// trades CPU for size).
+int isx_encode_png(const uint8_t* rgb, int w, int h, int compression,
+                   uint8_t** out, size_t* out_len) {
+    *out = nullptr;
+    png_structp png = png_create_write_struct(PNG_LIBPNG_VER_STRING,
+                                              nullptr, nullptr, nullptr);
+    if (!png) { set_err("png: alloc"); return 1; }
+    png_infop info = png_create_info_struct(png);
+    PngWriteCtx ctx{nullptr, 0, 0};
+    if (setjmp(png_jmpbuf(png))) {
+        std::free(ctx.data);
+        png_destroy_write_struct(&png, &info);
+        if (!g_err[0]) set_err("png: encode error");
+        return 1;
+    }
+    png_set_write_fn(png, &ctx, png_write_fn, png_flush_fn);
+    png_set_compression_level(png, compression);
+    png_set_IHDR(png, info, w, h, 8, PNG_COLOR_TYPE_RGB,
+                 PNG_INTERLACE_NONE, PNG_COMPRESSION_TYPE_DEFAULT,
+                 PNG_FILTER_TYPE_DEFAULT);
+    png_write_info(png, info);
+    const size_t stride = static_cast<size_t>(w) * 3;
+    for (int y = 0; y < h; ++y)
+        png_write_row(png, const_cast<uint8_t*>(rgb) + y * stride);
+    png_write_end(png, nullptr);
+    png_destroy_write_struct(&png, &info);
+    *out = ctx.data;
+    *out_len = ctx.len;
+    return 0;
+}
+
+}  // extern "C"

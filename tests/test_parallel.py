@@ -1,0 +1,126 @@
+"""Batched serving + mesh-sharded execution on the 8-device CPU mesh
+(SURVEY.md §4(5): multi-device without a cluster)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from imagestitching_tpu.config import StitchOptions
+from imagestitching_tpu.core import oracle
+from imagestitching_tpu.core.layout import ImageSpec, solve
+from imagestitching_tpu.parallel import batch as pbatch
+from imagestitching_tpu.parallel import mesh as pmesh
+from imagestitching_tpu.parallel.sharding import ShardedStitch
+
+rng = np.random.default_rng(11)
+
+
+def rand_stack(b, w, h, c=3):
+    return rng.integers(0, 256, (b, h, w, c), np.uint8)
+
+
+def plan_for(specs, **kw):
+    kw.setdefault("supersample", False)
+    return solve(specs, StitchOptions(**kw))
+
+
+def oracle_batch(plan, stacks):
+    outs = []
+    for b in range(stacks[0].shape[0]):
+        outs.append(oracle.stitch(plan, [s[b] for s in stacks]))
+    return np.stack(outs)
+
+
+# ------------------------------------------------------------------- mesh
+
+def test_make_mesh_default():
+    m = pmesh.make_mesh()
+    assert m.shape["jobs"] == 8 and m.shape["space"] == 1
+
+
+def test_make_mesh_2d():
+    m = pmesh.make_mesh((2, 4))
+    assert m.shape["jobs"] == 2 and m.shape["space"] == 4
+    with pytest.raises(ValueError):
+        pmesh.make_mesh((3, 2))
+
+
+# ------------------------------------------------------------------- batch
+
+@pytest.mark.parametrize("engine", ["xla", "pallas"])
+def test_batched_matches_oracle(engine):
+    specs = [ImageSpec(48, 32), ImageSpec(32, 40)]
+    plan = plan_for(specs, gap=3)
+    stacks = [rand_stack(4, 48, 32), rand_stack(4, 32, 40)]
+    kw = dict(interpret=True) if engine == "pallas" else {}
+    got = pbatch.stitch_batch(plan, stacks, engine=engine, **kw)
+    want = oracle_batch(plan, stacks)
+    assert got.shape == want.shape == (4, plan.canvas_h, plan.canvas_w, 3)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_batched_with_orientation():
+    specs = [ImageSpec(48, 32, orientation=6), ImageSpec(32, 48)]
+    plan = plan_for(specs, mode="min")
+    stacks = [rand_stack(3, 48, 32), rand_stack(3, 32, 48)]
+    got = pbatch.stitch_batch(plan, stacks, engine="pallas", interpret=True)
+    want = oracle_batch(plan, stacks)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_batched_sharded_over_jobs_mesh():
+    mesh = pmesh.make_mesh()           # 8 devices on jobs axis
+    specs = [ImageSpec(40, 24), ImageSpec(24, 24)]
+    plan = plan_for(specs)
+    stacks = [rand_stack(16, 40, 24), rand_stack(16, 24, 24)]
+    got = pbatch.stitch_batch(plan, stacks, engine="xla", mesh=mesh)
+    want = oracle_batch(plan, stacks)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_batched_validates_shapes():
+    plan = plan_for([ImageSpec(16, 16)])
+    b = pbatch.BatchedStitch(plan, batch_size=2, engine="xla")
+    with pytest.raises(ValueError):
+        b([rand_stack(3, 16, 16)])     # wrong batch
+    with pytest.raises(ValueError):
+        b([rand_stack(2, 8, 16)])      # wrong dims
+
+
+# ------------------------------------------------------------------- shard
+
+def test_sharded_rows_match_oracle():
+    mesh = pmesh.make_mesh((1, 8))     # all devices on space axis
+    specs = [ImageSpec(64, 100), ImageSpec(80, 133)]
+    plan = plan_for(specs, mode="min", gap=5)
+    imgs = [rng.integers(0, 256, (100, 64, 3), np.uint8),
+            rng.integers(0, 256, (133, 80, 3), np.uint8)]
+    sh = ShardedStitch(plan, mesh)
+    got = sh(imgs)
+    want = oracle.stitch(plan, imgs)
+    assert got.shape == want.shape
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_sharded_band_seams_with_orientations():
+    mesh = pmesh.make_mesh((1, 8))
+    specs = [ImageSpec(40, 64, orientation=8), ImageSpec(64, 48)]
+    plan = plan_for(specs, mode="max", gap=2)
+    imgs = [rng.integers(0, 256, (64, 40, 3), np.uint8),
+            rng.integers(0, 256, (48, 64, 3), np.uint8)]
+    got = ShardedStitch(plan, mesh)(imgs)
+    want = oracle.stitch(plan, imgs)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_sharded_uneven_rows():
+    # canvas_h not divisible by 8 -> padded bands, output sliced back
+    mesh = pmesh.make_mesh((1, 8))
+    specs = [ImageSpec(32, 61)]
+    plan = plan_for(specs)
+    assert plan.canvas_h % 8 != 0
+    imgs = [rng.integers(0, 256, (61, 32, 3), np.uint8)]
+    got = ShardedStitch(plan, mesh)(imgs)
+    want = oracle.stitch(plan, imgs)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1

@@ -1,0 +1,79 @@
+"""Batch server tests: bucketing, dynamic flush, failure isolation."""
+
+import numpy as np
+import pytest
+
+from imagestitching_tpu.config import StitchOptions
+from imagestitching_tpu.core import oracle
+from imagestitching_tpu.core.layout import ImageSpec, solve
+from imagestitching_tpu.serve.server import StitchServer
+
+rng = np.random.default_rng(21)
+
+
+def rand_img(w, h):
+    return rng.integers(0, 256, (h, w, 3), np.uint8)
+
+
+def test_server_single_job():
+    with StitchServer(max_batch=8, max_wait_s=0.002, engine="xla") as s:
+        imgs = [rand_img(32, 24), rand_img(24, 24)]
+        out = s.submit(imgs, StitchOptions(gap=2)).result(timeout=60)
+        plan = solve([ImageSpec(32, 24), ImageSpec(24, 24)],
+                     StitchOptions(gap=2))
+        want = oracle.stitch(plan, imgs)
+        assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_server_batches_same_signature():
+    with StitchServer(max_batch=4, max_wait_s=0.01, engine="xla") as s:
+        jobs = []
+        for _ in range(8):
+            imgs = [rand_img(40, 20), rand_img(20, 30)]
+            jobs.append((imgs, s.submit(imgs)))
+        for imgs, fut in jobs:
+            out = fut.result(timeout=60)
+            plan = solve([ImageSpec(40, 20), ImageSpec(20, 30)],
+                         StitchOptions())
+            want = oracle.stitch(plan, imgs)
+            assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
+        st = s.stats()
+        assert st["jobs"] == 8
+        assert st["batches"] <= 4  # bucketed, not per-job
+
+
+def test_server_mixed_signatures():
+    with StitchServer(max_batch=8, max_wait_s=0.005, engine="xla") as s:
+        a = [rand_img(16, 16)]
+        b = [rand_img(24, 16), rand_img(24, 8)]
+        fa = s.submit(a)
+        fb = s.submit(b, StitchOptions(direction="horizontal"))
+        ra = fa.result(timeout=60)
+        rb = fb.result(timeout=60)
+        assert ra.shape == (16, 16, 3)
+        plan_b = solve([ImageSpec(24, 16), ImageSpec(24, 8)],
+                       StitchOptions(direction="horizontal"))
+        assert rb.shape == (plan_b.canvas_h, plan_b.canvas_w, 3)
+
+
+def test_server_failure_isolation():
+    with StitchServer(max_batch=4, max_wait_s=0.005, engine="xla") as s:
+        good = [rand_img(16, 16)]
+        futs = [s.submit(good) for _ in range(3)]
+        # poison: submit images that mismatch their own plan by mutating
+        # after solve is not possible via submit; instead trigger a solver
+        # error directly
+        with pytest.raises(ValueError):
+            s.submit([], StitchOptions())
+        for f in futs:
+            assert f.result(timeout=60).shape == (16, 16, 3)
+
+
+def test_server_close_flushes():
+    s = StitchServer(max_batch=64, max_wait_s=30.0, engine="xla")
+    imgs = [rand_img(16, 16)]
+    fut = s.submit(imgs)
+    s.close()
+    assert fut.result(timeout=5).shape == (16, 16, 3)
+    with pytest.raises(RuntimeError):
+        s.submit(imgs)

@@ -1,0 +1,154 @@
+"""HBM budget governor + pipeline strategy tests (SURVEY.md §4(4)).
+
+Budget accounting must pick resident/streamed/banded correctly, and every
+strategy must produce oracle-parity output.
+"""
+
+import numpy as np
+import pytest
+
+from imagestitching_tpu.config import MemoryBudget, RuntimeConfig, StitchOptions
+from imagestitching_tpu.core import oracle
+from imagestitching_tpu.core.layout import ImageSpec, solve
+from imagestitching_tpu.runtime import pipeline, tiler
+
+rng = np.random.default_rng(5)
+
+
+def rand_img(w, h, c=3):
+    return rng.integers(0, 256, (h, w, c), np.uint8)
+
+
+def plan_for(specs, **kw):
+    kw.setdefault("supersample", False)
+    return solve(specs, StitchOptions(**kw))
+
+
+def budget(mb):
+    return MemoryBudget(hbm_bytes=int(mb * 1e6))
+
+
+# ----------------------------------------------------------------- tiler
+
+def test_resident_when_plenty():
+    plan = plan_for([ImageSpec(100, 100), ImageSpec(100, 100)])
+    ex = tiler.plan_execution(plan, budget(1000))
+    assert ex.strategy == "resident"
+    assert ex.est_peak_bytes <= ex.budget_bytes
+
+
+def test_streamed_when_sources_dont_fit():
+    specs = [ImageSpec(1000, 1000)] * 5
+    plan = plan_for(specs)
+    canvas = 3 * plan.canvas_w * plan.canvas_h
+    # canvas is 15 MB; sources are 5x(3+3.x) MB; give enough for canvas +
+    # one source but not all five
+    ex = tiler.plan_execution(plan, MemoryBudget(hbm_bytes=2 * canvas + 9_000_000))
+    assert ex.strategy == "streamed"
+
+
+def test_banded_when_canvas_dominates():
+    specs = [ImageSpec(2000, 2000)] * 2
+    plan = plan_for(specs)
+    canvas = 3 * plan.canvas_w * plan.canvas_h      # 24 MB
+    ex = tiler.plan_execution(plan, MemoryBudget(hbm_bytes=canvas // 2))
+    assert ex.strategy == "banded"
+    assert ex.band_rows is not None and ex.band_rows < plan.canvas_h
+    assert ex.est_peak_bytes <= ex.budget_bytes
+
+
+def test_impossible_budget_raises():
+    plan = plan_for([ImageSpec(4000, 4000)])
+    with pytest.raises(MemoryError):
+        tiler.plan_execution(plan, MemoryBudget(hbm_bytes=100_000))
+
+
+def test_band_source_rows_cover_taps():
+    plan = plan_for([ImageSpec(100, 333), ImageSpec(50, 100)], mode="min")
+    p = plan.placements[0]
+    win = tiler.band_source_rows(p, 10, 74)
+    assert win is not None
+    br0, br1, s_lo, s_hi = win
+    from imagestitching_tpu.core import geometry
+    i0, i1, _ = geometry.bilinear_taps(br0, br1, p.y0, p.h, 333)
+    assert s_lo <= i0.min() and s_hi > i1.max()
+
+
+# ----------------------------------------------------------------- pipeline
+
+def parity(got, want, atol=1):
+    assert got.shape == want.shape
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= atol
+
+
+def test_pipeline_resident_matches_oracle():
+    specs = [ImageSpec(64, 48), ImageSpec(48, 64, orientation=6)]
+    imgs = [rand_img(64, 48), rand_img(48, 64)]
+    plan = plan_for(specs, gap=4)
+    out, metrics = pipeline.run(plan, imgs, RuntimeConfig(engine="xla"))
+    assert metrics.strategy == "resident"
+    parity(out, oracle.stitch(plan, imgs))
+    assert metrics.total_s > 0 and metrics.mp_per_sec > 0
+
+
+def test_pipeline_streamed_matches_oracle():
+    specs = [ImageSpec(200, 150), ImageSpec(150, 200, orientation=8),
+             ImageSpec(180, 120)]
+    imgs = [rand_img(200, 150), rand_img(150, 200), rand_img(180, 120)]
+    plan = plan_for(specs, mode="min", gap=3)
+    canvas = 3 * plan.canvas_w * plan.canvas_h
+    cfg = RuntimeConfig(
+        engine="xla",
+        budget=MemoryBudget(hbm_bytes=canvas + 600_000))
+    out, metrics = pipeline.run(plan, imgs, cfg)
+    assert metrics.strategy == "streamed"
+    parity(out, oracle.stitch(plan, imgs))
+
+
+def test_pipeline_streamed_pallas_interpret():
+    specs = [ImageSpec(200, 150), ImageSpec(150, 100)]
+    imgs = [rand_img(200, 150), rand_img(150, 100)]
+    plan = plan_for(specs, mode="min")
+    canvas = 3 * plan.canvas_w * plan.canvas_h
+    cfg = RuntimeConfig(engine="pallas", interpret=True,
+                        budget=MemoryBudget(hbm_bytes=canvas + 700_000))
+    out, metrics = pipeline.run(plan, imgs, cfg)
+    assert metrics.strategy == "streamed"
+    parity(out, oracle.stitch(plan, imgs))
+
+
+def test_pipeline_banded_matches_oracle():
+    specs = [ImageSpec(300, 400), ImageSpec(240, 360, orientation=3)]
+    imgs = [rand_img(300, 400), rand_img(240, 360)]
+    plan = plan_for(specs, mode="min", gap=7)
+    canvas = 3 * plan.canvas_w * plan.canvas_h
+    cfg = RuntimeConfig(engine="xla",
+                        budget=MemoryBudget(hbm_bytes=canvas // 2))
+    out, metrics = pipeline.run(plan, imgs, cfg)
+    assert metrics.strategy == "banded"
+    parity(out, oracle.stitch(plan, imgs))
+
+
+def test_pipeline_banded_with_upscale_and_orientations():
+    specs = [ImageSpec(300, 400, orientation=o) for o in (1, 5, 6, 7)]
+    imgs = [rand_img(300, 400) for _ in specs]
+    plan = plan_for(specs, mode="max", gap=2)
+    canvas = 3 * plan.canvas_w * plan.canvas_h
+    cfg = RuntimeConfig(engine="xla",
+                        budget=MemoryBudget(hbm_bytes=canvas // 2))
+    out, metrics = pipeline.run(plan, imgs, cfg)
+    assert metrics.strategy == "banded"
+    parity(out, oracle.stitch(plan, imgs))
+
+
+def test_pipeline_progress_phases():
+    specs = [ImageSpec(64, 64)] * 3
+    imgs = [rand_img(64, 64) for _ in range(3)]
+    plan = plan_for(specs)
+    seen = []
+    canvas = 3 * plan.canvas_w * plan.canvas_h
+    cfg = RuntimeConfig(engine="xla",
+                        budget=MemoryBudget(hbm_bytes=canvas + 200_000))
+    pipeline.run(plan, imgs, cfg, progress=lambda ph, f: seen.append((ph, f)))
+    comp = [f for ph, f in seen if ph == "composite"]
+    assert comp and comp == sorted(comp) and comp[-1] == 1.0
