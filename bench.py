@@ -29,6 +29,36 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _slope_time(fn_impl, dev_imgs, k_lo: int = 2, k_hi: int = 12,
+                rounds: int = 5):
+    """Median per-call device time via scan-chained slope timing."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def run_chain(k, imgs):
+        def step(carry, _):
+            bumped = [imgs[0].at[0, 0, 0].add(carry)] + list(imgs[1:])
+            out = fn_impl(bumped)
+            return out[0, 0, 0], None
+        c, _ = jax.lax.scan(step, jnp.uint8(0), None, length=k)
+        return c
+
+    int(run_chain(k_lo, dev_imgs))       # compile + warm
+    int(run_chain(k_hi, dev_imgs))
+    samples = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        int(run_chain(k_lo, dev_imgs))
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        int(run_chain(k_hi, dev_imgs))
+        t_hi = time.perf_counter() - t0
+        samples.append((t_hi - t_lo) / (k_hi - k_lo) * 1000.0)
+    return statistics.median(samples), [round(s, 2) for s in samples]
+
+
 def main() -> None:
     import jax
     from imagestitching_tpu.config import StitchOptions
@@ -52,19 +82,23 @@ def main() -> None:
 
     if backend == "tpu":
         from imagestitching_tpu.ops import pallas_resize
-        fn = jax.jit(functools.partial(
-            pallas_resize._stitch_jit, plan, 3, False))
+        fn_impl = functools.partial(
+            pallas_resize._stitch_jit, plan, 3, False, staged=True)
+        staged = [pallas_resize.stage_host(x, p)
+                  for x, p in zip(imgs, plan.placements)]
     else:
         from imagestitching_tpu.ops import xla_compose
         params = [xla_compose.placement_params(p, plan.filter)
                   for p in plan.placements]
-        fn = jax.jit(functools.partial(
-            xla_compose._stitch_impl, plan, 3, params=params))
+        fn_impl = functools.partial(
+            xla_compose._stitch_impl, plan, 3, params=params)
+        staged = imgs
+    fn = jax.jit(fn_impl)
 
     t0 = time.perf_counter()
-    dev_imgs = [jax.device_put(x) for x in imgs]
+    dev_imgs = [jax.device_put(x) for x in staged]
     jax.block_until_ready(dev_imgs)
-    log(f"H2D {sum(x.nbytes for x in imgs) / 1e6:.0f} MB: "
+    log(f"H2D {sum(x.nbytes for x in staged) / 1e6:.0f} MB: "
         f"{time.perf_counter() - t0:.2f}s")
 
     t0 = time.perf_counter()
@@ -73,37 +107,43 @@ def main() -> None:
     log(f"first call (compile+run): {time.perf_counter() - t0:.1f}s")
 
     # In this sandbox block_until_ready returns at enqueue, not completion
-    # (remote-relay PJRT), so naive per-call timing lies.  Chain K stitch
-    # calls with a device-side data dependency (iteration k's input depends
-    # on iteration k-1's output) and fetch ONE scalar at the end — the device
-    # must execute all K jobs serially.  Per-job time = slope between two
-    # chain lengths (dispatch/fetch overheads cancel).
+    # (remote-relay PJRT), so naive per-call timing lies.  Run K stitches in
+    # one lax.scan with a device-side data dependency (iteration k's input
+    # depends on k-1's output scalar) and fetch ONE scalar — the device must
+    # execute all K jobs serially inside a single dispatch.  Per-job time =
+    # slope between two chain lengths.  Images must be jit ARGUMENTS (a
+    # closure would serialize 324 MB of constants into the remote compile).
     import jax.numpy as jnp
 
-    bump = jax.jit(lambda img, c: img.at[0, 0, 0].add(c))
-    pick = jax.jit(lambda o: o[0, 0, 0])
-
-    def chain(k: int) -> float:
-        carry = jnp.uint8(0)
-        t0 = time.perf_counter()
-        for _ in range(k):
-            bumped = [bump(dev_imgs[0], carry)] + list(dev_imgs[1:])
-            carry = pick(fn(bumped))
-        int(carry)                       # one real device->host sync
-        return time.perf_counter() - t0
-
-    chain(1)                             # compile bump/pick, warm
-    k_lo, k_hi = 2, 12
-    samples = []
-    for _ in range(3):
-        t_lo = chain(k_lo)
-        t_hi = chain(k_hi)
-        samples.append((t_hi - t_lo) / (k_hi - k_lo) * 1000.0)
-    p50 = statistics.median(samples)
+    p50, samples = _slope_time(fn_impl, dev_imgs)
     log(f"per-job device time (slope): {p50:.2f} ms  "
         f"samples={['%.2f' % s for s in samples]}")
     log(f"({out_mp / (p50 / 1000):.0f} MP/s output, "
         f"{n_images * w * h / 1e6 / (p50 / 1000):.0f} MP/s input)")
+
+    # secondary (stderr-only): resize-heavy variant — mixed sizes force the
+    # banded-matmul kernel on every image (config-3-like), no copy fast path
+    if backend == "tpu":
+        from imagestitching_tpu.ops import pallas_resize
+        sizes = [(4000, 3000), (3600, 2700), (3200, 2400), (2800, 2100),
+                 (4000, 2250), (3000, 3000), (3840, 2160), (2400, 3200),
+                 (3500, 2625)]
+        imgs2 = [rng.integers(0, 256, (hh, ww, 3), np.uint8)
+                 for ww, hh in sizes]
+        specs2 = [ImageSpec(ww, hh) for ww, hh in sizes]
+        plan2 = solve(specs2, StitchOptions(direction="vertical", mode="min",
+                                            supersample=False,
+                                            max_images=None))
+        fn2_impl = functools.partial(
+            pallas_resize._stitch_jit, plan2, 3, False, staged=True)
+        staged2 = [pallas_resize.stage_host(x, p)
+                   for x, p in zip(imgs2, plan2.placements)]
+        dev2 = [jax.device_put(x) for x in staged2]
+        jax.block_until_ready(dev2)
+        p50_2, s2 = _slope_time(fn2_impl, dev2, rounds=3)
+        mp2 = plan2.canvas_w * plan2.canvas_h / 1e6
+        log(f"resize-heavy 9-image job ({mp2:.0f} MP out): {p50_2:.2f} ms "
+            f"({mp2 / (p50_2 / 1000):.0f} MP/s)  samples={s2}")
 
     # parity spot check against the float64 oracle — fetch only three
     # 256-row bands (the sandbox's D2H relay is ~11 MB/s; the full canvas

@@ -32,7 +32,8 @@ def _noop_progress(phase: str, fraction: float) -> None:
     del phase, fraction
 
 
-def _load_one(item: ImageInput) -> Tuple[np.ndarray, int]:
+def _load_one(item: ImageInput,
+              config: Optional[RuntimeConfig] = None) -> Tuple[np.ndarray, int]:
     """Normalize one input to (raw uint8 HWC array, orientation)."""
     if isinstance(item, tuple):
         arr, orientation = item
@@ -40,8 +41,20 @@ def _load_one(item: ImageInput) -> Tuple[np.ndarray, int]:
     if isinstance(item, np.ndarray):
         return _as_uint8(item), 1
     if isinstance(item, (str, os.PathLike)):
+        from .runtime.cache import get_cache
+        budget = config.budget if config else None
+        cache = get_cache(budget.host_cache_pixels if budget else 64_000_000,
+                          budget.host_cache_entries if budget else 6)
+        key = cache.file_key(os.fspath(item))
+        if key is not None:
+            hit = cache.get(key)
+            if hit is not None:
+                return hit
         path = codec.transcode_if_needed(item)
-        return codec.decode(path)
+        arr, orientation = codec.decode(path)
+        if key is not None:
+            cache.put(key, arr, orientation)
+        return arr, orientation
     if isinstance(item, bytes):
         return codec.decode(item)
     raise TypeError(f"unsupported image input {type(item)!r}")
@@ -84,7 +97,8 @@ def prepare(items: Sequence[ImageInput], config: RuntimeConfig,
     workers = max(1, config.decode_threads)
     done = 0
     with _futures.ThreadPoolExecutor(max_workers=workers) as pool:
-        futs = {pool.submit(_load_one, it): i for i, it in enumerate(items)}
+        futs = {pool.submit(_load_one, it, config): i
+                for i, it in enumerate(items)}
         for fut in _futures.as_completed(futs):
             i = futs[fut]
             try:

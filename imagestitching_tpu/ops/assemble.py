@@ -1,0 +1,99 @@
+"""Canvas assembly as one concatenation tree (single write pass).
+
+A chain of ``dynamic_update_slice`` calls re-materializes the full canvas at
+every step (9 images x 648 MB = ~5.8 GB of HBM traffic for BASELINE config 4).
+But stitch placements never overlap and are ordered along the scan axis
+(core/layout: the cursor advances by the full rounded extent plus the gap,
+index.js:1526-1554), so the canvas is exactly a grid of bands:
+
+    vertical:   rows  = [bg | band(image) | bg | ...],
+                band  = [bg_left | region | bg_right]   (cols)
+    horizontal: the transpose of the above.
+
+``jnp.concatenate`` of that tree writes each byte of the canvas exactly once
+and reads each region exactly once — the ``fillRect`` + per-image blits of the
+reference collapsed into a single fused pass.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax.numpy as jnp
+
+from ..core.layout import LayoutPlan
+
+
+def _disjoint(spans) -> bool:
+    spans = sorted(s for s in spans if s[1] > s[0])
+    return all(a[1] <= b[0] for a, b in zip(spans, spans[1:]))
+
+
+def assemble_canvas(plan: LayoutPlan, channels: int,
+                    regions: Dict[int, jnp.ndarray],
+                    batch_shape: tuple = ()) -> jnp.ndarray:
+    """Build the uint8 canvas from per-placement regions.
+
+    ``regions[i]`` is the already-resampled uint8 region of placement ``i``
+    with shape ``batch_shape + (n_rows, n_cols, channels)`` matching its
+    clipped row/col spans.  Placements without a region are background.
+    Returns ``batch_shape + (canvas_h, canvas_w, channels)``.
+    """
+    bg = jnp.asarray(plan.background[:channels], jnp.uint8)
+    H, W = plan.canvas_h, plan.canvas_w
+    row_ax = len(batch_shape)
+    col_ax = row_ax + 1
+
+    def bg_block(rows: int, cols: int) -> jnp.ndarray:
+        return jnp.broadcast_to(bg, batch_shape + (rows, cols, channels))
+
+    live = [(i, p) for i, p in enumerate(plan.placements)
+            if i in regions
+            and p.row_span[1] > p.row_span[0] and p.col_span[1] > p.col_span[0]]
+
+    if _disjoint([p.row_span for _, p in live]):
+        primary, secondary = "row_span", "col_span"
+        cat_ax, inner_ax, limit, inner_limit = row_ax, col_ax, H, W
+    elif _disjoint([p.col_span for _, p in live]):
+        primary, secondary = "col_span", "row_span"
+        cat_ax, inner_ax, limit, inner_limit = col_ax, row_ax, W, H
+    else:  # defensive: cannot happen for solver-produced plans
+        raise ValueError("placements overlap; cannot assemble by bands")
+
+    def bg_primary(extent: int) -> jnp.ndarray:
+        if primary == "row_span":
+            return bg_block(extent, W)
+        return bg_block(H, extent)
+
+    parts = []
+    cursor = 0
+    for i, p in sorted(live, key=lambda ip: getattr(ip[1], primary)[0]):
+        lo, hi = getattr(p, primary)
+        s_lo, s_hi = getattr(p, secondary)
+        if lo > cursor:
+            parts.append(bg_primary(lo - cursor))
+        region = regions[i]
+        inner = []
+        if s_lo > 0:
+            inner.append(_bg_inner(bg_block, primary, hi - lo, s_lo))
+        inner.append(region)
+        if s_hi < inner_limit:
+            inner.append(_bg_inner(bg_block, primary, hi - lo,
+                                   inner_limit - s_hi))
+        band = inner[0] if len(inner) == 1 else jnp.concatenate(inner,
+                                                                axis=inner_ax)
+        parts.append(band)
+        cursor = hi
+    if cursor < limit:
+        parts.append(bg_primary(limit - cursor))
+    if not parts:
+        return bg_block(H, W)
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts,
+                                                            axis=cat_ax)
+
+
+def _bg_inner(bg_block, primary: str, extent_primary: int,
+              extent_secondary: int) -> jnp.ndarray:
+    if primary == "row_span":
+        return bg_block(extent_primary, extent_secondary)
+    return bg_block(extent_secondary, extent_primary)

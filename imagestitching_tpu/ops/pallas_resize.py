@@ -75,6 +75,37 @@ class Infeasible(NotImplementedError):
 # Per-placement static schedule
 # ---------------------------------------------------------------------------
 
+def identity_axis(i0: np.ndarray, w1: np.ndarray) -> bool:
+    """True when resampling this axis is a pure integer-offset copy."""
+    if len(i0) == 0:
+        return False
+    return bool(np.all(w1 == 0.0) and np.all(np.diff(i0) == 1))
+
+
+def placement_is_copy(p: Placement, filter_kind: str) -> Optional[Tuple[int, int]]:
+    """If this placement is a pure copy (identity taps both axes), return the
+    (src_row0, src_col0) offsets; else None.
+
+    The common case: equal-size images concatenated in min/max mode — the
+    reference's own hot path degenerates to a blit there too.  A copy needs
+    no kernel at all; the caller places the oriented source directly.
+    """
+    if filter_kind != "bilinear":
+        return None
+    disp_w, disp_h = geometry.display_size(p.raw_w, p.raw_h, p.orientation)
+    r0, r1 = p.row_span
+    c0, c1 = p.col_span
+    if r1 <= r0 or c1 <= c0:
+        return None
+    ri0, _, rw1 = geometry.bilinear_taps(r0, r1, p.y0, p.h, disp_h)
+    ci0, _, cw1 = geometry.bilinear_taps(c0, c1, p.x0, p.w, disp_w)
+    if not (identity_axis(ri0, rw1) and identity_axis(ci0, cw1)):
+        return None
+    if r1 - r0 > disp_h or c1 - c0 > disp_w:
+        return None
+    return int(ri0[0]), int(ci0[0])
+
+
 class _Schedule:
     """Static tiling schedule + host-computed taps for one placement."""
 
@@ -350,21 +381,69 @@ def _orient_chw(img_hwc: jnp.ndarray, orientation: int,
 
 
 def _stitch_jit(plan: LayoutPlan, channels: int, interpret: bool,
-                images: Sequence[jnp.ndarray]) -> jnp.ndarray:
-    bg = jnp.asarray(plan.background[:channels], jnp.uint8)
-    canvas = jnp.broadcast_to(bg[:, None, None],
-                              (channels, plan.canvas_h, plan.canvas_w))
-    for raw, p in zip(images, plan.placements):
+                images: Sequence[jnp.ndarray],
+                staged: bool = False) -> jnp.ndarray:
+    """Full-job stitch; the canvas lives in HWC (the output format) so that
+    pure-copy placements are single blits with no layout shuffles.
+
+    ``staged=True`` means images arrive in the serving pipeline's staging
+    format (see :func:`stage_host`): oriented HWC for copy placements,
+    oriented tile-padded planar CHW for kernel placements — the device never
+    pays an orientation/transpose/pad pass.
+    """
+    from .assemble import assemble_canvas
+
+    regions = {}
+    for idx, (raw, p) in enumerate(zip(images, plan.placements)):
         r1, c1 = p.row_span[1], p.col_span[1]
         if r1 <= p.row_span[0] or c1 <= p.col_span[0]:
             continue
+        copy_off = placement_is_copy(p, plan.filter)
+        if copy_off is not None:
+            # identity taps both axes: the resample IS a slice of the
+            # oriented HWC source — no kernel
+            from .xla_compose import orient_jnp
+            src = raw if staged else orient_jnp(raw, p.orientation)
+            sr, sc = copy_off
+            nr = r1 - p.row_span[0]
+            nc = c1 - p.col_span[0]
+            regions[idx] = jax.lax.dynamic_slice(
+                src, (sr, sc, 0), (nr, nc, channels))
+            continue
         sched = _Schedule(p, plan.filter)
-        src = _orient_chw(raw, p.orientation, sched.m_h_pad, sched.m_w_pad)
+        if staged:
+            src = raw
+        else:
+            src = _orient_chw(raw, p.orientation, sched.m_h_pad,
+                              sched.m_w_pad)
         region, (r0, c0, nr, nc) = resize_place_one(
             src, p, plan.filter, interpret)
-        canvas = jax.lax.dynamic_update_slice(
-            canvas, region[:, :nr, :nc], (0, r0, c0))
-    return jnp.transpose(canvas, (1, 2, 0))
+        regions[idx] = jnp.transpose(region[:, :nr, :nc], (1, 2, 0))
+    # one concatenation tree: every canvas byte written exactly once
+    return assemble_canvas(plan, channels, regions)
+
+
+def stage_host(img_hwc: np.ndarray, placement: Placement,
+               filter_kind: str = "bilinear") -> np.ndarray:
+    """Host-side staging: raw HWC uint8 -> the layout the device program
+    wants for this placement.
+
+    * copy placements (identity taps)  -> oriented HWC, unpadded;
+    * kernel placements                -> oriented planar CHW, tile-padded.
+
+    The prepare pool runs this right after decode so the hot device program
+    never pays the transpose/pad pass (`_stitch_jit(staged=True)`).
+    """
+    oriented = geometry.orient_array(np.asarray(img_hwc),
+                                     placement.orientation)
+    if placement_is_copy(placement, filter_kind) is not None:
+        return np.ascontiguousarray(oriented)
+    h_pad = _round_up(oriented.shape[0], 8)
+    w_pad = _round_up(oriented.shape[1], 128)
+    chw = np.transpose(oriented, (2, 0, 1))
+    out = np.zeros((chw.shape[0], h_pad, w_pad), np.uint8)
+    out[:, : chw.shape[1], : chw.shape[2]] = chw
+    return out
 
 
 class CompiledPallasStitch:

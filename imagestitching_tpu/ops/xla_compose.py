@@ -126,11 +126,19 @@ def to_uint8(x: jnp.ndarray) -> jnp.ndarray:
 
 def _stitch_impl(plan: LayoutPlan, channels: int, images: Sequence[jnp.ndarray],
                  params: Sequence[dict]) -> jnp.ndarray:
-    bg = jnp.asarray(plan.background[:channels], jnp.float32)
-    canvas = jnp.broadcast_to(bg, (plan.canvas_h, plan.canvas_w, channels))
-    for raw, p, prm in zip(images, plan.placements, params):
-        canvas = draw_one(canvas, raw, p, prm)
-    return to_uint8(canvas)
+    from .assemble import assemble_canvas
+
+    regions = {}
+    for idx, (raw, p, prm) in enumerate(zip(images, plan.placements, params)):
+        r0, r1 = p.row_span
+        c0, c1 = p.col_span
+        if r1 <= r0 or c1 <= c0:
+            continue
+        img = orient_jnp(raw, p.orientation).astype(jnp.float32)
+        img = _resample_axis0(img, prm["rows"])
+        img = _resample_axis1(img, prm["cols"])
+        regions[idx] = to_uint8(img)
+    return assemble_canvas(plan, channels, regions)
 
 
 class CompiledStitch:

@@ -32,48 +32,58 @@ from ..ops import pallas_resize, xla_compose
 def _batched_pallas(plan: LayoutPlan, channels: int, interpret: bool,
                     images: Sequence[jnp.ndarray]) -> jnp.ndarray:
     """images[i]: (B, H_i, W_i, C) uint8 -> (B, canvas_h, canvas_w, C) uint8."""
+    from ..ops.assemble import assemble_canvas
+
     batch = images[0].shape[0]
-    bg = jnp.asarray(plan.background[:channels], jnp.uint8)
-    canvas = jnp.broadcast_to(
-        bg[None, :, None, None],
-        (batch, channels, plan.canvas_h, plan.canvas_w))
-    for raw, p in zip(images, plan.placements):
+    regions = {}
+    for idx, (raw, p) in enumerate(zip(images, plan.placements)):
         if p.row_span[1] <= p.row_span[0] or p.col_span[1] <= p.col_span[0]:
+            continue
+        copy_off = pallas_resize.placement_is_copy(p, plan.filter)
+        if copy_off is not None:
+            oriented = _orient_bhwc(raw, p.orientation)
+            sr, sc = copy_off
+            nr = p.row_span[1] - p.row_span[0]
+            nc = p.col_span[1] - p.col_span[0]
+            regions[idx] = jax.lax.dynamic_slice(
+                oriented, (0, sr, sc, 0), (batch, nr, nc, channels))
             continue
         sched = pallas_resize._Schedule(p, plan.filter)
         src = _orient_pad_bchw(raw, p.orientation,
                                sched.m_h_pad, sched.m_w_pad)
         region, (r0, c0, nr, nc) = pallas_resize.resize_place_batch(
             src, p, plan.filter, interpret)
-        canvas = jax.lax.dynamic_update_slice(
-            canvas, region[:, :, :nr, :nc], (0, 0, r0, c0))
-    return jnp.transpose(canvas, (0, 2, 3, 1))
+        regions[idx] = jnp.transpose(region[:, :, :nr, :nc], (0, 2, 3, 1))
+    return assemble_canvas(plan, channels, regions, batch_shape=(batch,))
+
+
+def _orient_bhwc(raw_bhwc: jnp.ndarray, orientation: int) -> jnp.ndarray:
+    """Orientation swizzle on the HW axes of a BHWC batch."""
+    x = raw_bhwc
+    if orientation in (0, 1):
+        return x
+    if orientation == 2:
+        return x[:, :, ::-1]
+    if orientation == 3:
+        return x[:, ::-1, ::-1]
+    if orientation == 4:
+        return x[:, ::-1, :]
+    t = jnp.transpose(x, (0, 2, 1, 3))
+    if orientation == 5:
+        return t
+    if orientation == 6:
+        return t[:, :, ::-1]
+    if orientation == 7:
+        return t[:, ::-1, ::-1]
+    if orientation == 8:
+        return t[:, ::-1, :]
+    raise ValueError(f"invalid orientation {orientation}")
 
 
 def _orient_pad_bchw(raw_bhwc: jnp.ndarray, orientation: int,
                      h_pad: int, w_pad: int) -> jnp.ndarray:
     """(B, H, W, C) uint8 -> oriented, padded (B, C, H', W') uint8."""
-    x = raw_bhwc
-    if orientation not in (0, 1):
-        # same swizzles as orient_jnp but on axes (1, 2)
-        if orientation == 2:
-            x = x[:, :, ::-1]
-        elif orientation == 3:
-            x = x[:, ::-1, ::-1]
-        elif orientation == 4:
-            x = x[:, ::-1, :]
-        else:
-            t = jnp.transpose(x, (0, 2, 1, 3))
-            if orientation == 5:
-                x = t
-            elif orientation == 6:
-                x = t[:, :, ::-1]
-            elif orientation == 7:
-                x = t[:, ::-1, ::-1]
-            elif orientation == 8:
-                x = t[:, ::-1, :]
-            else:
-                raise ValueError(f"invalid orientation {orientation}")
+    x = _orient_bhwc(raw_bhwc, orientation)
     bchw = jnp.transpose(x, (0, 3, 1, 2))
     return jnp.pad(bchw, ((0, 0), (0, 0),
                           (0, h_pad - bchw.shape[2]),

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 from typing import Callable, List, Optional, Sequence, Tuple
 
@@ -75,13 +76,24 @@ def _noop(phase: str, fraction: float) -> None:
 @functools.lru_cache(maxsize=256)
 def _streamed_update_fn(plan_key, index: int, channels: int,
                         use_pallas: bool, interpret: bool):
-    """jit fn: (canvas CHW uint8 [donated], raw HWC uint8) -> canvas."""
+    """jit fn: (canvas HWC uint8 [donated], raw HWC uint8) -> canvas."""
     plan = plan_key.plan
     p = plan.placements[index]
 
-    if use_pallas:
-        from ..ops import pallas_resize
+    from ..ops import pallas_resize
+    copy_off = pallas_resize.placement_is_copy(p, plan.filter)
+    if copy_off is not None:
+        sr, sc = copy_off
+        nr = p.row_span[1] - p.row_span[0]
+        nc = p.col_span[1] - p.col_span[0]
 
+        def fn(canvas, raw):
+            src = xla_compose.orient_jnp(raw, p.orientation)
+            window = jax.lax.dynamic_slice(src, (sr, sc, 0),
+                                           (nr, nc, channels))
+            return jax.lax.dynamic_update_slice(
+                canvas, window, (p.row_span[0], p.col_span[0], 0))
+    elif use_pallas:
         sched = pallas_resize._Schedule(p, plan.filter)
 
         def fn(canvas, raw):
@@ -90,7 +102,8 @@ def _streamed_update_fn(plan_key, index: int, channels: int,
             region, (r0, c0, nr, nc) = pallas_resize.resize_place_one(
                 src, p, plan.filter, interpret)
             return jax.lax.dynamic_update_slice(
-                canvas, region[:, :nr, :nc], (0, r0, c0))
+                canvas, jnp.transpose(region[:, :nr, :nc], (1, 2, 0)),
+                (r0, c0, 0))
     else:
         params = xla_compose.placement_params(p, plan.filter)
 
@@ -99,9 +112,8 @@ def _streamed_update_fn(plan_key, index: int, channels: int,
             img = xla_compose._resample_axis0(img, params["rows"])
             img = xla_compose._resample_axis1(img, params["cols"])
             region = xla_compose.to_uint8(img)
-            chw = jnp.transpose(region, (2, 0, 1))
             return jax.lax.dynamic_update_slice(
-                canvas, chw, (0, p.row_span[0], p.col_span[0]))
+                canvas, region, (p.row_span[0], p.col_span[0], 0))
 
     return jax.jit(fn, donate_argnums=(0,))
 
@@ -114,8 +126,7 @@ def _run_streamed(plan: LayoutPlan, images: Sequence[np.ndarray],
     key = _PlanKey(plan)
     bg = np.asarray(plan.background[:channels], np.uint8)
     canvas = jnp.broadcast_to(
-        jnp.asarray(bg)[:, None, None],
-        (channels, plan.canvas_h, plan.canvas_w))
+        jnp.asarray(bg), (plan.canvas_h, plan.canvas_w, channels))
     canvas = jnp.array(canvas)  # materialize so it is donatable
 
     # async staging: upload image i+1 while image i computes
@@ -131,8 +142,7 @@ def _run_streamed(plan: LayoutPlan, images: Sequence[np.ndarray],
                                      config.interpret)
             canvas = fn(canvas, src)
         progress("composite", 0.30 + 0.60 * (i + 1) / n)
-    out = jnp.transpose(canvas, (1, 2, 0))
-    return np.asarray(out)
+    return np.asarray(canvas)
 
 
 # ---------------------------------------------------------------------------
@@ -308,6 +318,15 @@ def run(plan: LayoutPlan, images: Sequence[np.ndarray],
               canvas=(plan.canvas_w, plan.canvas_h))
     progress("layout", 1.0)
 
+    profile_ctx = None
+    if config.profile:
+        import contextlib
+        import jax as _jax
+        trace_dir = os.environ.get("IMAGESTITCH_TRACE_DIR",
+                                   "/tmp/imagestitching_trace")
+        profile_ctx = _jax.profiler.trace(trace_dir)
+        profile_ctx.__enter__()
+
     t0 = time.perf_counter()
     if ex.strategy == "oracle":
         out = oracle.stitch(plan, images)
@@ -323,6 +342,8 @@ def run(plan: LayoutPlan, images: Sequence[np.ndarray],
     else:
         out = _run_banded(plan, images, channels, ex.band_rows, progress)
     m.compute_s = time.perf_counter() - t0
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
     m.total_s = time.perf_counter() - t_start
     log.event("pipeline.done", strategy=ex.strategy,
               compute_s=round(m.compute_s, 4),

@@ -1,0 +1,86 @@
+"""Input-format coverage: the reference whitelist jpg/jpeg/png/webp/bmp/gif
+(pages/index/index.js:4) plus grayscale/palette edge cases."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import imagestitching_tpu as ist
+from imagestitching_tpu.config import RuntimeConfig
+from imagestitching_tpu.imgio import codec
+
+rng = np.random.default_rng(44)
+
+
+def arr(w=24, h=16):
+    return rng.integers(0, 256, (h, w, 3), np.uint8)
+
+
+@pytest.mark.parametrize("ext,lossless", [
+    ("png", True), ("bmp", True), ("webp", False), ("gif", False),
+    ("jpg", False),
+])
+def test_decode_formats(tmp_path, ext, lossless):
+    a = arr()
+    p = tmp_path / f"x.{ext}"
+    img = Image.fromarray(a)
+    if ext == "gif":
+        img = img.convert("P", palette=Image.ADAPTIVE)
+    img.save(p)
+    dec, o = codec.decode(p)
+    assert o == 1
+    assert dec.shape[2] == 3 and dec.dtype == np.uint8
+    if lossless:
+        np.testing.assert_array_equal(dec, a)
+    info = codec.get_image_info(p)
+    assert info.supported, f"{info.format} should be whitelisted"
+
+
+def test_grayscale_png_decodes_to_rgb(tmp_path):
+    g = rng.integers(0, 256, (10, 12), np.uint8)
+    p = tmp_path / "g.png"
+    Image.fromarray(g, "L").save(p)
+    dec, _ = codec.decode(p)
+    assert dec.shape == (10, 12, 3)
+    np.testing.assert_array_equal(dec[..., 0], g)
+
+
+def test_animated_gif_uses_first_frame(tmp_path):
+    frames = [Image.fromarray(np.full((8, 8, 3), v, np.uint8))
+              for v in (10, 200)]
+    p = tmp_path / "a.gif"
+    frames[0].save(p, save_all=True, append_images=frames[1:], duration=100)
+    dec, _ = codec.decode(p)
+    assert dec.shape == (8, 8, 3)
+    assert abs(int(dec[0, 0, 0]) - 10) <= 12  # palette quantization slack
+
+
+def test_stitch_mixed_formats(tmp_path):
+    paths = []
+    for ext in ("png", "bmp", "webp"):
+        p = tmp_path / f"m.{ext}"
+        Image.fromarray(arr(20, 20)).save(p)
+        paths.append(p)
+    out = ist.stitch(paths, gap=1, config=RuntimeConfig(engine="xla"))
+    assert out.shape == (20 * 3 + 2, 20, 3)
+
+
+def test_16bit_png(tmp_path):
+    a16 = (rng.integers(0, 65536, (6, 6), np.uint64)).astype(np.uint16)
+    p = tmp_path / "d.png"
+    Image.fromarray(a16, "I;16").save(p)
+    dec, _ = codec.decode(p)
+    assert dec.dtype == np.uint8 and dec.shape == (6, 6, 3)
+
+
+def test_pipeline_profile_flag(tmp_path, monkeypatch):
+    from imagestitching_tpu.core.layout import ImageSpec, solve
+    from imagestitching_tpu.config import StitchOptions
+    from imagestitching_tpu.runtime import pipeline
+    monkeypatch.setenv("IMAGESTITCH_TRACE_DIR", str(tmp_path / "trace"))
+    plan = solve([ImageSpec(16, 16)], StitchOptions(supersample=False))
+    imgs = [arr(16, 16)]
+    out, m = pipeline.run(plan, imgs,
+                          RuntimeConfig(engine="xla", profile=True))
+    assert out.shape == (16, 16, 3)
+    assert (tmp_path / "trace").exists()
