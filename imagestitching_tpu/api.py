@@ -154,6 +154,40 @@ def stitch_arrays(images: Sequence[np.ndarray],
     return out
 
 
+def _probe_item(item: ImageInput) -> Optional[ImageSpec]:
+    """Header-only ImageSpec for an input, or None if probing can't work."""
+    try:
+        if isinstance(item, tuple):
+            arr, orientation = item
+            arr = np.asarray(arr)
+            return ImageSpec(arr.shape[1], arr.shape[0], int(orientation))
+        if isinstance(item, np.ndarray):
+            return ImageSpec(item.shape[1], item.shape[0], 1)
+        if isinstance(item, (str, os.PathLike, bytes)):
+            info = codec.get_image_info(item)
+            return ImageSpec(info.raw_w, info.raw_h, info.orientation)
+    except Exception:
+        return None
+    return None
+
+
+def _is_big_task(items: Sequence[ImageInput]) -> bool:
+    """Reference big-task thresholds: >=7 images or >=25 MB total
+    (pages/index/index.js:1211-1212)."""
+    if len(items) >= 7:
+        return True
+    total = 0
+    for it in items:
+        if isinstance(it, (str, os.PathLike)):
+            try:
+                total += os.path.getsize(os.fspath(it))
+            except OSError:
+                pass
+        elif isinstance(it, bytes):
+            total += len(it)
+    return total >= 25 * 1024 * 1024
+
+
 def stitch(items: Sequence[ImageInput],
            direction: str = "vertical", mode: str = "min", gap: float = 0.0,
            options: Optional[StitchOptions] = None,
@@ -166,10 +200,30 @@ def stitch(items: Sequence[ImageInput],
     The one-call equivalent of the reference's full user flow: pick
     (onChooseImages) -> prepare (_prepareImages) -> stitch (onStitch).
     ``options`` overrides the individual direction/mode/gap arguments.
+
+    For big jobs (or ``config.overlap="always"``) decode, H2D and device
+    compositing are overlapped: the layout is solved from image headers and
+    each image is placed the moment its decode lands.
     """
     if options is None:
         options = StitchOptions(direction=direction, mode=mode, gap=gap)
     config = (config or RuntimeConfig()).validate()
+
+    want_overlap = (config.overlap == "always"
+                    or (config.overlap == "auto" and _is_big_task(items)))
+    if want_overlap and on_error == "raise" and config.engine != "oracle":
+        specs = [_probe_item(it) for it in items]
+        if all(s is not None for s in specs):
+            from .runtime import pipeline
+            plan = solve(specs, options, limits)
+            loaders = [(lambda it=it: _load_one(it, config)[0])
+                       for it in items]
+            out, _metrics = pipeline.run_overlapped(plan, loaders, config,
+                                                    progress)
+            return out
+        # unprobeable input (needs transcode to even read the header):
+        # fall through to the plain flow
+
     images, specs, failures = prepare(items, config, on_error, progress)
     if not images:
         if failures:

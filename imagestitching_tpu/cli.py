@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "default here: unlimited)")
     p.add_argument("--engine", choices=("auto", "pallas", "xla", "oracle"),
                    default="auto")
+    p.add_argument("--parity-profile", choices=("ios", "android"),
+                   default=None,
+                   help="apply the reference app's device limits "
+                        "(canvas caps + supersample ceiling) for that "
+                        "platform — reproduces the phone output exactly")
     p.add_argument("--on-error", choices=("raise", "skip"), default="raise",
                    help="per-image failure policy during prepare")
     p.add_argument("--quality", type=int, default=95, help="JPEG quality")
@@ -77,12 +82,20 @@ def main(argv: Optional[List[str]] = None) -> int:
                             gap=args.gap, supersample=args.supersample,
                             background=bg, filter=args.filter,
                             max_images=args.max_images)
+    if args.parity_profile == "ios":
+        limits = CanvasLimits.reference_ios()
+    elif args.parity_profile == "android":
+        limits = CanvasLimits.reference_android()
+    else:
+        limits = None
     limits_kw = {}
     if args.max_side is not None:
         limits_kw["max_side"] = args.max_side
     if args.max_pixels is not None:
         limits_kw["max_pixels"] = args.max_pixels
-    limits = CanvasLimits(**limits_kw) if limits_kw else None
+    if limits_kw:
+        import dataclasses as _dc
+        limits = _dc.replace(limits or CanvasLimits(), **limits_kw)
     config = RuntimeConfig(engine=args.engine)
 
     last = {"phase": None}

@@ -107,10 +107,17 @@ class RuntimeConfig:
     profile: bool = False              # enable jax.profiler traces per phase
     decode_threads: int = 8            # host codec pool (replaces serial decode,
                                        # index.js:1125-1157, with true parallelism)
+    # decode||H2D||compute overlap: "auto" enables it for big jobs (the
+    # reference's big-task thresholds: >=7 images or >=25 MB total,
+    # index.js:1211-1212), "always"/"never" force it.
+    overlap: str = "auto"
     tile_rows: int = 256               # output band height for the tiler
     donate_canvas: bool = True
 
     def validate(self) -> "RuntimeConfig":
         if self.engine not in ("auto", "pallas", "xla", "oracle"):
             raise ValueError(f"unknown engine {self.engine!r}")
+        if self.overlap not in ("auto", "always", "never"):
+            raise ValueError(f"overlap must be auto/always/never, "
+                             f"got {self.overlap!r}")
         return self

@@ -74,56 +74,77 @@ def _noop(phase: str, fraction: float) -> None:
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=256)
-def _streamed_update_fn(plan_key, index: int, channels: int,
-                        use_pallas: bool, interpret: bool):
-    """jit fn: (canvas HWC uint8 [donated], raw HWC uint8) -> canvas."""
-    plan = plan_key.plan
-    p = plan.placements[index]
-
-    from ..ops import pallas_resize
-    copy_off = pallas_resize.placement_is_copy(p, plan.filter)
-    if copy_off is not None:
-        sr, sc = copy_off
-        nr = p.row_span[1] - p.row_span[0]
-        nc = p.col_span[1] - p.col_span[0]
-
-        def fn(canvas, raw):
-            src = xla_compose.orient_jnp(raw, p.orientation)
-            window = jax.lax.dynamic_slice(src, (sr, sc, 0),
-                                           (nr, nc, channels))
-            return jax.lax.dynamic_update_slice(
-                canvas, window, (p.row_span[0], p.col_span[0], 0))
-    elif use_pallas:
-        sched = pallas_resize._Schedule(p, plan.filter)
-
-        def fn(canvas, raw):
-            src = pallas_resize._orient_chw(raw, p.orientation,
-                                            sched.m_h_pad, sched.m_w_pad)
-            region, (r0, c0, nr, nc) = pallas_resize.resize_place_one(
-                src, p, plan.filter, interpret)
-            return jax.lax.dynamic_update_slice(
-                canvas, jnp.transpose(region[:, :nr, :nc], (1, 2, 0)),
-                (r0, c0, 0))
-    else:
-        params = xla_compose.placement_params(p, plan.filter)
-
-        def fn(canvas, raw):
-            img = xla_compose.orient_jnp(raw, p.orientation).astype(jnp.float32)
-            img = xla_compose._resample_axis0(img, params["rows"])
-            img = xla_compose._resample_axis1(img, params["cols"])
-            region = xla_compose.to_uint8(img)
-            return jax.lax.dynamic_update_slice(
-                canvas, region, (p.row_span[0], p.col_span[0], 0))
-
+def _copy_update_exe(canvas_shape, src_shape, window_shape, orientation):
+    """Shape-keyed blit executable: offsets are runtime args, so all
+    same-shaped copy placements share ONE compile (a 9-equal-image job
+    compiles once, not nine times)."""
+    def fn(canvas, raw, offs):
+        src = xla_compose.orient_jnp(raw, orientation)
+        window = jax.lax.dynamic_slice(
+            src, (offs[0], offs[1], 0), window_shape)
+        return jax.lax.dynamic_update_slice(
+            canvas, window, (offs[2], offs[3], 0))
     return jax.jit(fn, donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=256)
+def _resample_update_exe(canvas_shape, src_shape, region_shape, orientation):
+    """Shape-keyed resample-and-place executable (XLA 2-tap engine).
+
+    Taps and the destination offset arrive as runtime arguments, so every
+    placement with the same (source shape, region shape, orientation) shares
+    ONE compile regardless of its position or exact scale.
+    """
+    def fn(canvas, raw, offs, taps):
+        img = xla_compose.orient_jnp(raw, orientation).astype(jnp.float32)
+        ri0, rw1, ci0, cw1 = taps
+        mh, mw = img.shape[0], img.shape[1]
+        w1 = rw1[:, None, None]
+        img = (jnp.take(img, ri0, axis=0) * (1.0 - w1)
+               + jnp.take(img, jnp.minimum(ri0 + 1, mh - 1), axis=0) * w1)
+        w1c = cw1[None, :, None]
+        img = (jnp.take(img, ci0, axis=1) * (1.0 - w1c)
+               + jnp.take(img, jnp.minimum(ci0 + 1, mw - 1), axis=1) * w1c)
+        region = xla_compose.to_uint8(img)
+        return jax.lax.dynamic_update_slice(
+            canvas, region, (offs[0], offs[1], 0))
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+def _streamed_update(plan, index: int, channels: int, canvas, src):
+    """Apply placement ``index`` to the donated canvas (shape-keyed exes).
+
+    Streamed/overlapped mode intentionally uses the copy-blit or the XLA
+    2-tap executables (one compile per shape class); the fused Pallas kernel
+    belongs to resident mode where the whole job is one program.
+    """
+    p = plan.placements[index]
+    from ..ops import pallas_resize
+
+    copy_off = pallas_resize.placement_is_copy(p, plan.filter)
+    nr = p.row_span[1] - p.row_span[0]
+    nc = p.col_span[1] - p.col_span[0]
+    if copy_off is not None:
+        exe = _copy_update_exe(canvas.shape, src.shape,
+                               (nr, nc, channels), p.orientation)
+        offs = jnp.asarray([copy_off[0], copy_off[1],
+                            p.row_span[0], p.col_span[0]], jnp.int32)
+        return exe(canvas, src, offs)
+    disp_w, disp_h = geometry.display_size(p.raw_w, p.raw_h, p.orientation)
+    ri0, _, rw1 = geometry.bilinear_taps(*p.row_span, p.y0, p.h, disp_h)
+    ci0, _, cw1 = geometry.bilinear_taps(*p.col_span, p.x0, p.w, disp_w)
+    exe = _resample_update_exe(canvas.shape, src.shape, (nr, nc, channels),
+                               p.orientation)
+    offs = jnp.asarray([p.row_span[0], p.col_span[0]], jnp.int32)
+    taps = (jnp.asarray(ri0), jnp.asarray(rw1.astype(np.float32)),
+            jnp.asarray(ci0), jnp.asarray(cw1.astype(np.float32)))
+    return exe(canvas, src, offs, taps)
 
 
 def _run_streamed(plan: LayoutPlan, images: Sequence[np.ndarray],
                   channels: int, config: RuntimeConfig,
                   progress: ProgressFn) -> np.ndarray:
-    from ..ops.xla_compose import _PlanKey
-    use_pallas = _pallas_ok(plan, config)
-    key = _PlanKey(plan)
+    del config
     bg = np.asarray(plan.background[:channels], np.uint8)
     canvas = jnp.broadcast_to(
         jnp.asarray(bg), (plan.canvas_h, plan.canvas_w, channels))
@@ -138,9 +159,7 @@ def _run_streamed(plan: LayoutPlan, images: Sequence[np.ndarray],
             staged = jnp.asarray(images[i + 1])  # async H2D
         p = plan.placements[i]
         if p.row_span[1] > p.row_span[0] and p.col_span[1] > p.col_span[0]:
-            fn = _streamed_update_fn(key, i, channels, use_pallas,
-                                     config.interpret)
-            canvas = fn(canvas, src)
+            canvas = _streamed_update(plan, i, channels, canvas, src)
         progress("composite", 0.30 + 0.60 * (i + 1) / n)
     return np.asarray(canvas)
 
@@ -268,8 +287,104 @@ def _run_banded(plan: LayoutPlan, images: Sequence[np.ndarray],
 
 
 # ---------------------------------------------------------------------------
+# Overlapped execution: decode || H2D || compute
+# ---------------------------------------------------------------------------
+
+def run_overlapped(plan: LayoutPlan, loaders, config: RuntimeConfig,
+                   progress: ProgressFn = _noop,
+                   ) -> Tuple[np.ndarray, StitchMetrics]:
+    """Streamed composite that overlaps host decode with device compute.
+
+    ``loaders[i]()`` must return image i's raw uint8 HWC array (decode +
+    normalize).  The layout is already solved from header metadata, so
+    compositing starts as soon as the FIRST decode lands instead of the last
+    — the TPU answer to the reference's decode-then-draw serialization
+    (pages/index/index.js:1439-1572).  Placements are independent, so images
+    are placed in completion order; the canvas is donated between updates.
+
+    Raises on any decode failure: by stitch time geometry is committed, the
+    reference aborts there too (index.js:1507-1509).
+    """
+    import concurrent.futures as _futures
+
+    config = config.validate()
+    log = get_logger()
+    m = StitchMetrics(canvas_w=plan.canvas_w, canvas_h=plan.canvas_h,
+                      strategy="overlapped")
+    t_start = time.perf_counter()
+    channels = 3
+
+    bg = np.asarray(plan.background[:channels], np.uint8)
+    canvas = jnp.array(jnp.broadcast_to(
+        jnp.asarray(bg), (plan.canvas_h, plan.canvas_w, channels)))
+
+    n = len(loaders)
+    done = 0
+    t_decode = 0.0
+    with _futures.ThreadPoolExecutor(
+            max_workers=max(1, config.decode_threads)) as pool:
+        futs = {pool.submit(loaders[i]): i for i in range(n)}
+        for fut in _futures.as_completed(futs):
+            i = futs[fut]
+            t0 = time.perf_counter()
+            raw = np.asarray(fut.result())
+            t_decode = max(t_decode, time.perf_counter() - t_start)
+            p = plan.placements[i]
+            if raw.shape[:2] != (p.raw_h, p.raw_w):
+                raise ValueError(
+                    f"image {i}: decoded {raw.shape[1]}x{raw.shape[0]} but "
+                    f"header said {p.raw_w}x{p.raw_h}")
+            if p.row_span[1] > p.row_span[0] and p.col_span[1] > p.col_span[0]:
+                src = jnp.asarray(raw)          # async H2D
+                canvas = _streamed_update(plan, i, channels, canvas, src)
+            done += 1
+            progress("composite", 0.30 + 0.60 * done / n)
+            del t0
+    m.prepare_s = t_decode
+    t0 = time.perf_counter()
+    out = np.asarray(canvas)
+    m.readback_s = time.perf_counter() - t0
+    m.compute_s = m.readback_s  # device work is hidden under decode/readback
+    m.total_s = time.perf_counter() - t_start
+    log.event("pipeline.overlapped_done", n=n,
+              total_s=round(m.total_s, 4),
+              decode_wall_s=round(m.prepare_s, 4),
+              mp_per_sec=round(m.mp_per_sec, 1))
+    progress("composite", 1.0)
+    return out, m
+
+
+# ---------------------------------------------------------------------------
 # Pipeline front door
 # ---------------------------------------------------------------------------
+
+def _is_oom(e: Exception) -> bool:
+    msg = str(e)
+    return ("RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
+            or "out of memory" in msg)
+
+
+def _strategy_ladder(ex: "tiler.ExecutionPlan", plan: LayoutPlan):
+    """(strategy, band_rows) attempts, leanest-last, starting at the plan's."""
+    order = ["resident", "streamed", "banded"]
+    if ex.strategy == "oracle":
+        return [("oracle", None)]
+    ladder = []
+    started = False
+    for s in order:
+        if s == ex.strategy:
+            started = True
+        if not started:
+            continue
+        if s == "banded":
+            band = ex.band_rows or min(plan.canvas_h, 2048)
+            while band >= 8:
+                ladder.append(("banded", band))
+                band //= 4
+        else:
+            ladder.append((s, None))
+    return ladder
+
 
 def _pallas_ok(plan: LayoutPlan, config: RuntimeConfig) -> bool:
     if config.engine == "xla" or config.engine == "oracle":
@@ -320,7 +435,6 @@ def run(plan: LayoutPlan, images: Sequence[np.ndarray],
 
     profile_ctx = None
     if config.profile:
-        import contextlib
         import jax as _jax
         trace_dir = os.environ.get("IMAGESTITCH_TRACE_DIR",
                                    "/tmp/imagestitching_trace")
@@ -328,19 +442,36 @@ def run(plan: LayoutPlan, images: Sequence[np.ndarray],
         profile_ctx.__enter__()
 
     t0 = time.perf_counter()
-    if ex.strategy == "oracle":
-        out = oracle.stitch(plan, images)
-    elif ex.strategy == "resident":
-        if _pallas_ok(plan, config):
-            from ..ops import pallas_resize
-            out = pallas_resize.stitch(plan, images,
-                                       interpret=config.interpret)
-        else:
-            out = xla_compose.stitch(plan, images)
-    elif ex.strategy == "streamed":
-        out = _run_streamed(plan, images, channels, config, progress)
-    else:
-        out = _run_banded(plan, images, channels, ex.band_rows, progress)
+    out = None
+    last_oom = None
+    for attempt_strategy, band in _strategy_ladder(ex, plan):
+        try:
+            if attempt_strategy == "oracle":
+                out = oracle.stitch(plan, images)
+            elif attempt_strategy == "resident":
+                if _pallas_ok(plan, config):
+                    from ..ops import pallas_resize
+                    out = pallas_resize.stitch(plan, images,
+                                               interpret=config.interpret)
+                else:
+                    out = xla_compose.stitch(plan, images)
+            elif attempt_strategy == "streamed":
+                out = _run_streamed(plan, images, channels, config, progress)
+            else:
+                out = _run_banded(plan, images, channels, band, progress)
+            m.strategy = attempt_strategy
+            break
+        except Exception as e:  # noqa: BLE001 — OOM classification below
+            if not _is_oom(e):
+                raise
+            # Elastic recovery (the reference's graceful-degradation analog,
+            # index.js:654-674): demote to a leaner strategy and retry.
+            last_oom = e
+            log.event("pipeline.oom_retry", failed=attempt_strategy,
+                      band=band)
+    if out is None:
+        raise MemoryError(
+            "stitch ran out of device memory on every strategy") from last_oom
     m.compute_s = time.perf_counter() - t0
     if profile_ctx is not None:
         profile_ctx.__exit__(None, None, None)

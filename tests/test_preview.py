@@ -1,0 +1,33 @@
+"""Preview sizing/draw (reference calcPreviewHeight + preview blit,
+utils/canvas.js:124-128, pages/index/index.js:1593-1609)."""
+
+import numpy as np
+
+from imagestitching_tpu import api
+
+rng = np.random.default_rng(29)
+
+
+def test_preview_size_aspect_and_floor():
+    # aspect-following height
+    assert api.preview_size(400, 200, 100) == (100, 180)  # floored at 180
+    assert api.preview_size(400, 1600, 100) == (100, 400)
+    # reference floor is 180 px (canvas.js:127)
+    assert api.preview_size(1000, 10, 500)[1] == 180
+
+
+def test_make_preview_downscale():
+    img = np.full((400, 800, 3), 77, np.uint8)
+    prev = api.make_preview(img, 200)
+    assert prev.shape == (180, 200, 3)  # 200*400/800=100 -> floor 180
+    np.testing.assert_array_equal(prev, np.full((180, 200, 3), 77))
+
+
+def test_make_preview_matches_oracle_resample():
+    img = rng.integers(0, 256, (64, 128, 3), np.uint8)
+    prev = api.make_preview(img, 32, min_height=1)
+    assert prev.shape == (16, 32, 3)
+    # constant rows stay constant; spot-check separable identity on 2x
+    img2 = np.repeat(np.repeat(prev, 2, axis=0), 2, axis=1)
+    back = api.make_preview(img2, 32, min_height=1)
+    assert np.abs(back.astype(int) - prev.astype(int)).max() <= 1
