@@ -29,7 +29,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _slope_time(fn_impl, dev_imgs, k_lo: int = 2, k_hi: int = 12,
+def _slope_time(fn_impl, dev_imgs, k_lo: int = 2, k_hi: int = 52,
                 rounds: int = 5):
     """Median per-call device time via scan-chained slope timing."""
     import functools
@@ -145,17 +145,17 @@ def main() -> None:
         log(f"resize-heavy 9-image job ({mp2:.0f} MP out): {p50_2:.2f} ms "
             f"({mp2 / (p50_2 / 1000):.0f} MP/s)  samples={s2}")
 
-    # parity spot check against the float64 oracle — fetch only three
-    # 256-row bands (the sandbox's D2H relay is ~11 MB/s; the full canvas
-    # would take minutes)
+    # parity spot check against the float64 oracle — three 256-row bands
+    # (band-windowed oracle: the full f64 pass on 108 MP takes ~100 s, and
+    # the sandbox's D2H relay is ~11 MB/s, so neither side fetches/computes
+    # the whole canvas)
     from imagestitching_tpu.core import oracle
-    want = oracle.stitch(plan, imgs)
     slice_fn = jax.jit(lambda o, r: jax.lax.dynamic_slice(
         o, (r, 0, 0), (256, plan.canvas_w, 3)))
     diff = 0
     for r in (0, plan.canvas_h // 2 - 128, plan.canvas_h - 256):
         got_band = np.asarray(slice_fn(out, r))
-        want_band = want[r: r + 256]
+        want_band = oracle.stitch_rows(plan, imgs, r, r + 256)
         diff = max(diff, int(np.abs(got_band.astype(np.int16)
                                     - want_band.astype(np.int16)).max()))
     log(f"parity max|diff| vs oracle (3 sampled bands): {diff}")

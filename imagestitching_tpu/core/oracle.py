@@ -90,6 +90,36 @@ def stitch(plan: LayoutPlan, images: Sequence[np.ndarray]) -> np.ndarray:
     return to_uint8(canvas)
 
 
+def stitch_rows(plan: LayoutPlan, images: Sequence[np.ndarray],
+                row_lo: int, row_hi: int) -> np.ndarray:
+    """Golden stitch restricted to canvas rows [row_lo, row_hi).
+
+    Bit-identical to ``stitch(plan, images)[row_lo:row_hi]`` (taps are
+    per-output-row constants, so a row window is self-contained); exists so
+    parity spot-checks on huge canvases don't pay the full float64 pass.
+    """
+    if len(images) != len(plan.placements):
+        raise ValueError("image count does not match plan")
+    row_lo = max(0, row_lo)
+    row_hi = min(plan.canvas_h, row_hi)
+    channels = images[0].shape[2] if images[0].ndim == 3 else 1
+    band = np.empty((row_hi - row_lo, plan.canvas_w, channels), np.float64)
+    band[...] = np.asarray(plan.background[:channels], np.float64)
+    for raw, p in zip(images, plan.placements):
+        r0, r1 = p.row_span
+        c0, c1 = p.col_span
+        br0, br1 = max(r0, row_lo), min(r1, row_hi)
+        if br1 <= br0 or c1 <= c0:
+            continue
+        if raw.ndim == 2:
+            raw = raw[:, :, None]
+        oriented = geometry.orient_array(raw, p.orientation)
+        rows = resample_axis(oriented, 0, br0, br1, p.y0, p.h, plan.filter)
+        full = resample_axis(rows, 1, c0, c1, p.x0, p.w, plan.filter)
+        band[br0 - row_lo: br1 - row_lo, c0:c1] = full
+    return to_uint8(band)
+
+
 def to_uint8(x: np.ndarray) -> np.ndarray:
     """float -> uint8 with round-half-up then clamp (framework-wide contract)."""
     return np.clip(np.floor(x + 0.5), 0.0, 255.0).astype(np.uint8)

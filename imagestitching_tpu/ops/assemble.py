@@ -17,7 +17,7 @@ reference collapsed into a single fused pass.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict
 
 import jax.numpy as jnp
 

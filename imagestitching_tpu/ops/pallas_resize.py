@@ -40,7 +40,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -254,8 +254,25 @@ def _make_kernel(s: _Schedule, batched: bool):
         dma.wait()
         # Mosaic has no direct uint8<->f32 casts; route through int32.
         bandf = band[...].astype(jnp.int32).astype(jnp.float32)
-        tmp = jnp.dot(wr, bandf, preferred_element_type=jnp.float32)
-        res = jnp.dot(tmp, wc, preferred_element_type=jnp.float32)
+        # Precision: the MXU's native pass is bf16 (~8 mantissa bits), which
+        # alone costs +-2 uint8 levels vs the float64 oracle; fp32-HIGHEST
+        # contractions fix parity but run ~6 bf16 passes.  Instead split each
+        # f32 operand into a bf16 (hi, lo) pair: uint8 pixel values are EXACT
+        # in bf16, and hi+lo carries ~16 mantissa bits of the weights, so the
+        # residual error is ~255 * 2^-17 << the 0.5 quantization step — at
+        # 2 + 3 native-speed passes instead of 12.
+        band16 = bandf.astype(jnp.bfloat16)
+        wr_hi = wr.astype(jnp.bfloat16)
+        wr_lo = (wr - wr_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        tmp = (jnp.dot(wr_hi, band16, preferred_element_type=jnp.float32)
+               + jnp.dot(wr_lo, band16, preferred_element_type=jnp.float32))
+        tmp_hi = tmp.astype(jnp.bfloat16)
+        tmp_lo = (tmp - tmp_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        wc_hi = wc.astype(jnp.bfloat16)
+        wc_lo = (wc - wc_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        res = (jnp.dot(tmp_hi, wc_hi, preferred_element_type=jnp.float32)
+               + jnp.dot(tmp_hi, wc_lo, preferred_element_type=jnp.float32)
+               + jnp.dot(tmp_lo, wc_hi, preferred_element_type=jnp.float32))
         q = jnp.clip(jnp.floor(res + 0.5), 0.0, 255.0).astype(jnp.int32)
         if batched:
             out[0, 0] = q.astype(jnp.uint8)

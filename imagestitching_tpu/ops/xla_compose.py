@@ -23,7 +23,7 @@ oracle within 1 uint8 step (f32 vs f64 accumulation).
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import numpy as np
 
@@ -94,7 +94,8 @@ def _resample_axis0(img: jnp.ndarray, prm: dict) -> jnp.ndarray:
         return (jnp.take(img, prm["i0"], axis=0) * (1.0 - w1)
                 + jnp.take(img, prm["i1"], axis=0) * w1)
     return jnp.einsum("nm,mwc->nwc", prm["w"], img,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _resample_axis1(img: jnp.ndarray, prm: dict) -> jnp.ndarray:
@@ -103,20 +104,8 @@ def _resample_axis1(img: jnp.ndarray, prm: dict) -> jnp.ndarray:
         return (jnp.take(img, prm["i0"], axis=1) * (1.0 - w1)
                 + jnp.take(img, prm["i1"], axis=1) * w1)
     return jnp.einsum("nwc,kw->nkc", img, prm["w"],
-                      preferred_element_type=jnp.float32)
-
-
-def draw_one(canvas: jnp.ndarray, raw: jnp.ndarray, placement: Placement,
-             params: dict) -> jnp.ndarray:
-    """Fused orient+resize+place of one image into the f32 canvas."""
-    r0, r1 = placement.row_span
-    c0, c1 = placement.col_span
-    if r1 <= r0 or c1 <= c0:
-        return canvas
-    img = orient_jnp(raw, placement.orientation).astype(jnp.float32)
-    img = _resample_axis0(img, params["rows"])
-    img = _resample_axis1(img, params["cols"])
-    return jax.lax.dynamic_update_slice(canvas, img, (r0, c0, 0))
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def to_uint8(x: jnp.ndarray) -> jnp.ndarray:

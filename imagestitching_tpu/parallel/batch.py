@@ -17,7 +17,7 @@ N chips give Nx throughput over ICI-free pure data parallelism.
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -32,9 +32,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..config import CanvasLimits, RuntimeConfig, StitchOptions
+from ..config import RuntimeConfig
 from ..core import geometry, oracle
-from ..core.layout import ImageSpec, LayoutPlan, Placement, solve
+from ..core.layout import LayoutPlan
 from ..ops import xla_compose
 from . import tiler
 from .logger import get_logger

@@ -231,3 +231,17 @@ def test_to_uint8_rounding():
     x = np.array([-1.0, 0.49, 0.5, 254.49, 254.5, 300.0])
     np.testing.assert_array_equal(oracle.to_uint8(x),
                                   np.array([0, 0, 1, 254, 255, 255], np.uint8))
+
+
+def test_stitch_rows_matches_full():
+    specs = [ImageSpec(40, 30, orientation=6), ImageSpec(30, 40),
+             ImageSpec(35, 25)]
+    imgs = [rng.integers(0, 255, (30, 40, 3), np.uint8),
+            rng.integers(0, 255, (40, 30, 3), np.uint8),
+            rng.integers(0, 255, (25, 35, 3), np.uint8)]
+    plan = _plan(specs, gap=3)
+    full = oracle.stitch(plan, imgs)
+    for lo, hi in [(0, 16), (10, 50), (plan.canvas_h - 7, plan.canvas_h),
+                   (0, plan.canvas_h)]:
+        band = oracle.stitch_rows(plan, imgs, lo, hi)
+        np.testing.assert_array_equal(band, full[lo:hi])
