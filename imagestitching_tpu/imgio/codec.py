@@ -93,6 +93,16 @@ def get_image_info(src: PathOrBytes) -> ImageInfo:
             size = 0
     else:
         size = len(src)
+
+    from . import heif
+    head = src if isinstance(src, bytes) else open(path, "rb").read(32)
+    if heif.is_heif(head) and heif.available():
+        data = src if isinstance(src, bytes) else open(path, "rb").read()
+        w, h = heif.probe(data)
+        # libheif applies transforms during decode -> orientation is 1
+        return ImageInfo(raw_w=w, raw_h=h, orientation=1, format="heic",
+                         file_size=size, path=path)
+
     with _open(src) as img:
         return ImageInfo(
             raw_w=img.width, raw_h=img.height,
@@ -138,9 +148,13 @@ def decode(src: PathOrBytes,
     RGBA/LA/P-alpha onto white at decode (the draw loop always targets the
     white-filled canvas, index.js:1423-1424).
     """
-    from . import native
+    from . import heif, native
 
     data = src if isinstance(src, bytes) else open(os.fspath(src), "rb").read()
+    if heif.is_heif(data) and heif.available():
+        # native HEIC decode (no lossy transcode generation; the reference
+        # must re-encode to JPEG first, utils/canvas.js:255-263)
+        return heif.decode(data), 1
     fmt = _sniff(data)
     if fmt and native.available():
         # orientation still comes from the (cheap, header-only) EXIF parse
@@ -247,6 +261,10 @@ def transcode_if_needed(path: Union[str, os.PathLike],
     ext = os.path.splitext(path)[1].lower().lstrip(".")
     if ext in SUPPORTED_TYPES:
         return path
+    if ext in ("heic", "heif"):
+        from . import heif
+        if heif.available():
+            return path           # decode() reads HEIC natively — no transcode
     try:
         with _open(path) as img:
             img = img.convert("RGB")

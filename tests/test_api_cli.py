@@ -88,8 +88,16 @@ def test_transcode_passthrough_and_unknown(tmp_path):
     assert codec.transcode_if_needed(p) == str(p)
     bad = tmp_path / "x.heic"
     bad.write_bytes(b"not an image")
-    with pytest.raises(RuntimeError, match="cannot decode"):
-        codec.transcode_if_needed(bad)
+    from imagestitching_tpu.imgio import heif
+    if heif.available():
+        # heic passes through (decoded natively later); garbage then fails
+        # at decode time with a clear error
+        assert codec.transcode_if_needed(bad) == str(bad)
+        with pytest.raises(Exception):
+            codec.decode(bad)
+    else:
+        with pytest.raises(RuntimeError, match="cannot decode"):
+            codec.transcode_if_needed(bad)
     # a mislabeled-but-decodable file gets transcoded to jpg
     odd = tmp_path / "y.weird"
     Image.fromarray(rng.integers(0, 256, (8, 8, 3), np.uint8)).save(
