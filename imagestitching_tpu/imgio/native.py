@@ -70,6 +70,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
             u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
             ctypes.POINTER(ctypes.c_size_t)]
+        lib.isx_encode_png_mt.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_size_t)]
         lib.isx_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
@@ -138,17 +142,27 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 95) -> Optional[bytes]:
     return bytes(_take(lib, out, n.value))
 
 
-def encode_png(rgb: np.ndarray, compression: int = 6) -> Optional[bytes]:
+def encode_png(rgb: np.ndarray, compression: int = 6,
+               threads: Optional[int] = None) -> Optional[bytes]:
+    """PNG-encode RGB8; multi-threaded (pigz-style parallel deflate strips)
+    whenever the image is big enough to amortize thread startup."""
     lib = get_lib()
     if lib is None:
         return None
     rgb = np.ascontiguousarray(rgb, np.uint8)
     h, w = rgb.shape[:2]
+    if threads is None:
+        threads = min(os.cpu_count() or 1, 16) if w * h >= 1 << 20 else 1
     out = ctypes.POINTER(ctypes.c_uint8)()
     n = ctypes.c_size_t()
-    rc = lib.isx_encode_png(
-        rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w, h,
-        compression, ctypes.byref(out), ctypes.byref(n))
+    if threads > 1:
+        rc = lib.isx_encode_png_mt(
+            rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w, h,
+            compression, threads, ctypes.byref(out), ctypes.byref(n))
+    else:
+        rc = lib.isx_encode_png(
+            rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w, h,
+            compression, ctypes.byref(out), ctypes.byref(n))
     if rc != 0:
         raise ValueError(f"png encode: {lib.isx_last_error().decode()}")
     return bytes(_take(lib, out, n.value))

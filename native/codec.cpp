@@ -24,9 +24,12 @@
 #include <cstdlib>
 #include <cstring>
 #include <csetjmp>
+#include <thread>
+#include <vector>
 
 #include <jpeglib.h>
 #include <png.h>
+#include <zlib.h>
 
 extern "C" {
 
@@ -280,6 +283,146 @@ int isx_encode_png(const uint8_t* rgb, int w, int h, int compression,
     png_destroy_write_struct(&png, &info);
     *out = ctx.data;
     *out_len = ctx.len;
+    return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------- PNG (MT)
+//
+// Multi-threaded PNG encoder (pigz-style): row strips are filtered and
+// deflated independently as raw streams joined by full flushes; the zlib
+// wrapper (header + combined adler32) and the PNG container are assembled by
+// hand.  Filters may reference the previous RAW row across strip boundaries
+// (reconstruction is lossless), only the deflate window resets per strip —
+// costing ~1% size for near-linear thread scaling.
+
+extern "C" {
+
+static void put_be32(uint8_t* p, uint32_t v) {
+    p[0] = v >> 24; p[1] = v >> 16; p[2] = v >> 8; p[3] = v;
+}
+
+struct PngStrip {
+    std::vector<uint8_t> filtered;   // (1 filter byte + w*3) per row
+    std::vector<uint8_t> deflated;   // raw deflate, Z_FULL_FLUSH-terminated
+    uLong adler = 1;
+    int rc = 0;
+};
+
+static void filter_and_deflate(const uint8_t* rgb, int w, int h,
+                               int row_lo, int row_hi, int level,
+                               PngStrip* out) {
+    const size_t stride = static_cast<size_t>(w) * 3;
+    out->filtered.resize((stride + 1) * (row_hi - row_lo));
+    uint8_t* dst = out->filtered.data();
+    for (int y = row_lo; y < row_hi; ++y) {
+        const uint8_t* cur = rgb + y * stride;
+        const uint8_t* up = (y > 0) ? rgb + (y - 1) * stride : nullptr;
+        *dst++ = up ? 2 : 1;              // filter: Up (Sub for first row)
+        if (up) {
+            for (size_t i = 0; i < stride; ++i)
+                dst[i] = static_cast<uint8_t>(cur[i] - up[i]);
+        } else {
+            for (size_t i = 0; i < stride; ++i)
+                dst[i] = static_cast<uint8_t>(cur[i] - (i >= 3 ? cur[i - 3]
+                                                               : 0));
+        }
+        dst += stride;
+    }
+    out->adler = adler32(1L, out->filtered.data(),
+                         static_cast<uInt>(out->filtered.size()));
+
+    z_stream zs;
+    std::memset(&zs, 0, sizeof(zs));
+    // raw deflate (windowBits -15): strips join into one zlib stream
+    if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8,
+                     Z_DEFAULT_STRATEGY) != Z_OK) {
+        out->rc = 1;
+        return;
+    }
+    out->deflated.resize(deflateBound(&zs, out->filtered.size()) + 16);
+    zs.next_in = out->filtered.data();
+    zs.avail_in = static_cast<uInt>(out->filtered.size());
+    zs.next_out = out->deflated.data();
+    zs.avail_out = static_cast<uInt>(out->deflated.size());
+    int rc = deflate(&zs, Z_FULL_FLUSH);   // ends at a byte boundary
+    if (rc != Z_OK && rc != Z_BUF_ERROR) out->rc = 2;
+    out->deflated.resize(zs.total_out);
+    deflateEnd(&zs);
+    out->filtered.clear();
+    out->filtered.shrink_to_fit();
+}
+
+// Encode RGB8 to PNG using `threads` parallel deflate strips.
+int isx_encode_png_mt(const uint8_t* rgb, int w, int h, int level,
+                      int threads, uint8_t** out, size_t* out_len) {
+    *out = nullptr;
+    if (threads < 1) threads = 1;
+    if (threads > h) threads = h;
+    const int per = (h + threads - 1) / threads;
+    std::vector<PngStrip> strips(threads);
+    {
+        std::vector<std::thread> pool;
+        for (int t = 0; t < threads; ++t) {
+            int lo = t * per, hi = lo + per < h ? lo + per : h;
+            if (lo >= hi) { strips[t].rc = -1; continue; }
+            pool.emplace_back(filter_and_deflate, rgb, w, h, lo, hi, level,
+                              &strips[t]);
+        }
+        for (auto& th : pool) th.join();
+    }
+    size_t zlen = 2;                      // zlib header
+    uLong adler = 1;                      // running adler over filtered bytes
+    const size_t stride1 = static_cast<size_t>(w) * 3 + 1;
+    for (int t = 0; t < threads; ++t) {
+        if (strips[t].rc > 0) { set_err("png-mt: deflate failed"); return 1; }
+        if (strips[t].rc < 0) continue;
+        zlen += strips[t].deflated.size();
+        int lo = t * per, hi = lo + per < h ? lo + per : h;
+        adler = adler32_combine(adler, strips[t].adler,
+                                static_cast<z_off_t>(stride1 * (hi - lo)));
+    }
+    zlen += 2 /* final empty block */ + 4 /* adler */;
+
+    // PNG container: sig + IHDR + one IDAT + IEND
+    const size_t total = 8 + (12 + 13) + (12 + zlen) + 12;
+    uint8_t* buf = static_cast<uint8_t*>(std::malloc(total));
+    if (!buf) { set_err("oom"); return 1; }
+    uint8_t* p = buf;
+    static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+    std::memcpy(p, sig, 8); p += 8;
+    // IHDR
+    put_be32(p, 13); p += 4;
+    uint8_t* ihdr = p;
+    std::memcpy(p, "IHDR", 4); p += 4;
+    put_be32(p, static_cast<uint32_t>(w)); p += 4;
+    put_be32(p, static_cast<uint32_t>(h)); p += 4;
+    *p++ = 8; *p++ = 2; *p++ = 0; *p++ = 0; *p++ = 0;  // 8-bit RGB
+    put_be32(p, static_cast<uint32_t>(
+        crc32(0L, ihdr, static_cast<uInt>(p - ihdr)))); p += 4;
+    // IDAT
+    put_be32(p, static_cast<uint32_t>(zlen)); p += 4;
+    uint8_t* idat = p;
+    std::memcpy(p, "IDAT", 4); p += 4;
+    *p++ = 0x78; *p++ = 0xDA;             // zlib header (32K window, best)
+    for (int t = 0; t < threads; ++t) {
+        if (strips[t].rc < 0) continue;
+        std::memcpy(p, strips[t].deflated.data(), strips[t].deflated.size());
+        p += strips[t].deflated.size();
+    }
+    *p++ = 0x03; *p++ = 0x00;             // final empty fixed block (BFINAL)
+    put_be32(p, static_cast<uint32_t>(adler)); p += 4;
+    put_be32(p, static_cast<uint32_t>(
+        crc32(0L, idat, static_cast<uInt>(p - idat)))); p += 4;
+    // IEND
+    put_be32(p, 0); p += 4;
+    std::memcpy(p, "IEND", 4);
+    put_be32(p + 4, static_cast<uint32_t>(crc32(0L,
+        reinterpret_cast<const uint8_t*>("IEND"), 4)));
+    p += 8;
+    *out = buf;
+    *out_len = static_cast<size_t>(p - buf);
     return 0;
 }
 

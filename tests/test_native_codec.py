@@ -116,3 +116,20 @@ def test_codec_jpeg_exif_still_parsed(tmp_path):
     img.save(p, quality=95, exif=ex)
     dec, o = codec.decode(p)
     assert o == 6 and dec.shape == (30, 20, 3)
+
+
+def test_png_mt_encoder_lossless_and_pil_readable():
+    # pigz-style parallel-strip PNG: independent deflate streams joined by
+    # full flushes; must decode bit-exact in any standard reader
+    for (w, h) in [(5, 3), (257, 129), (1, 1), (640, 480)]:
+        arr = rng.integers(0, 256, (h, w, 3), np.uint8)
+        data = native.encode_png(arr, threads=4)
+        back = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        np.testing.assert_array_equal(back, arr, err_msg=f"{w}x{h}")
+    # single-thread and MT agree on decodability (sizes differ slightly)
+    arr = rng.integers(0, 256, (100, 100, 3), np.uint8)
+    d1 = native.encode_png(arr, threads=1)
+    d4 = native.encode_png(arr, threads=4)
+    for d in (d1, d4):
+        np.testing.assert_array_equal(
+            np.asarray(Image.open(io.BytesIO(d)).convert("RGB")), arr)
