@@ -28,7 +28,14 @@ __all__ = [
 
 
 def __getattr__(name):  # lazy: keep `import imagestitching_tpu` JAX-free
-    if name in ("stitch", "stitch_arrays", "stitch_to_file"):
+    if name in ("stitch", "stitch_arrays", "stitch_to_file", "make_preview",
+                "preview_size", "prepare"):
         from . import api
         return getattr(api, name)
+    if name == "StitchServer":
+        from .serve.server import StitchServer
+        return StitchServer
+    if name == "StitchMetrics":
+        from .runtime.pipeline import StitchMetrics
+        return StitchMetrics
     raise AttributeError(name)

@@ -77,3 +77,16 @@ def test_server_close_flushes():
     assert fut.result(timeout=5).shape == (16, 16, 3)
     with pytest.raises(RuntimeError):
         s.submit(imgs)
+
+
+def test_server_pallas_engine_interpret():
+    with StitchServer(max_batch=4, max_wait_s=0.005, engine="pallas",
+                      interpret=True) as s:
+        imgs_a = [rand_img(40, 30), rand_img(30, 20)]
+        imgs_b = [rand_img(40, 30), rand_img(30, 20)]
+        fa, fb = s.submit(imgs_a), s.submit(imgs_b)
+        plan = solve([ImageSpec(40, 30), ImageSpec(30, 20)], StitchOptions())
+        for imgs, fut in [(imgs_a, fa), (imgs_b, fb)]:
+            want = oracle.stitch(plan, imgs)
+            got = fut.result(timeout=120)
+            assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
