@@ -17,7 +17,7 @@ import numpy as np
 
 from .config import CanvasLimits, RuntimeConfig, StitchOptions
 from .core import oracle as _oracle
-from .core.layout import ImageSpec, LayoutPlan, solve
+from .core.layout import ImageSpec, solve
 from .imgio import codec
 from .runtime.logger import get_logger
 
@@ -124,21 +124,19 @@ def prepare(items: Sequence[ImageInput], config: RuntimeConfig,
     return kept_images, specs, failures
 
 
-def _run_engine(plan: LayoutPlan, images: Sequence[np.ndarray],
-                config: RuntimeConfig,
-                progress: ProgressFn = _noop_progress) -> np.ndarray:
-    from .runtime import pipeline
-    out, _metrics = pipeline.run(plan, images, config, progress)
-    return out
-
-
 def stitch_arrays(images: Sequence[np.ndarray],
                   specs: Optional[Sequence[ImageSpec]] = None,
                   options: Optional[StitchOptions] = None,
                   config: Optional[RuntimeConfig] = None,
                   limits: Optional[CanvasLimits] = None,
-                  progress: ProgressFn = _noop_progress) -> np.ndarray:
-    """Stitch already-decoded raw arrays (uint8 HWC) into one strip."""
+                  progress: ProgressFn = _noop_progress,
+                  return_metrics: bool = False):
+    """Stitch already-decoded raw arrays (uint8 HWC) into one strip.
+
+    With ``return_metrics=True`` returns ``(array, StitchMetrics)`` — the
+    per-phase timing/strategy record (observability analog of the
+    reference's timing console.logs, index.js:1443-1616).
+    """
     options = (options or StitchOptions()).validate()
     config = (config or RuntimeConfig()).validate()
     images = [_as_uint8(a) for a in images]
@@ -149,8 +147,11 @@ def stitch_arrays(images: Sequence[np.ndarray],
     log.event("stitch.plan", canvas=(plan.canvas_w, plan.canvas_h),
               n=len(images), mode=plan.mode, direction=plan.direction,
               supersample=plan.supersample, scale_down=plan.scale_down)
-    out = _run_engine(plan, images, config, progress)
+    from .runtime import pipeline
+    out, metrics = pipeline.run(plan, images, config, progress)
     log.event("stitch.done", shape=tuple(out.shape))
+    if return_metrics:
+        return out, metrics
     return out
 
 

@@ -453,8 +453,8 @@ def _stitch_jit(plan: LayoutPlan, channels: int, interpret: bool,
             sr, sc = copy_off
             nr = r1 - p.row_span[0]
             nc = c1 - p.col_span[0]
-            regions[idx] = jax.lax.dynamic_slice(
-                src, (sr, sc, 0), (nr, nc, channels))
+            # static slice: XLA elides it entirely when it's the whole source
+            regions[idx] = src[sr: sr + nr, sc: sc + nc, :]
             continue
         sched = _Schedule(p, plan.filter)
         if staged:

@@ -45,8 +45,7 @@ def _batched_pallas(plan: LayoutPlan, channels: int, interpret: bool,
             sr, sc = copy_off
             nr = p.row_span[1] - p.row_span[0]
             nc = p.col_span[1] - p.col_span[0]
-            regions[idx] = jax.lax.dynamic_slice(
-                oriented, (0, sr, sc, 0), (batch, nr, nc, channels))
+            regions[idx] = oriented[:, sr: sr + nr, sc: sc + nc, :]
             continue
         sched = pallas_resize._Schedule(p, plan.filter)
         src = _orient_pad_bchw(raw, p.orientation,

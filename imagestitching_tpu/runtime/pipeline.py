@@ -326,7 +326,6 @@ def run_overlapped(plan: LayoutPlan, loaders, config: RuntimeConfig,
         futs = {pool.submit(loaders[i]): i for i in range(n)}
         for fut in _futures.as_completed(futs):
             i = futs[fut]
-            t0 = time.perf_counter()
             raw = np.asarray(fut.result())
             t_decode = max(t_decode, time.perf_counter() - t_start)
             p = plan.placements[i]
@@ -339,7 +338,6 @@ def run_overlapped(plan: LayoutPlan, loaders, config: RuntimeConfig,
                 canvas = _streamed_update(plan, i, channels, canvas, src)
             done += 1
             progress("composite", 0.30 + 0.60 * done / n)
-            del t0
     m.prepare_s = t_decode
     t0 = time.perf_counter()
     out = np.asarray(canvas)

@@ -239,3 +239,12 @@ def test_cli_max_pixels_scale_down(tmp_path):
     assert r.returncode == 0, r.stderr
     res = json.loads(r.stdout)
     assert res["width"] * res["height"] <= 5000
+
+
+def test_stitch_arrays_return_metrics():
+    arrs = [rng.integers(0, 256, (16, 16, 3), np.uint8)] * 2
+    out, m = api.stitch_arrays(arrs, config=RuntimeConfig(engine="xla"),
+                               return_metrics=True)
+    assert out.shape == (32, 16, 3)
+    assert m.strategy == "resident" and m.total_s > 0
+    assert m.out_megapixels > 0
