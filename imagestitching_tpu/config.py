@@ -111,6 +111,10 @@ class RuntimeConfig:
     # reference's big-task thresholds: >=7 images or >=25 MB total,
     # index.js:1211-1212), "always"/"never" force it.
     overlap: str = "auto"
+    # Optional jax.sharding.Mesh: a "space" axis >1 shards a single job's
+    # canvas row-bands across chips (parallel.sharding.ShardedStitch); the
+    # serving layer uses the "jobs" axis for batch data-parallelism.
+    mesh: Optional[object] = None
     tile_rows: int = 256               # output band height for the tiler
     donate_canvas: bool = True
 

@@ -442,6 +442,25 @@ def run(plan: LayoutPlan, images: Sequence[np.ndarray],
     t0 = time.perf_counter()
     out = None
     last_oom = None
+
+    mesh = config.mesh
+    if (mesh is not None and getattr(mesh, "shape", {}).get("space", 1) > 1
+            and ex.strategy in ("resident", "streamed")
+            and plan.filter == "bilinear"):
+        # multi-chip: shard this job's canvas row-bands over the space axis
+        from ..parallel.sharding import ShardedStitch
+        out = ShardedStitch(plan, mesh, channels)(images)
+        m.strategy = "space-sharded"
+        m.compute_s = time.perf_counter() - t0
+        if profile_ctx is not None:
+            profile_ctx.__exit__(None, None, None)
+        m.total_s = time.perf_counter() - t_start
+        log.event("pipeline.done", strategy=m.strategy,
+                  compute_s=round(m.compute_s, 4),
+                  mp_per_sec=round(m.mp_per_sec, 1))
+        progress("composite", 1.0)
+        return out, m
+
     for attempt_strategy, band in _strategy_ladder(ex, plan):
         try:
             if attempt_strategy == "oracle":

@@ -124,3 +124,20 @@ def test_sharded_uneven_rows():
     got = ShardedStitch(plan, mesh)(imgs)
     want = oracle.stitch(plan, imgs)
     assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_pipeline_space_mesh_integration():
+    # RuntimeConfig.mesh with a space axis routes through ShardedStitch
+    from imagestitching_tpu import api
+    from imagestitching_tpu.config import RuntimeConfig
+    mesh = pmesh.make_mesh((1, 8))
+    imgs = [rng.integers(0, 256, (100, 64, 3), np.uint8),
+            rng.integers(0, 256, (133, 80, 3), np.uint8)]
+    out, m = api.stitch_arrays(
+        imgs, options=StitchOptions(mode="min", gap=5, supersample=False),
+        config=RuntimeConfig(engine="xla", mesh=mesh), return_metrics=True)
+    assert m.strategy == "space-sharded"
+    plan = plan_for([ImageSpec(64, 100), ImageSpec(80, 133)], mode="min",
+                    gap=5)
+    want = oracle.stitch(plan, imgs)
+    assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
