@@ -163,7 +163,12 @@ def filter_matrix(px_lo: int, px_hi: int, a: float, length: float, m: int,
         cell_hi = idx[None, :] + 1.0
         w = np.clip(np.minimum(ri, cell_hi) - np.maximum(li, cell_lo), 0.0, None)
         wsum = w.sum(axis=1, keepdims=True)
-        wsum[wsum <= 0] = 1.0
+        bad = (wsum <= 0.0).ravel()
+        if bad.any():   # footprint fully outside: nearest clamped tap
+            nearest = np.clip(np.rint(s[bad]), 0, m - 1).astype(np.int64)
+            w[bad] = 0.0
+            w[bad, nearest] = 1.0
+            wsum = w.sum(axis=1, keepdims=True)
         w = w / wsum
     else:
         raise ValueError(f"unknown filter kind {kind!r}")
@@ -190,6 +195,72 @@ def bilinear_taps(px_lo: int, px_hi: int, a: float, length: float, m: int):
     i1 = np.minimum(i0 + 1, m - 1)
     w1 = s - np.floor(s)
     return i0.astype(np.int32), i1.astype(np.int32), w1
+
+
+def filter_taps(px_lo: int, px_hi: int, a: float, length: float, m: int,
+                kind: str = "bilinear"):
+    """K-tap form of any separable filter: (i0 (n,) int32, w (n, K) float64).
+
+    ``out[X] = sum_k src[clip(i0[X] + k)] * w[X, k]`` with out-of-range taps
+    carrying zero weight and rows renormalized — row-for-row identical to the
+    dense :func:`filter_matrix` (each dense row restricted to its K-wide
+    support window).  This is the form the Pallas kernel materializes as a
+    banded weight block on the fly; K is static per (scale, kind).
+    """
+    n = px_hi - px_lo
+    if n <= 0:
+        return np.zeros((0,), np.int32), np.zeros((0, 1), np.float64)
+    px = np.arange(px_lo, px_hi, dtype=np.float64)
+    scale = length / m
+
+    if kind == "bilinear":
+        i0, i1, w1 = bilinear_taps(px_lo, px_hi, a, length, m)
+        w = np.stack([1.0 - w1, np.where(i1 > i0, w1, 0.0)], axis=1)
+        # clamp-collapsed rows carry all weight on tap 0
+        w[:, 0] = np.where(i1 > i0, w[:, 0], 1.0)
+        return i0, w
+
+    if kind == "triangle":
+        s = source_coords(px, a, length, m)
+        support = max(1.0, 1.0 / scale)
+        i0 = np.ceil(s - support)
+        K = int(np.floor(support) + support) + 2  # covers (s-sup, s+sup)
+        K = max(2, int(np.ceil(2 * support)) + 1)
+        idx = i0[:, None] + np.arange(K)[None, :]
+        w = np.maximum(0.0, 1.0 - np.abs(idx - s[:, None]) / support)
+    elif kind == "box":
+        left = (px - a) / length * m
+        right = (px + 1.0 - a) / length * m
+        i0 = np.floor(left)
+        K = max(1, int(np.ceil(np.max(right - np.floor(left)))))
+        idx = i0[:, None] + np.arange(K)[None, :]
+        w = np.clip(np.minimum(right[:, None], idx + 1.0)
+                    - np.maximum(left[:, None], idx), 0.0, None)
+    else:
+        raise ValueError(f"unknown filter kind {kind!r}")
+
+    w = np.where((idx >= 0) & (idx <= m - 1), w, 0.0)
+    wsum = w.sum(axis=1, keepdims=True)
+    bad = (wsum <= 0.0).ravel()
+    if bad.any():
+        s = source_coords(px, a, length, m)
+        nearest = np.clip(np.rint(s[bad]), 0, m - 1)
+        i0 = i0.astype(np.float64)
+        i0[bad] = nearest
+        w[bad] = 0.0
+        w[bad, 0] = 1.0
+        wsum = w.sum(axis=1, keepdims=True)
+    w = w / wsum
+    # windows starting left of the source: shift the window right and roll
+    # the (zero) leading weights out so (i0 + k) -> weight mapping holds
+    neg = i0 < 0
+    if np.any(neg):
+        K = w.shape[1]
+        for r in np.nonzero(neg)[0]:
+            shift = int(-i0[r])
+            w[r] = np.concatenate([w[r, shift:], np.zeros(shift)])[:K]
+            i0[r] = 0
+    return i0.astype(np.int32), w
 
 
 def source_band(px_lo: int, px_hi: int, a: float, length: float, m: int,

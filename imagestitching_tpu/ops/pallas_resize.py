@@ -16,12 +16,14 @@ Design (see also core/geometry.py):
   the MXU with zero gathers — the band is ~``tile/scale + 3`` wide, so the
   FLOP overhead vs. a true 2-tap gather is ~2x while running on hardware
   ~100x faster than gather paths.
-* **Exact taps, built on device.**  Tap indices/weights are computed on the
-  host in float64 by :func:`geometry.bilinear_taps` (bit-identical to the
-  NumPy oracle) and shipped as per-output-pixel ``(i0, w1)`` arrays; the
+* **Exact taps, built on device.**  Tap windows are computed on the host in
+  float64 by :func:`geometry.filter_taps` (row-identical to the oracle's
+  dense matrices) and shipped as per-output-pixel ``(i0, w[:K])`` arrays; the
   kernel reconstructs the weight block by iota-comparison:
-  ``Wr[r, b] = (b == i0[r]) * (1 - w1[r]) + (b == i0[r] + 1) * w1[r]``.
-  No f32 coordinate math on device ⇒ no tap drift at tile seams.
+  ``Wr[r, b] = sum_k (b == i0[r] + k) * w[r, k]``.  Bilinear is K=2; the
+  triangle/box antialiasing filters are the same kernel with wider windows
+  (K capped at 64 taps; beyond that the XLA engine takes over).  No f32
+  coordinate math on device ⇒ no tap drift at tile seams.
 * **Sources stay in HBM** (planar CHW uint8); each grid step DMAs only its
   band to VMEM (scalar-prefetched band starts), and writes the output tile
   as uint8 (quantization fused into the store).  HBM traffic ≈ bytes(source
@@ -109,13 +111,17 @@ def placement_is_copy(p: Placement, filter_kind: str) -> Optional[Tuple[int, int
     return int(ri0[0]), int(ci0[0])
 
 
+_MAX_TAPS = 64       # K cap; heavier downscales fall back to the XLA engine
+
+
 class _Schedule:
-    """Static tiling schedule + host-computed taps for one placement."""
+    """Static tiling schedule + host-computed K-tap weights for one placement.
+
+    Any separable filter reduces to per-output-pixel windows ``(i0, w[:K])``
+    (geometry.filter_taps); bilinear is the K=2 case.
+    """
 
     def __init__(self, p: Placement, filter_kind: str):
-        if filter_kind != "bilinear":
-            raise Infeasible("pallas engine implements the bilinear "
-                             "(Canvas-2D drawImage) filter only")
         self.p = p
         disp_w, disp_h = geometry.display_size(p.raw_w, p.raw_h, p.orientation)
         self.m_h, self.m_w = disp_h, disp_w
@@ -131,13 +137,25 @@ class _Schedule:
         if self.n_rows <= 0 or self.n_cols <= 0:
             raise Infeasible("empty dest rect")
 
+        # Host-exact taps (float64 weights, stored f32).
+        ri0, rw = geometry.filter_taps(r0, r1, p.y0, p.h, self.m_h,
+                                       filter_kind)
+        ci0, cw = geometry.filter_taps(c0, c1, p.x0, p.w, self.m_w,
+                                       filter_kind)
+        self.k_rows = rw.shape[1]
+        self.k_cols = cw.shape[1]
+        if max(self.k_rows, self.k_cols) > _MAX_TAPS:
+            raise Infeasible(
+                f"filter window K={max(self.k_rows, self.k_cols)} exceeds "
+                f"{_MAX_TAPS} taps (extreme downscale; use the XLA engine)")
+
         # Pick tile sizes; shrink while the band would blow VMEM.
         th, tw = _TILE_ROWS, _TILE_COLS
         th = min(th, _round_up(self.n_rows, 8))
         tw = min(tw, _round_up(self.n_cols, 128))
         while True:
-            bh = self._band_size(th, p.y0, p.h, self.m_h, self.m_h_pad, 8)
-            bw = self._band_size(tw, p.x0, p.w, self.m_w, self.m_w_pad, 128)
+            bh = self._band_size(ri0, self.k_rows, th, self.m_h_pad, 8)
+            bw = self._band_size(ci0, self.k_cols, tw, self.m_w_pad, 128)
             # 2x uint8 bands + f32 band + Wr + tmp + Wc + out tile
             vmem = (bh * bw) * 6 + (th * bh + th * bw + bw * tw + th * tw) * 4
             if vmem <= _MAX_BAND_BYTES:
@@ -155,46 +173,50 @@ class _Schedule:
         self.grid_r = _cdiv(self.n_rows, th)
         self.grid_c = _cdiv(self.n_cols, tw)
 
-        # Host-exact taps (float64), padded to tile multiples.
+        # Tap arrays padded to tile multiples.  Rows ride the sublane axis,
+        # cols the lane axis — blocks then already have the broadcast shape
+        # the kernel needs, with no on-device transposes.
         self.rows_pad = self.grid_r * th
         self.cols_pad = self.grid_c * tw
-        ri0, _, rw1 = geometry.bilinear_taps(r0, r1, p.y0, p.h, self.m_h)
-        ci0, _, cw1 = geometry.bilinear_taps(c0, c1, p.x0, p.w, self.m_w)
-        # rows as a column vector (sublane axis), cols as a row vector (lane
-        # axis) — each block then already has the broadcast shape the kernel
-        # needs, with no on-device transposes.
         self.row_i0 = _pad_to(ri0, self.rows_pad).reshape(-1, 1)
-        self.row_w1 = _pad_to(rw1.astype(np.float32), self.rows_pad).reshape(-1, 1)
+        self.row_w = _pad_to(rw.astype(np.float32), self.rows_pad)
         self.col_i0 = _pad_to(ci0, self.cols_pad).reshape(1, -1)
-        self.col_w1 = _pad_to(cw1.astype(np.float32), self.cols_pad).reshape(1, -1)
+        self.col_w = np.ascontiguousarray(
+            _pad_to(cw.astype(np.float32), self.cols_pad).T)   # (K, cols_pad)
 
         # Band starts per tile: aligned down to the slice alignment and
         # clamped so a full static-size band always fits in the padded source.
-        self.row_starts = self._band_starts(ri0, self.grid_r, th, self.bh,
-                                            self.m_h, self.m_h_pad, 8)
-        self.col_starts = self._band_starts(ci0, self.grid_c, tw, self.bw,
-                                            self.m_w, self.m_w_pad, 128)
+        self.row_starts = self._band_starts(ri0, self.k_rows, self.grid_r,
+                                            th, self.bh, self.m_h,
+                                            self.m_h_pad, 8)
+        self.col_starts = self._band_starts(ci0, self.k_cols, self.grid_c,
+                                            tw, self.bw, self.m_w,
+                                            self.m_w_pad, 128)
 
     @staticmethod
-    def _band_size(tile: int, a: float, length: float, m: int, m_pad: int,
+    def _band_size(i0: np.ndarray, k: int, tile: int, m_pad: int,
                    align: int) -> int:
-        # widest source window any `tile` consecutive dest px can need, plus
-        # one `align` of slack for aligning the band start down, rounded up
-        # to the slice-shape alignment.
-        span = tile * m / max(length, 1e-9)
-        raw = int(math.ceil(span)) + 3 + align
-        return max(align, min(m_pad, _round_up(raw, align)))
+        # widest source window any `tile` consecutive dest px can need
+        # (data-driven from the actual taps), plus one `align` of slack for
+        # aligning the band start down.
+        n = len(i0)
+        need = 1
+        for g in range(_cdiv(n, tile)):
+            lo = int(i0[min(g * tile, n - 1)])
+            hi = int(i0[min((g + 1) * tile - 1, n - 1)]) + k
+            need = max(need, hi - lo)
+        return max(align, min(m_pad, _round_up(need + align, align)))
 
     @staticmethod
-    def _band_starts(i0: np.ndarray, grid: int, tile: int, band: int,
+    def _band_starts(i0: np.ndarray, k: int, grid: int, tile: int, band: int,
                      m: int, m_pad: int, align: int) -> np.ndarray:
         starts = np.zeros((grid,), np.int32)
         n = len(i0)
         for g in range(grid):
             lo = int(i0[min(g * tile, n - 1)])
-            # +1 for the i1 tap, +1 exclusive; the i0+1 tap at the source edge
-            # has zero weight, so coverage is only ever needed up to m.
-            hi = min(int(i0[min((g + 1) * tile - 1, n - 1)]) + 2, m)
+            # in-range taps never exceed m (out-of-range taps carry zero
+            # weight), so coverage is only ever needed up to m
+            hi = min(int(i0[min((g + 1) * tile - 1, n - 1)]) + k, m)
             start = max(0, min((lo // align) * align, m_pad - band))
             if hi - start > band:
                 raise Infeasible("band size underestimated")  # defensive
@@ -221,7 +243,7 @@ def _make_kernel(s: _Schedule, batched: bool, channels: int, batch: int):
     grid_r, grid_c = s.grid_r, s.grid_c
     total = max(1, batch) * channels * grid_r * grid_c
 
-    def kernel(ints, src, row_i0, row_w1, col_i0, col_w1, out, band, sem):
+    def kernel(ints, src, row_i0, row_w, col_i0, col_w, out, band, sem):
         # grid is (C, gr, gc) single-job or (B, C, gr, gc) batched; the last
         # three axes always mean (channel, row-tile, col-tile).  Grid steps
         # run sequentially (all dims "arbitrary"), so the source band for
@@ -264,19 +286,20 @@ def _make_kernel(s: _Schedule, batched: bool, channels: int, batch: int):
         rs = pl.multiple_of(ints[i], 8)
         cs = pl.multiple_of(ints[grid_r + j], 128)
 
-        # Row weight block (Th, Bh): source-absolute iota vs host-exact taps.
+        # Weight blocks: source-absolute iota compared against the K-tap
+        # windows (host-exact f64 taps, geometry.filter_taps); bilinear is
+        # K=2.  Static K -> the loop unrolls into K vectorized selects.
         b_rows = jax.lax.broadcasted_iota(jnp.int32, (s.th, bh), 1) + rs
         i0r = row_i0[...]                    # (Th, 1)
-        w1r = row_w1[...]
-        wr = (jnp.where(b_rows == i0r, 1.0 - w1r, 0.0)
-              + jnp.where(b_rows == i0r + 1, w1r, 0.0))
+        wr = jnp.zeros((s.th, bh), jnp.float32)
+        for k in range(s.k_rows):
+            wr = wr + jnp.where(b_rows == i0r + k, row_w[:, k][:, None], 0.0)
 
-        # Col weight block (Bw, Tw).
         b_cols = jax.lax.broadcasted_iota(jnp.int32, (bw, s.tw), 0) + cs
         i0c = col_i0[...]                    # (1, Tw)
-        w1c = col_w1[...]
-        wc = (jnp.where(b_cols == i0c, 1.0 - w1c, 0.0)
-              + jnp.where(b_cols == i0c + 1, w1c, 0.0))
+        wc = jnp.zeros((bw, s.tw), jnp.float32)
+        for k in range(s.k_cols):
+            wc = wc + jnp.where(b_cols == i0c + k, col_w[k, :][None, :], 0.0)
 
         dma_for(step, slot).wait()
         # Mosaic has no direct uint8<->f32 casts; route through int32.
@@ -348,9 +371,9 @@ def _build_call(key: Tuple, channels: int, interpret: bool, batch: int = 0):
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),             # src
             pl.BlockSpec((s.th, 1), row_map),              # row_i0
-            pl.BlockSpec((s.th, 1), row_map),              # row_w1
+            pl.BlockSpec((s.th, s.k_rows), row_map),       # row_w
             pl.BlockSpec((1, s.tw), col_map),              # col_i0
-            pl.BlockSpec((1, s.tw), col_map),              # col_w1
+            pl.BlockSpec((s.k_cols, s.tw), col_map),       # col_w
         ],
         out_specs=out_spec,
         scratch_shapes=[
@@ -391,8 +414,8 @@ def resize_place_one(src_chw: jnp.ndarray, placement: Placement,
     s, call = _build_call((placement, filter_kind), channels, interpret)
     region = call(jnp.asarray(s.ints),
                   src_chw,
-                  jnp.asarray(s.row_i0), jnp.asarray(s.row_w1),
-                  jnp.asarray(s.col_i0), jnp.asarray(s.col_w1))
+                  jnp.asarray(s.row_i0), jnp.asarray(s.row_w),
+                  jnp.asarray(s.col_i0), jnp.asarray(s.col_w))
     return region, (s.r0, s.c0, s.n_rows, s.n_cols)
 
 
@@ -406,8 +429,8 @@ def resize_place_batch(src_bchw: jnp.ndarray, placement: Placement,
                           batch=batch)
     region = call(jnp.asarray(s.ints),
                   src_bchw,
-                  jnp.asarray(s.row_i0), jnp.asarray(s.row_w1),
-                  jnp.asarray(s.col_i0), jnp.asarray(s.col_w1))
+                  jnp.asarray(s.row_i0), jnp.asarray(s.row_w),
+                  jnp.asarray(s.col_i0), jnp.asarray(s.col_w))
     return region, (s.r0, s.c0, s.n_rows, s.n_cols)
 
 

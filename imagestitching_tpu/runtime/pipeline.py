@@ -387,11 +387,6 @@ def _strategy_ladder(ex: "tiler.ExecutionPlan", plan: LayoutPlan):
 def _pallas_ok(plan: LayoutPlan, config: RuntimeConfig) -> bool:
     if config.engine == "xla" or config.engine == "oracle":
         return False
-    if plan.filter != "bilinear":
-        if config.engine == "pallas":
-            raise NotImplementedError(
-                "pallas engine implements the bilinear filter only")
-        return False
     try:
         from ..ops import pallas_resize
         for p in plan.placements:

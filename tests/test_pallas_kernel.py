@@ -96,22 +96,43 @@ def test_grayscale():
     assert_parity(plan, imgs)
 
 
-def test_nonbilinear_rejected():
-    plan = plan_for([ImageSpec(16, 16)], filter="triangle")
+@pytest.mark.parametrize("kind", ["triangle", "box"])
+def test_aa_filters_downscale(kind):
+    # K-tap generalization: AA filters with multi-tap windows on downscale
+    imgs = [rand_img(200, 160), rand_img(64, 48)]
+    plan = plan_for([ImageSpec(200, 160), ImageSpec(64, 48)], mode="min",
+                    filter=kind)
+    assert_parity(plan, imgs)
+
+
+@pytest.mark.parametrize("kind", ["triangle", "box"])
+def test_aa_filters_mixed_scales_and_orientations(kind):
+    specs = [ImageSpec(120, 90, orientation=6), ImageSpec(90, 120),
+             ImageSpec(150, 60, orientation=3)]
+    imgs = [rand_img(120, 90), rand_img(90, 120), rand_img(150, 60)]
+    plan = plan_for(specs, direction="horizontal", mode="min", gap=3,
+                    filter=kind)
+    assert_parity(plan, imgs)
+
+
+def test_extreme_downscale_rejected():
+    # K beyond the tap cap falls back (auto engines go to XLA)
+    plan = plan_for([ImageSpec(4000, 4000), ImageSpec(20, 20)], mode="min",
+                    filter="triangle")
     with pytest.raises(NotImplementedError):
-        pallas_resize.stitch(plan, [rand_img(16, 16)], interpret=True)
+        pallas_resize.stitch(plan, [rand_img(4000, 4000), rand_img(20, 20)],
+                             interpret=True)
 
 
-def test_api_auto_falls_back_for_triangle():
+def test_api_auto_falls_back_for_extreme_downscale():
     from imagestitching_tpu import api
     from imagestitching_tpu.config import RuntimeConfig
-    arrs = [rand_img(40, 30), rand_img(30, 40)]
-    out = api.stitch_arrays(arrs,
-                            options=StitchOptions(filter="triangle"),
+    arrs = [rand_img(4000, 4000), rand_img(20, 20)]
+    opts = StitchOptions(filter="triangle", mode="min")
+    out = api.stitch_arrays(arrs, options=opts,
                             config=RuntimeConfig(engine="auto",
                                                  interpret=True))
-    want = api.stitch_arrays(arrs,
-                             options=StitchOptions(filter="triangle"),
+    want = api.stitch_arrays(arrs, options=opts,
                              config=RuntimeConfig(engine="oracle"))
     assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
 
