@@ -66,11 +66,14 @@ def orient_jnp(img: jnp.ndarray, orientation: int) -> jnp.ndarray:
 
 def _axis_params(lo: int, hi: int, a: float, length: float, m: int,
                  kind: str):
-    """Per-axis resample params: 2-tap arrays for bilinear, dense matrix else."""
-    if kind == "bilinear":
-        i0, i1, w1 = geometry.bilinear_taps(lo, hi, a, length, m)
-        return {"i0": i0, "i1": i1, "w1": w1.astype(np.float32)}
-    return {"w": geometry.filter_matrix(lo, hi, a, length, m, kind=kind)}
+    """Per-axis K-tap resample params (bilinear is K=2).
+
+    Same ``filter_taps`` windows as the Pallas kernel and the streamed
+    executables — every engine/strategy computes weights identically, so
+    strategy choice never changes the output bits.
+    """
+    i0, w = geometry.filter_taps(lo, hi, a, length, m, kind)
+    return {"i0": i0, "w": w.astype(np.float32)}
 
 
 def placement_params(p: Placement, kind: str) -> dict:
@@ -88,24 +91,27 @@ def placement_params(p: Placement, kind: str) -> dict:
 # Device-side resample + composite
 # ---------------------------------------------------------------------------
 
+def _ktap(img: jnp.ndarray, prm: dict, axis: int) -> jnp.ndarray:
+    """K-tap separable resample via gathers; out-of-range taps weigh zero."""
+    m = img.shape[axis]
+    i0 = jnp.asarray(prm["i0"])
+    w = prm["w"]
+    acc = None
+    for k in range(w.shape[1]):
+        shape = [1] * img.ndim
+        shape[axis] = w.shape[0]
+        term = jnp.take(img, jnp.clip(i0 + k, 0, m - 1),
+                        axis=axis) * jnp.asarray(w[:, k]).reshape(shape)
+        acc = term if acc is None else acc + term
+    return acc
+
+
 def _resample_axis0(img: jnp.ndarray, prm: dict) -> jnp.ndarray:
-    if "i0" in prm:
-        w1 = prm["w1"][:, None, None]
-        return (jnp.take(img, prm["i0"], axis=0) * (1.0 - w1)
-                + jnp.take(img, prm["i1"], axis=0) * w1)
-    return jnp.einsum("nm,mwc->nwc", prm["w"], img,
-                      preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+    return _ktap(img, prm, 0)
 
 
 def _resample_axis1(img: jnp.ndarray, prm: dict) -> jnp.ndarray:
-    if "i0" in prm:
-        w1 = prm["w1"][None, :, None]
-        return (jnp.take(img, prm["i0"], axis=1) * (1.0 - w1)
-                + jnp.take(img, prm["i1"], axis=1) * w1)
-    return jnp.einsum("nwc,kw->nkc", img, prm["w"],
-                      preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+    return _ktap(img, prm, 1)
 
 
 def to_uint8(x: jnp.ndarray) -> jnp.ndarray:

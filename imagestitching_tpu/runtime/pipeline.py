@@ -87,24 +87,38 @@ def _copy_update_exe(canvas_shape, src_shape, window_shape, orientation):
     return jax.jit(fn, donate_argnums=(0,))
 
 
+def _ktap_axis(img, i0, w, axis):
+    """K-tap separable resample along ``axis`` via gathers (XLA engine).
+
+    ``i0 (n,) int32`` window starts, ``w (n, K) f32`` weights; out-of-range
+    taps carry zero weight, so clipped gather indices are harmless.
+    """
+    m = img.shape[axis]
+    K = w.shape[1]
+    acc = None
+    for k in range(K):
+        wk = w[:, k]
+        shape = [1, 1, 1]
+        shape[axis] = wk.shape[0]
+        term = jnp.take(img, jnp.clip(i0 + k, 0, m - 1),
+                        axis=axis) * wk.reshape(shape)
+        acc = term if acc is None else acc + term
+    return acc
+
+
 @functools.lru_cache(maxsize=256)
 def _resample_update_exe(canvas_shape, src_shape, region_shape, orientation):
-    """Shape-keyed resample-and-place executable (XLA 2-tap engine).
+    """Shape-keyed resample-and-place executable (XLA K-tap engine).
 
     Taps and the destination offset arrive as runtime arguments, so every
-    placement with the same (source shape, region shape, orientation) shares
-    ONE compile regardless of its position or exact scale.
+    placement with the same (source shape, region shape, orientation, K)
+    shares ONE compile regardless of its position or exact scale.
     """
     def fn(canvas, raw, offs, taps):
         img = xla_compose.orient_jnp(raw, orientation).astype(jnp.float32)
-        ri0, rw1, ci0, cw1 = taps
-        mh, mw = img.shape[0], img.shape[1]
-        w1 = rw1[:, None, None]
-        img = (jnp.take(img, ri0, axis=0) * (1.0 - w1)
-               + jnp.take(img, jnp.minimum(ri0 + 1, mh - 1), axis=0) * w1)
-        w1c = cw1[None, :, None]
-        img = (jnp.take(img, ci0, axis=1) * (1.0 - w1c)
-               + jnp.take(img, jnp.minimum(ci0 + 1, mw - 1), axis=1) * w1c)
+        ri0, rw, ci0, cw = taps
+        img = _ktap_axis(img, ri0, rw, 0)
+        img = _ktap_axis(img, ci0, cw, 1)
         region = xla_compose.to_uint8(img)
         return jax.lax.dynamic_update_slice(
             canvas, region, (offs[0], offs[1], 0))
@@ -115,7 +129,7 @@ def _streamed_update(plan, index: int, channels: int, canvas, src):
     """Apply placement ``index`` to the donated canvas (shape-keyed exes).
 
     Streamed/overlapped mode intentionally uses the copy-blit or the XLA
-    2-tap executables (one compile per shape class); the fused Pallas kernel
+    K-tap executables (one compile per shape class); the fused Pallas kernel
     belongs to resident mode where the whole job is one program.
     """
     p = plan.placements[index]
@@ -131,13 +145,15 @@ def _streamed_update(plan, index: int, channels: int, canvas, src):
                             p.row_span[0], p.col_span[0]], jnp.int32)
         return exe(canvas, src, offs)
     disp_w, disp_h = geometry.display_size(p.raw_w, p.raw_h, p.orientation)
-    ri0, _, rw1 = geometry.bilinear_taps(*p.row_span, p.y0, p.h, disp_h)
-    ci0, _, cw1 = geometry.bilinear_taps(*p.col_span, p.x0, p.w, disp_w)
+    ri0, rw = geometry.filter_taps(*p.row_span, p.y0, p.h, disp_h,
+                                   plan.filter)
+    ci0, cw = geometry.filter_taps(*p.col_span, p.x0, p.w, disp_w,
+                                   plan.filter)
     exe = _resample_update_exe(canvas.shape, src.shape, (nr, nc, channels),
                                p.orientation)
     offs = jnp.asarray([p.row_span[0], p.col_span[0]], jnp.int32)
-    taps = (jnp.asarray(ri0), jnp.asarray(rw1.astype(np.float32)),
-            jnp.asarray(ci0), jnp.asarray(cw1.astype(np.float32)))
+    taps = (jnp.asarray(ri0), jnp.asarray(rw.astype(np.float32)),
+            jnp.asarray(ci0), jnp.asarray(cw.astype(np.float32)))
     return exe(canvas, src, offs, taps)
 
 
@@ -181,27 +197,39 @@ class _BandedExecutor:
         self.plan = plan
         self.band = band_rows
         self.channels = channels
-        # fixed crop height per image (worst case over bands)
+        # per image: full-axis row taps (windows sliced per band) + fixed
+        # worst-case crop height, and band-invariant column taps
         self.crop_rows: List[int] = []
+        self.row_taps = []
         self.col_taps = []
         for p in plan.placements:
             disp_w, disp_h = geometry.display_size(p.raw_w, p.raw_h,
                                                    p.orientation)
-            scale = p.h / max(1, disp_h)
-            need = min(disp_h,
-                       int(np.ceil(band_rows / max(scale, 1e-9))) + 3)
-            self.crop_rows.append(need)
+            r0, r1 = p.row_span
             c0, c1 = p.col_span
-            if c1 > c0:
-                ci0, _, cw1 = geometry.bilinear_taps(c0, c1, p.x0, p.w,
-                                                     disp_w)
-                self.col_taps.append(
-                    {"i0": ci0, "w1": cw1.astype(np.float32)})
-            else:
+            if c1 <= c0 or r1 <= r0:
+                self.row_taps.append(None)
                 self.col_taps.append(None)
+                self.crop_rows.append(1)
+                continue
+            ri0, rw = geometry.filter_taps(r0, r1, p.y0, p.h, disp_h,
+                                           plan.filter)
+            ci0, cw = geometry.filter_taps(c0, c1, p.x0, p.w, disp_w,
+                                           plan.filter)
+            k_rows = rw.shape[1]
+            # widest window any `band_rows` consecutive dest rows can need
+            need = k_rows
+            n = len(ri0)
+            for g0 in range(0, n, band_rows):
+                g1 = min(n, g0 + band_rows)
+                need = max(need, int(ri0[g1 - 1]) + k_rows - int(ri0[g0]))
+            self.crop_rows.append(min(disp_h, need))
+            self.row_taps.append({"i0": ri0, "w": rw.astype(np.float32)})
+            self.col_taps.append({"i0": ci0.astype(np.int32),
+                                  "w": cw.astype(np.float32)})
         self._jitted = jax.jit(self._compose)
 
-    def _compose(self, crops, rows_i0, rows_w1, rows_in):
+    def _compose(self, crops, rows_i0, rows_w, rows_in):
         plan, band, channels = self.plan, self.band, self.channels
         bg = jnp.asarray(plan.background[:channels], jnp.float32)
         canvas = jnp.broadcast_to(bg, (band, plan.canvas_w, channels))
@@ -210,18 +238,9 @@ class _BandedExecutor:
             if tp is None:
                 continue
             crop = crops[idx].astype(jnp.float32)
-            mh = crop.shape[0]
-            ri0 = rows_i0[idx]
-            rw1 = rows_w1[idx][:, None, None]
-            rows = (jnp.take(crop, ri0, axis=0) * (1.0 - rw1)
-                    + jnp.take(crop, jnp.minimum(ri0 + 1, mh - 1),
-                               axis=0) * rw1)
-            cw1 = jnp.asarray(tp["w1"])[None, :, None]
-            ci0 = jnp.asarray(tp["i0"])
-            mw = crop.shape[1]
-            full = (jnp.take(rows, ci0, axis=1) * (1.0 - cw1)
-                    + jnp.take(rows, jnp.minimum(ci0 + 1, mw - 1),
-                               axis=1) * cw1)
+            rows = _ktap_axis(crop, rows_i0[idx], rows_w[idx], 0)
+            full = _ktap_axis(rows, jnp.asarray(tp["i0"]),
+                              jnp.asarray(tp["w"]), 1)
             c0, c1 = p.col_span
             region = jax.lax.dynamic_update_slice(
                 jnp.zeros((band, plan.canvas_w, channels), jnp.float32),
@@ -241,37 +260,40 @@ class _BandedExecutor:
                        np.uint8)
         bands = tiler.band_ranges(plan, band)
         for bi, (lo, hi) in enumerate(bands):
-            crops, r_i0, r_w1, r_in = [], [], [], []
+            crops, r_i0, r_w, r_in = [], [], [], []
             for idx, p in enumerate(plan.placements):
                 need = self.crop_rows[idx]
                 img = oriented_images[idx]
                 disp_h = img.shape[0]
+                tp = self.row_taps[idx]
+                k = tp["w"].shape[1] if tp is not None else 1
                 i0 = np.zeros((band,), np.int32)
-                w1 = np.zeros((band,), np.float32)
+                w = np.zeros((band, k), np.float32)
                 inb = np.zeros((band,), np.float32)
-                win = tiler.band_source_rows(p, lo, hi)
-                if win is None or self.col_taps[idx] is None:
+                r0, r1 = p.row_span
+                br0, br1 = max(r0, lo), min(r1, hi)
+                if tp is None or br1 <= br0:
                     crops.append(np.zeros((need,) + img.shape[1:], np.uint8))
                 else:
-                    br0, br1, s_lo, s_hi = win
-                    s_lo = min(s_lo, max(0, disp_h - need))
+                    # slice this band's windows from the full-axis taps
+                    ri0 = tp["i0"][br0 - r0: br1 - r0]
+                    rw = tp["w"][br0 - r0: br1 - r0]
+                    s_lo = min(int(ri0[0]), max(0, disp_h - need))
                     crop = img[s_lo: s_lo + need]
                     if crop.shape[0] < need:      # short image
                         crop = np.pad(crop, ((0, need - crop.shape[0]),
                                              (0, 0), (0, 0)))
-                    ri0, _, rw1 = geometry.bilinear_taps(
-                        br0, br1, p.y0, p.h, disp_h)
                     i0[br0 - lo: br1 - lo] = np.minimum(ri0 - s_lo, need - 1)
-                    w1[br0 - lo: br1 - lo] = rw1
+                    w[br0 - lo: br1 - lo] = rw
                     inb[br0 - lo: br1 - lo] = 1.0
                     crops.append(np.ascontiguousarray(crop))
                 r_i0.append(i0)
-                r_w1.append(w1)
+                r_w.append(w)
                 r_in.append(inb)
             band_out = np.asarray(self._jitted(
                 [jnp.asarray(c) for c in crops],
                 [jnp.asarray(x) for x in r_i0],
-                [jnp.asarray(x) for x in r_w1],
+                [jnp.asarray(x) for x in r_w],
                 [jnp.asarray(x) for x in r_in]))
             out[lo:hi] = band_out[: hi - lo]
             progress("composite", 0.30 + 0.60 * (bi + 1) / len(bands))

@@ -28,6 +28,7 @@ def random_job(rng):
         gap=float(rng.choice([0, 1, 3.5, 8, 20])),
         supersample=bool(rng.integers(0, 2)),
         background=tuple(int(x) for x in rng.integers(0, 256, 3)),
+        filter=str(rng.choice(["bilinear", "bilinear", "triangle", "box"])),
         max_images=None,
     )
     return specs, imgs, options
