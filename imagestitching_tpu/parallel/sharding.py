@@ -36,12 +36,25 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _shard_taps(plan: LayoutPlan, n_shards: int, band: int) -> List[dict]:
-    """Per-image stacked tap arrays, one row per shard.
+def _ktap(img, i0, w, axis):
+    """K-tap separable resample along ``axis`` (zero-weight taps clipped)."""
+    m = img.shape[axis]
+    acc = None
+    for k in range(w.shape[1]):
+        shape = [1, 1, 1]
+        shape[axis] = w.shape[0]
+        term = jnp.take(img, jnp.clip(i0 + k, 0, m - 1),
+                        axis=axis) * w[:, k].reshape(shape)
+        acc = term if acc is None else acc + term
+    return acc
 
-    For shard k covering canvas rows [k*band, (k+1)*band): row taps for the
-    intersection with each image's row span (padded to ``band``), column taps
-    (shard-invariant, repeated), the in-band dest row offset and valid count.
+
+def _shard_taps(plan: LayoutPlan, n_shards: int, band: int) -> List[dict]:
+    """Per-image stacked K-tap arrays, one row per shard.
+
+    For shard k covering canvas rows [k*band, (k+1)*band): row tap windows
+    for the intersection with each image's row span (padded to ``band``),
+    column windows (shard-invariant, repeated), and the in-span mask.
     """
     out = []
     for p in plan.placements:
@@ -50,28 +63,34 @@ def _shard_taps(plan: LayoutPlan, n_shards: int, band: int) -> List[dict]:
         ncols = max(1, c1 - c0)
         disp_w, disp_h = geometry.display_size(p.raw_w, p.raw_h,
                                                p.orientation)
-        ci0, _, cw1 = geometry.bilinear_taps(c0, c1, p.x0, p.w, disp_w) \
-            if c1 > c0 else (np.zeros(1, np.int32), None, np.zeros(1))
+        if c1 > c0 and r1 > r0:
+            ci0, cw = geometry.filter_taps(c0, c1, p.x0, p.w, disp_w,
+                                           plan.filter)
+            fri0, frw = geometry.filter_taps(r0, r1, p.y0, p.h, disp_h,
+                                             plan.filter)
+        else:
+            ci0, cw = np.zeros(1, np.int32), np.zeros((1, 1))
+            fri0, frw = np.zeros(1, np.int32), np.zeros((1, 1))
+        k_rows = frw.shape[1]
         rows_i0 = np.zeros((n_shards, band), np.int32)
-        rows_w1 = np.zeros((n_shards, band), np.float32)
+        rows_w = np.zeros((n_shards, band, k_rows), np.float32)
         rows_in = np.zeros((n_shards, band), np.float32)  # in-span mask
         for k in range(n_shards):
             lo, hi = k * band, (k + 1) * band
             br0, br1 = max(r0, lo), min(r1, hi)
             if br1 <= br0 or c1 <= c0:
                 continue
-            ri0, _, rw1 = geometry.bilinear_taps(br0, br1, p.y0, p.h, disp_h)
             # taps placed at their band-relative positions — the device never
             # shifts rows, it just masks
-            rows_i0[k, br0 - lo: br1 - lo] = ri0
-            rows_w1[k, br0 - lo: br1 - lo] = rw1
+            rows_i0[k, br0 - lo: br1 - lo] = fri0[br0 - r0: br1 - r0]
+            rows_w[k, br0 - lo: br1 - lo] = frw[br0 - r0: br1 - r0]
             rows_in[k, br0 - lo: br1 - lo] = 1.0
         out.append({
-            "rows_i0": rows_i0, "rows_w1": rows_w1, "rows_in": rows_in,
+            "rows_i0": rows_i0, "rows_w": rows_w, "rows_in": rows_in,
             "cols_i0": np.broadcast_to(ci0.astype(np.int32),
                                        (n_shards, ncols)).copy(),
-            "cols_w1": np.broadcast_to(cw1.astype(np.float32),
-                                       (n_shards, ncols)).copy(),
+            "cols_w": np.broadcast_to(cw.astype(np.float32),
+                                      (n_shards,) + cw.shape).copy(),
         })
     return out
 
@@ -86,15 +105,8 @@ def _compose_band(plan: LayoutPlan, channels: int, band: int,
         if c1 <= c0:
             continue
         img = xla_compose.orient_jnp(raw, p.orientation).astype(jnp.float32)
-        mh, mw = img.shape[0], img.shape[1]
-        ri0 = tp["rows_i0"][0]
-        rw1 = tp["rows_w1"][0][:, None, None]
-        rows = (jnp.take(img, ri0, axis=0) * (1.0 - rw1)
-                + jnp.take(img, jnp.minimum(ri0 + 1, mh - 1), axis=0) * rw1)
-        ci0 = tp["cols_i0"][0]
-        cw1 = tp["cols_w1"][0][None, :, None]
-        full = (jnp.take(rows, ci0, axis=1) * (1.0 - cw1)
-                + jnp.take(rows, jnp.minimum(ci0 + 1, mw - 1), axis=1) * cw1)
+        rows = _ktap(img, tp["rows_i0"][0], tp["rows_w"][0], 0)
+        full = _ktap(rows, tp["cols_i0"][0], tp["cols_w"][0], 1)
         # rows are already band-positioned (taps placed host-side); columns
         # land at the static offset c0; mask off out-of-span rows.
         region = jax.lax.dynamic_update_slice(

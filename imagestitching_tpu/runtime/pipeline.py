@@ -462,8 +462,7 @@ def run(plan: LayoutPlan, images: Sequence[np.ndarray],
 
     mesh = config.mesh
     if (mesh is not None and getattr(mesh, "shape", {}).get("space", 1) > 1
-            and ex.strategy in ("resident", "streamed")
-            and plan.filter == "bilinear"):
+            and ex.strategy in ("resident", "streamed")):
         # multi-chip: shard this job's canvas row-bands over the space axis
         from ..parallel.sharding import ShardedStitch
         out = ShardedStitch(plan, mesh, channels)(images)

@@ -141,3 +141,15 @@ def test_pipeline_space_mesh_integration():
                     gap=5)
     want = oracle.stitch(plan, imgs)
     assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_sharded_triangle_filter():
+    # K-tap windows through shard_map: AA filter sharded over space axis
+    mesh = pmesh.make_mesh((1, 8))
+    specs = [ImageSpec(200, 160), ImageSpec(64, 48)]
+    plan = plan_for(specs, mode="min", gap=2, filter="triangle")
+    imgs = [rng.integers(0, 256, (160, 200, 3), np.uint8),
+            rng.integers(0, 256, (48, 64, 3), np.uint8)]
+    got = ShardedStitch(plan, mesh)(imgs)
+    want = oracle.stitch(plan, imgs)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
