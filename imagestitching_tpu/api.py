@@ -9,7 +9,6 @@ progress reporting, export) and TPU-native execution underneath.
 
 from __future__ import annotations
 
-import concurrent.futures as _futures
 import os
 from typing import Callable, List, Optional, Sequence, Tuple, Union
 
@@ -19,6 +18,7 @@ from .config import CanvasLimits, RuntimeConfig, StitchOptions
 from .core import oracle as _oracle
 from .core.layout import ImageSpec, solve
 from .imgio import codec
+from .runtime import decoding
 from .runtime.logger import get_logger
 
 ArrayLike = np.ndarray
@@ -51,13 +51,29 @@ def _load_one(item: ImageInput,
             if hit is not None:
                 return hit
         path = codec.transcode_if_needed(item)
-        arr, orientation = codec.decode(path)
+        arr, orientation = _decode_with_retry(path)
         if key is not None:
             cache.put(key, arr, orientation)
         return arr, orientation
     if isinstance(item, bytes):
-        return codec.decode(item)
+        return _decode_with_retry(item)
     raise TypeError(f"unsupported image input {type(item)!r}")
+
+
+def _decode_with_retry(src) -> Tuple[np.ndarray, int]:
+    """Decode with the stitch-time second-chance ladder.
+
+    The reference retries a failed load via transcode *inside the stitch
+    loop* (index.js:1464-1509) — a decode error on a known extension gets one
+    more, lossier, attempt before the job aborts.  Here the second chance is
+    a truncated-tolerant salvage decode (:func:`codec.salvage_decode`).
+    """
+    try:
+        return codec.decode(src)
+    except Exception as e:
+        get_logger().once("decode.salvage_attempt", error=repr(e))
+        get_logger().event("decode.salvage", error=repr(e))
+        return codec.salvage_decode(src)
 
 
 def _as_uint8(arr: np.ndarray) -> np.ndarray:
@@ -94,24 +110,19 @@ def prepare(items: Sequence[ImageInput], config: RuntimeConfig,
     images: List[Optional[np.ndarray]] = [None] * len(items)
     orientations: List[int] = [1] * len(items)
     failures: List[Tuple[int, Exception]] = []
-    workers = max(1, config.decode_threads)
     done = 0
-    with _futures.ThreadPoolExecutor(max_workers=workers) as pool:
-        futs = {pool.submit(_load_one, it, config): i
-                for i, it in enumerate(items)}
-        for fut in _futures.as_completed(futs):
-            i = futs[fut]
-            try:
-                images[i], orientations[i] = fut.result()
-            except Exception as e:  # noqa: BLE001 — isolation boundary
-                log.event("prepare.fail", index=i, error=repr(e))
-                if on_error == "raise":
-                    for other in futs:
-                        other.cancel()
-                    raise
-                failures.append((i, e))
-            done += 1
-            progress("prepare", done / max(1, len(items)))
+    jobs = [(lambda it=it: _load_one(it, config)) for it in items]
+    for i, value, err in decoding.iter_decoded(
+            jobs, config.decode_threads, config.decode_timeout_s):
+        if err is not None:
+            log.event("prepare.fail", index=i, error=repr(err))
+            if on_error == "raise":
+                raise err
+            failures.append((i, err))
+        else:
+            images[i], orientations[i] = value
+        done += 1
+        progress("prepare", done / max(1, len(items)))
 
     kept_images: List[np.ndarray] = []
     specs: List[ImageSpec] = []

@@ -107,6 +107,11 @@ class RuntimeConfig:
     profile: bool = False              # enable jax.profiler traces per phase
     decode_threads: int = 8            # host codec pool (replaces serial decode,
                                        # index.js:1125-1157, with true parallelism)
+    # Per-image decode watchdog (the reference's per-attempt load timeout,
+    # utils/canvas.js:68-81; 3-9 s on phones, index.js:1437): a decode still
+    # running after this many seconds is isolated as a TimeoutError for that
+    # image.  None disables the watchdog.
+    decode_timeout_s: Optional[float] = 30.0
     # decode||H2D||compute overlap: "auto" enables it for big jobs (the
     # reference's big-task thresholds: >=7 images or >=25 MB total,
     # index.js:1211-1212), "always"/"never" force it.
@@ -124,4 +129,7 @@ class RuntimeConfig:
         if self.overlap not in ("auto", "always", "never"):
             raise ValueError(f"overlap must be auto/always/never, "
                              f"got {self.overlap!r}")
+        if self.decode_timeout_s is not None and self.decode_timeout_s <= 0:
+            raise ValueError("decode_timeout_s must be positive or None, "
+                             f"got {self.decode_timeout_s}")
         return self

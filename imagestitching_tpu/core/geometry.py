@@ -224,8 +224,7 @@ def filter_taps(px_lo: int, px_hi: int, a: float, length: float, m: int,
         s = source_coords(px, a, length, m)
         support = max(1.0, 1.0 / scale)
         i0 = np.ceil(s - support)
-        K = int(np.floor(support) + support) + 2  # covers (s-sup, s+sup)
-        K = max(2, int(np.ceil(2 * support)) + 1)
+        K = max(2, int(np.ceil(2 * support)) + 1)  # covers (s-sup, s+sup)
         idx = i0[:, None] + np.arange(K)[None, :]
         w = np.maximum(0.0, 1.0 - np.abs(idx - s[:, None]) / support)
     elif kind == "box":

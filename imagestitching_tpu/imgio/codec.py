@@ -159,17 +159,23 @@ def decode(src: PathOrBytes,
     if fmt and native.available():
         # orientation still comes from the (cheap, header-only) EXIF parse
         orientation = 1
-        if fmt == "jpeg":
-            try:
-                with _open(data) as img:
-                    orientation = _read_orientation(img)
-                    denom = _jpeg_scale_denom(img.width, img.height,
-                                              max_pixels)
-            except Exception:
-                denom = 1
-            arr = native.decode_jpeg(data, denom)
-        else:
-            arr = native.decode_png(data)
+        try:
+            if fmt == "jpeg":
+                try:
+                    with _open(data) as img:
+                        orientation = _read_orientation(img)
+                        denom = _jpeg_scale_denom(img.width, img.height,
+                                                  max_pixels)
+                except Exception:
+                    denom = 1
+                arr = native.decode_jpeg(data, denom)
+            else:
+                arr = native.decode_png(data)
+        except Exception:
+            # fall through to Pillow — the creator-fallback ladder
+            # (utils/canvas.js:44-50): a native decode error must not be
+            # terminal while another decoder exists.
+            arr = None
         if arr is not None:
             return arr, orientation
 
@@ -246,6 +252,31 @@ def encode_bytes(array: np.ndarray, format: str = "png",
     else:
         img.save(buf, fmt)
     return buf.getvalue()
+
+
+_salvage_lock = __import__("threading").Lock()
+
+
+def salvage_decode(src: PathOrBytes) -> Tuple[np.ndarray, int]:
+    """Second-chance decode for corrupt-but-known-extension inputs.
+
+    The stitch-time retry ladder analog (pages/index/index.js:1464-1509): when
+    every strict decoder rejected the bytes, retry with truncated-stream
+    tolerance — recover the readable portion at quality cost rather than
+    aborting the whole job.  Raises (chained) if even the tolerant pass fails.
+    """
+    if not _HAVE_PIL:
+        raise RuntimeError("Pillow unavailable; cannot salvage-decode")
+    with _salvage_lock:   # LOAD_TRUNCATED_IMAGES is Pillow-global state
+        prev = ImageFile.LOAD_TRUNCATED_IMAGES
+        ImageFile.LOAD_TRUNCATED_IMAGES = True
+        try:
+            with _open(src) as img:
+                orientation = _read_orientation(img)
+                out = np.ascontiguousarray(np.asarray(img.convert("RGB")))
+            return out, orientation
+        finally:
+            ImageFile.LOAD_TRUNCATED_IMAGES = prev
 
 
 def transcode_if_needed(path: Union[str, os.PathLike],

@@ -31,6 +31,7 @@ class StitchLogger:
         self._lock = threading.Lock()
         self._path = path
         self._max_bytes = max_bytes
+        self._onced: set = set()
         if path:
             self._init_file()
 
@@ -58,6 +59,20 @@ class StitchLogger:
                 except OSError:
                     self._path = None  # degrade to ring-only, never crash
 
+    def once(self, tag: str, **payload: Any) -> bool:
+        """Log ``tag`` at most once per logger lifetime; True if it logged.
+
+        The one-shot toast dedup analog (pages/index/index.js:65-73): fallback
+        ladders use it so a degradation warning fires once per process, not
+        once per image/band.
+        """
+        with self._lock:
+            if tag in self._onced:
+                return False
+            self._onced.add(tag)
+        self.event(tag, **payload)
+        return True
+
     def ring(self) -> List[Dict[str, Any]]:
         with self._lock:
             return list(self._ring)
@@ -65,6 +80,7 @@ class StitchLogger:
     def clear(self) -> None:
         with self._lock:
             self._ring.clear()
+            self._onced.clear()
 
 
 _global: Optional[StitchLogger] = None

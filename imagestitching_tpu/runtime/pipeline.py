@@ -324,10 +324,16 @@ def run_overlapped(plan: LayoutPlan, loaders, config: RuntimeConfig,
     (pages/index/index.js:1439-1572).  Placements are independent, so images
     are placed in completion order; the canvas is donated between updates.
 
-    Raises on any decode failure: by stitch time geometry is committed, the
-    reference aborts there too (index.js:1507-1509).
+    The path runs under the same budget governor and OOM demotion ladder as
+    :func:`run` (big jobs are exactly the ones that need it): if the plan or
+    an actual OOM demands it, compositing demotes to the banded executor —
+    decoded arrays are retained on host so the retry never re-decodes.
+
+    Raises on any decode failure (including the watchdog's TimeoutError): by
+    stitch time geometry is committed, the reference aborts there too
+    (index.js:1507-1509).
     """
-    import concurrent.futures as _futures
+    from . import decoding
 
     config = config.validate()
     log = get_logger()
@@ -335,40 +341,97 @@ def run_overlapped(plan: LayoutPlan, loaders, config: RuntimeConfig,
                       strategy="overlapped")
     t_start = time.perf_counter()
     channels = 3
-
-    bg = np.asarray(plan.background[:channels], np.uint8)
-    canvas = jnp.array(jnp.broadcast_to(
-        jnp.asarray(bg), (plan.canvas_h, plan.canvas_w, channels)))
-
     n = len(loaders)
+
+    ex = tiler.plan_execution(plan, config.budget, channels)
+    m.est_peak_bytes = ex.est_peak_bytes
+    log.event("pipeline.plan", strategy=f"overlapped/{ex.strategy}",
+              est_peak_mb=round(ex.est_peak_bytes / 1e6, 1),
+              budget_mb=round(ex.budget_bytes / 1e6, 1),
+              canvas=(plan.canvas_w, plan.canvas_h))
+
+    def _checked(i: int, raw: np.ndarray) -> np.ndarray:
+        p = plan.placements[i]
+        if raw.shape[:2] != (p.raw_h, p.raw_w):
+            raise ValueError(
+                f"image {i}: decoded {raw.shape[1]}x{raw.shape[0]} but "
+                f"header said {p.raw_w}x{p.raw_h}")
+        return raw
+
+    # Retained for a potential banded retry (host RAM, not HBM).
+    decoded: List[Optional[np.ndarray]] = [None] * n
+    stream_ok = ex.strategy in ("resident", "streamed")
+    canvas = None
+    oom = None
+    if stream_ok:
+        bg = np.asarray(plan.background[:channels], np.uint8)
+        canvas = jnp.array(jnp.broadcast_to(
+            jnp.asarray(bg), (plan.canvas_h, plan.canvas_w, channels)))
+
     done = 0
     t_decode = 0.0
-    with _futures.ThreadPoolExecutor(
-            max_workers=max(1, config.decode_threads)) as pool:
-        futs = {pool.submit(loaders[i]): i for i in range(n)}
-        for fut in _futures.as_completed(futs):
-            i = futs[fut]
-            raw = np.asarray(fut.result())
-            t_decode = max(t_decode, time.perf_counter() - t_start)
-            p = plan.placements[i]
-            if raw.shape[:2] != (p.raw_h, p.raw_w):
-                raise ValueError(
-                    f"image {i}: decoded {raw.shape[1]}x{raw.shape[0]} but "
-                    f"header said {p.raw_w}x{p.raw_h}")
-            if p.row_span[1] > p.row_span[0] and p.col_span[1] > p.col_span[0]:
+    for i, raw, err in decoding.iter_decoded(
+            loaders, config.decode_threads, config.decode_timeout_s):
+        if err is not None:
+            log.event("pipeline.overlapped_decode_fail", index=i,
+                      error=repr(err))
+            raise err
+        raw = _checked(i, np.asarray(raw))
+        decoded[i] = raw
+        t_decode = max(t_decode, time.perf_counter() - t_start)
+        p = plan.placements[i]
+        if (canvas is not None and oom is None
+                and p.row_span[1] > p.row_span[0]
+                and p.col_span[1] > p.col_span[0]):
+            try:
                 src = jnp.asarray(raw)          # async H2D
                 canvas = _streamed_update(plan, i, channels, canvas, src)
-            done += 1
-            progress("composite", 0.30 + 0.60 * done / n)
+            except Exception as e:  # noqa: BLE001 — OOM classification
+                if not _is_oom(e):
+                    raise
+                oom = e
+                canvas = None       # free the device canvas before retry
+                log.event("pipeline.oom_retry", failed="overlapped",
+                          band=None)
+        done += 1
+        progress("composite", 0.30 + 0.60 * done / n)
     m.prepare_s = t_decode
-    t0 = time.perf_counter()
-    out = np.asarray(canvas)
-    m.readback_s = time.perf_counter() - t0
-    m.compute_s = m.readback_s  # device work is hidden under decode/readback
+
+    t_drain = time.perf_counter()
+    if canvas is not None and oom is None:
+        # compute_s = device drain exposed after the last decode (work that
+        # ran *under* decode is genuinely overlapped and costs no wall time)
+        canvas.block_until_ready()
+        m.compute_s = time.perf_counter() - t_drain
+        t0 = time.perf_counter()
+        out = np.asarray(canvas)
+        m.readback_s = time.perf_counter() - t0
+    else:
+        # demotion ladder: banded compositing from the retained host arrays
+        band = ex.band_rows or min(plan.canvas_h, 2048)
+        out = None
+        while band >= 8:
+            try:
+                out = _run_banded(plan, decoded, channels, band, progress)
+                break
+            except Exception as e:  # noqa: BLE001 — OOM classification
+                if not _is_oom(e):
+                    raise
+                oom = e
+                log.event("pipeline.oom_retry", failed="banded", band=band)
+                band //= 4
+        if out is None:
+            raise MemoryError(
+                "overlapped stitch ran out of device memory on every "
+                "strategy") from oom
+        m.strategy = "overlapped/banded"
+        m.compute_s = time.perf_counter() - t_drain
     m.total_s = time.perf_counter() - t_start
-    log.event("pipeline.overlapped_done", n=n,
+    log.event("pipeline.overlapped_done", n=n, strategy=m.strategy,
               total_s=round(m.total_s, 4),
               decode_wall_s=round(m.prepare_s, 4),
+              compute_s=round(m.compute_s, 4),
+              readback_s=round(m.readback_s, 4),
               mp_per_sec=round(m.mp_per_sec, 1))
     progress("composite", 1.0)
     return out, m

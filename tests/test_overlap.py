@@ -57,13 +57,29 @@ def test_overlapped_exif_jpeg(tmp_path):
     assert out.shape == (80, 30, 3)
 
 
-def test_overlapped_decode_failure_raises(tmp_path):
+def test_overlapped_truncated_input_salvaged(tmp_path):
+    # Header readable, body truncated: the second-chance salvage decode
+    # (index.js:1464-1509 analog) recovers the readable portion instead of
+    # aborting the job.
+    from imagestitching_tpu.runtime.logger import get_logger
     good = tmp_path / "g.png"
     make_png(good, 16, 16)
-    # header readable, body corrupt: truncate after the header bytes
     bad = tmp_path / "bad.png"
     data = good.read_bytes()
     bad.write_bytes(data[:80])
+    get_logger().clear()
+    out = ist.stitch([good, bad], config=RuntimeConfig(engine="xla",
+                                                       overlap="always"))
+    assert out.shape == (32, 16, 3)
+    tags = [r["tag"] for r in get_logger().ring()]
+    assert "decode.salvage" in tags
+
+
+def test_overlapped_hopeless_corruption_raises(tmp_path):
+    good = tmp_path / "g.png"
+    make_png(good, 16, 16)
+    bad = tmp_path / "bad.png"
+    bad.write_bytes(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)  # magic + garbage
     with pytest.raises(Exception):
         ist.stitch([good, bad], config=RuntimeConfig(engine="xla",
                                                      overlap="always"))
@@ -93,3 +109,49 @@ def test_overlapped_dimension_mismatch(tmp_path):
     loaders = [lambda: np.zeros((16, 16, 3), np.uint8)]
     with pytest.raises(ValueError, match="header said"):
         pipeline.run_overlapped(plan, loaders, RuntimeConfig(engine="xla"))
+
+
+def test_overlapped_budget_demotes_to_banded():
+    """VERDICT r1 #3: a big overlapped job under a tight budget must demote
+    to banded via the governor and still match the oracle."""
+    from imagestitching_tpu.config import MemoryBudget
+    from imagestitching_tpu.runtime import tiler
+
+    specs = [ImageSpec(120, 90), ImageSpec(90, 140), ImageSpec(100, 100)]
+    imgs = [rng.integers(0, 256, (s.raw_h, s.raw_w, 3), np.uint8)
+            for s in specs]
+    plan = solve(specs, StitchOptions(gap=2, supersample=False))
+    channels = 3
+    canvas = channels * plan.canvas_w * plan.canvas_h
+    streamed_peak = canvas + max(
+        tiler._src_bytes(p, channels) + tiler._region_bytes(p, channels)
+        for p in plan.placements)
+    budget = MemoryBudget(hbm_bytes=streamed_peak - 1)
+    assert tiler.plan_execution(plan, budget).strategy == "banded"
+
+    cfg = RuntimeConfig(engine="xla", budget=budget)
+    loaders = [(lambda a=a: a) for a in imgs]
+    out, m = pipeline.run_overlapped(plan, loaders, cfg)
+    assert m.strategy == "overlapped/banded"
+    want = oracle.stitch(plan, imgs)
+    assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_overlapped_oom_midstream_demotes(monkeypatch):
+    """An actual OOM during streamed updates retries banded from the
+    retained host arrays."""
+    specs = [ImageSpec(50, 40), ImageSpec(40, 50)]
+    imgs = [rng.integers(0, 256, (s.raw_h, s.raw_w, 3), np.uint8)
+            for s in specs]
+    plan = solve(specs, StitchOptions(supersample=False))
+
+    def boom(*a, **k):
+        raise RuntimeError("RESOURCE_EXHAUSTED: synthetic")
+
+    monkeypatch.setattr(pipeline, "_streamed_update", boom)
+    loaders = [(lambda a=a: a) for a in imgs]
+    out, m = pipeline.run_overlapped(plan, loaders,
+                                     RuntimeConfig(engine="xla"))
+    assert m.strategy == "overlapped/banded"
+    want = oracle.stitch(plan, imgs)
+    assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
