@@ -206,7 +206,8 @@ def stitch(items: Sequence[ImageInput],
            config: Optional[RuntimeConfig] = None,
            limits: Optional[CanvasLimits] = None,
            on_error: str = "raise",
-           progress: ProgressFn = _noop_progress) -> np.ndarray:
+           progress: ProgressFn = _noop_progress,
+           return_metrics: bool = False):
     """Stitch image files/bytes/arrays into one strip (returns uint8 HWC).
 
     The one-call equivalent of the reference's full user flow: pick
@@ -216,7 +217,11 @@ def stitch(items: Sequence[ImageInput],
     For big jobs (or ``config.overlap="always"``) decode, H2D and device
     compositing are overlapped: the layout is solved from image headers and
     each image is placed the moment its decode lands.
+
+    With ``return_metrics=True`` returns ``(array, StitchMetrics)``.
     """
+    import time as _time
+
     if options is None:
         options = StitchOptions(direction=direction, mode=mode, gap=gap)
     config = (config or RuntimeConfig()).validate()
@@ -230,20 +235,26 @@ def stitch(items: Sequence[ImageInput],
             plan = solve(specs, options, limits)
             loaders = [(lambda it=it: _load_one(it, config)[0])
                        for it in items]
-            out, _metrics = pipeline.run_overlapped(plan, loaders, config,
-                                                    progress)
-            return out
+            out, metrics = pipeline.run_overlapped(plan, loaders, config,
+                                                   progress)
+            return (out, metrics) if return_metrics else out
         # unprobeable input (needs transcode to even read the header):
         # fall through to the plain flow
 
+    t0 = _time.perf_counter()
     images, specs, failures = prepare(items, config, on_error, progress)
+    prepare_s = _time.perf_counter() - t0
     if not images:
         if failures:
             raise RuntimeError(
                 f"all {len(failures)} images failed to prepare; "
                 f"first: {failures[0][1]!r}")
         raise ValueError("no images to stitch")
-    return stitch_arrays(images, specs, options, config, limits, progress)
+    out, metrics = stitch_arrays(images, specs, options, config, limits,
+                                 progress, return_metrics=True)
+    metrics.prepare_s = prepare_s
+    metrics.total_s += prepare_s
+    return (out, metrics) if return_metrics else out
 
 
 def stitch_to_file(items: Sequence[ImageInput], out_path: Union[str, os.PathLike],
@@ -265,13 +276,61 @@ def preview_size(width: int, height: int, box_w: int,
 
 
 def make_preview(image: np.ndarray, box_w: int,
-                 min_height: int = 180) -> np.ndarray:
+                 min_height: int = 180, device: bool = True) -> np.ndarray:
     """Downscaled preview of a stitched strip (reference preview draw,
-    pages/index/index.js:1593-1609), using the same bilinear contract."""
-    image = _as_uint8(image)
-    h, w = image.shape[:2]
+    pages/index/index.js:1593-1609), using the same bilinear contract.
+
+    Runs on device by default — a 100+ MP strip previews in milliseconds and
+    only the preview-sized result crosses back to the host; ``device=False``
+    forces the float64 host (oracle) path.
+    """
+    if device and not isinstance(image, np.ndarray):
+        image = np.asarray(image) if not _is_jax_array(image) else image
+    h, w = (image.shape[0], image.shape[1])
     pw, ph = preview_size(w, h, box_w, min_height)
+    if device:
+        try:
+            return np.asarray(_device_resize(image, ph, pw))
+        except Exception as e:  # noqa: BLE001 — host fallback ladder
+            get_logger().once("preview.host_fallback", error=repr(e))
+    image = _as_uint8(np.asarray(image))
     from .core import oracle as _o
     rows = _o.resample_axis(image.astype(np.float64), 0, 0, ph, 0.0, float(ph))
     full = _o.resample_axis(rows, 1, 0, pw, 0.0, float(pw))
     return _oracle.to_uint8(full)
+
+
+def _is_jax_array(x) -> bool:
+    return type(x).__module__.startswith("jax")
+
+
+_resize_jit = None
+
+
+def _device_resize(image, ph: int, pw: int):
+    """Jitted bilinear resize with the engine's tap contract (f32 on device).
+
+    One module-level jit, cached by jax per (input, output) shape class; taps
+    are runtime args so fractional scale changes never recompile.
+    """
+    global _resize_jit
+    import jax
+    import jax.numpy as jnp
+
+    from .core import geometry
+    from .ops import xla_compose
+
+    if _resize_jit is None:
+        def fn(img, ri0, rw, ci0, cw):
+            x = img.astype(jnp.float32)
+            x = xla_compose._ktap(x, {"i0": ri0, "w": rw}, 0)
+            x = xla_compose._ktap(x, {"i0": ci0, "w": cw}, 1)
+            return xla_compose.to_uint8(x)
+        _resize_jit = jax.jit(fn)
+
+    h, w = image.shape[0], image.shape[1]
+    ri0, rw = geometry.filter_taps(0, ph, 0.0, float(ph), h, "bilinear")
+    ci0, cw = geometry.filter_taps(0, pw, 0.0, float(pw), w, "bilinear")
+    return _resize_jit(image if _is_jax_array(image) else jnp.asarray(image),
+                       jnp.asarray(ri0), jnp.asarray(rw.astype(np.float32)),
+                       jnp.asarray(ci0), jnp.asarray(cw.astype(np.float32)))

@@ -9,13 +9,14 @@ pages/index/index.js:791-885) plus the engineering knobs the app hard-codes
 from __future__ import annotations
 
 import argparse
+import dataclasses as _dc
 import json
 import sys
 import time
 from typing import List, Optional
 
 from . import api
-from .config import CanvasLimits, RuntimeConfig, StitchOptions
+from .config import CanvasLimits, MemoryBudget, RuntimeConfig, StitchOptions
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -53,6 +54,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "default here: unlimited)")
     p.add_argument("--engine", choices=("auto", "pallas", "xla", "oracle"),
                    default="auto")
+    p.add_argument("--hbm-budget", type=float, default=None, metavar="GB",
+                   help="device memory budget in GiB for one job (governor "
+                        "picks resident/streamed/banded to fit; default 2)")
+    p.add_argument("--decode-threads", type=int, default=None,
+                   help="host decode pool size (default 8)")
+    p.add_argument("--decode-timeout", type=float, default=None, metavar="S",
+                   help="per-image decode watchdog seconds (default 30; "
+                        "0 disables)")
+    p.add_argument("--overlap", choices=("auto", "always", "never"),
+                   default="auto",
+                   help="overlap decode/H2D with device compositing "
+                        "(auto: big jobs only)")
+    p.add_argument("--metrics", action="store_true",
+                   help="print per-phase StitchMetrics JSON to stderr "
+                        "(or merged into --json output)")
     p.add_argument("--parity-profile", choices=("ios", "android"),
                    default=None,
                    help="apply the reference app's device limits "
@@ -94,9 +110,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.max_pixels is not None:
         limits_kw["max_pixels"] = args.max_pixels
     if limits_kw:
-        import dataclasses as _dc
         limits = _dc.replace(limits or CanvasLimits(), **limits_kw)
-    config = RuntimeConfig(engine=args.engine)
+    cfg_kw = {"engine": args.engine, "overlap": args.overlap}
+    if args.hbm_budget is not None:
+        cfg_kw["budget"] = MemoryBudget(
+            hbm_bytes=int(args.hbm_budget * (1 << 30)))
+    if args.decode_threads is not None:
+        cfg_kw["decode_threads"] = args.decode_threads
+    if args.decode_timeout is not None:
+        cfg_kw["decode_timeout_s"] = (args.decode_timeout
+                                      if args.decode_timeout > 0 else None)
+    config = RuntimeConfig(**cfg_kw)
 
     last = {"phase": None}
 
@@ -111,9 +135,9 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     t0 = time.perf_counter()
     try:
-        out = api.stitch(args.images, options=options, config=config,
-                         limits=limits, on_error=args.on_error,
-                         progress=progress)
+        out, metrics = api.stitch(args.images, options=options, config=config,
+                                  limits=limits, on_error=args.on_error,
+                                  progress=progress, return_metrics=True)
         from .imgio import codec
         codec.encode(args.output, out, quality=args.quality)
     except (ValueError, RuntimeError, OSError) as e:
@@ -121,11 +145,20 @@ def main(argv: Optional[List[str]] = None) -> int:
         return 1
     dt = time.perf_counter() - t0
     h, w = out.shape[:2]
+    mdict = {k: (round(v, 5) if isinstance(v, float) else v)
+             for k, v in _dc.asdict(metrics).items()}
+    mdict["mp_per_sec"] = round(metrics.mp_per_sec, 1)
     if args.as_json:
-        print(json.dumps({"output": args.output, "width": w, "height": h,
-                          "seconds": round(dt, 4)}))
-    elif not args.quiet:
-        print(f"{args.output}: {w}x{h} in {dt:.2f}s")
+        res = {"output": args.output, "width": w, "height": h,
+               "seconds": round(dt, 4)}
+        if args.metrics:
+            res["metrics"] = mdict
+        print(json.dumps(res))
+    else:
+        if args.metrics:
+            print(json.dumps(mdict), file=sys.stderr)
+        if not args.quiet:
+            print(f"{args.output}: {w}x{h} in {dt:.2f}s")
     return 0
 
 

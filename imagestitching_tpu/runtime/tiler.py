@@ -56,6 +56,15 @@ class ExecutionPlan:
     band_rows: Optional[int] = None  # for "banded"
 
 
+def resident_peak_bytes(plan: LayoutPlan, channels: int = 3) -> int:
+    """Conservative device peak of one resident job (canvas counted twice:
+    the program is not donated)."""
+    canvas = channels * plan.canvas_w * plan.canvas_h
+    srcs = [_src_bytes(p, channels) for p in plan.placements]
+    regions = [_region_bytes(p, channels) for p in plan.placements]
+    return 2 * canvas + sum(srcs) + (max(regions) if regions else 0)
+
+
 def plan_execution(plan: LayoutPlan, budget: MemoryBudget,
                    channels: int = 3) -> ExecutionPlan:
     """Pick the cheapest strategy whose conservative peak fits the budget."""
@@ -64,7 +73,7 @@ def plan_execution(plan: LayoutPlan, budget: MemoryBudget,
     srcs = [_src_bytes(p, channels) for p in plan.placements]
     regions = [_region_bytes(p, channels) for p in plan.placements]
 
-    resident_peak = 2 * canvas + sum(srcs) + (max(regions) if regions else 0)
+    resident_peak = resident_peak_bytes(plan, channels)
     if resident_peak <= limit:
         return ExecutionPlan("resident", resident_peak, limit)
 

@@ -138,10 +138,38 @@ class StitchServer:
                 interpret=self.interpret)
         return per_size[batch]
 
+    def _batch_cap(self, plan: LayoutPlan, channels: int) -> int:
+        """Max jobs per launch under the HBM budget (VERDICT r1 #7).
+
+        Proactive version of the reference's canvas pixel caps
+        (pages/index/index.js:1323-1357): bound the batched program's
+        estimated peak *before* launch instead of relying on OOM bisection.
+        A mesh multiplies the cap: the jobs axis shards the batch, so each
+        device holds batch/unit jobs.
+        """
+        from ..runtime import tiler
+        per_job = max(1, tiler.resident_peak_bytes(plan, channels))
+        cap = max(1, int(self.config.budget.hbm_bytes // per_job))
+        if self.mesh is not None:
+            cap *= self.mesh.shape["jobs"]
+        return cap
+
     def _flush(self, jobs: List[_Job]) -> None:
         if not jobs:
             return
         plan = jobs[0].plan
+        channels = jobs[0].images[0].shape[2] if (
+            jobs[0].images and jobs[0].images[0].ndim == 3) else 3
+        cap = self._batch_cap(plan, channels)
+        if self.mesh is not None:
+            unit = self.mesh.shape["jobs"]
+            cap = max(unit, (cap // unit) * unit)
+        if len(jobs) > cap:
+            self._log.event("serve.batch_capped", n=len(jobs), cap=cap,
+                            canvas=(plan.canvas_w, plan.canvas_h))
+            for lo in range(0, len(jobs), cap):
+                self._flush(jobs[lo:lo + cap])
+            return
         try:
             # Pad the batch to a power-of-two bucket to bound the number of
             # compiled batch sizes (recompilation governor); under a mesh the
@@ -150,7 +178,8 @@ class StitchServer:
             padded = 1
             while padded < b:
                 padded *= 2
-            padded = min(padded, self.max_batch)
+            padded = min(padded, self.max_batch, max(1, cap))
+            padded = max(padded, b)
             if self.mesh is not None:
                 unit = self.mesh.shape["jobs"]
                 padded = max(padded, unit)

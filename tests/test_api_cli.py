@@ -248,3 +248,43 @@ def test_stitch_arrays_return_metrics():
     assert out.shape == (32, 16, 3)
     assert m.strategy == "resident" and m.total_s > 0
     assert m.out_megapixels > 0
+
+
+def test_cli_runtime_flags(tmp_path):
+    """VERDICT r1 #10: --hbm-budget/--decode-threads/--overlap/--metrics."""
+    import json as _json
+    a = tmp_path / "a.png"
+    Image.fromarray(rng.integers(0, 256, (40, 60, 3), np.uint8)).save(a)
+    out = tmp_path / "o.png"
+    r = run_cli(a, a, "-o", out, "--engine", "xla",
+                "--hbm-budget", "0.001", "--decode-threads", "2",
+                "--decode-timeout", "15", "--overlap", "never",
+                "--metrics", "--json")
+    assert r.returncode == 0, r.stderr
+    res = _json.loads(r.stdout)
+    assert res["width"] == 60 and res["height"] == 80
+    m = res["metrics"]
+    assert m["strategy"] in ("resident", "streamed", "banded")
+    assert m["canvas_w"] == 60 and m["canvas_h"] == 80
+    assert "prepare_s" in m and "mp_per_sec" in m
+
+
+def test_cli_overlap_always_metrics(tmp_path):
+    import json as _json
+    a = tmp_path / "a.png"
+    Image.fromarray(rng.integers(0, 256, (30, 30, 3), np.uint8)).save(a)
+    out = tmp_path / "o.png"
+    r = run_cli(a, a, a, "-o", out, "--engine", "xla",
+                "--overlap", "always", "--metrics", "--json")
+    assert r.returncode == 0, r.stderr
+    res = _json.loads(r.stdout)
+    assert res["metrics"]["strategy"].startswith("overlapped")
+
+
+def test_stitch_return_metrics(tmp_path):
+    a = tmp_path / "a.png"
+    Image.fromarray(rng.integers(0, 256, (24, 24, 3), np.uint8)).save(a)
+    out, m = ist.stitch([a, a], config=RuntimeConfig(engine="xla"),
+                        return_metrics=True)
+    assert out.shape == (48, 24, 3)
+    assert m.total_s > 0 and m.prepare_s >= 0

@@ -90,3 +90,34 @@ def test_server_pallas_engine_interpret():
             want = oracle.stitch(plan, imgs)
             got = fut.result(timeout=120)
             assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_server_budget_caps_batch_proactively():
+    """VERDICT r1 #7: a large batch of big canvases splits under the HBM
+    budget BEFORE launch (no OOM-driven bisection involved)."""
+    from imagestitching_tpu.config import MemoryBudget, RuntimeConfig
+    from imagestitching_tpu.core.layout import ImageSpec, solve
+    from imagestitching_tpu.runtime import tiler
+    from imagestitching_tpu.runtime.logger import get_logger
+
+    specs = [ImageSpec(64, 48), ImageSpec(48, 64)]
+    plan = solve(specs, StitchOptions(gap=2))
+    per_job = tiler.resident_peak_bytes(plan, 3)
+    # budget fits ~3 jobs per launch
+    cfg = RuntimeConfig(budget=MemoryBudget(hbm_bytes=3 * per_job + 1))
+    get_logger().clear()
+    with StitchServer(max_batch=64, max_wait_s=0.05, engine="xla",
+                      config=cfg) as s:
+        jobs = []
+        for _ in range(10):
+            imgs = [rand_img(64, 48), rand_img(48, 64)]
+            jobs.append((imgs, s.submit(imgs, StitchOptions(gap=2))))
+        for imgs, fut in jobs:
+            out = fut.result(timeout=60)
+            want = oracle.stitch(plan, imgs)
+            assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
+        st = s.stats()
+        assert st["jobs"] == 10
+        assert st["batches"] >= 4          # ceil(10/3) launches at minimum
+    tags = [r["tag"] for r in get_logger().ring()]
+    assert "serve.batch_capped" in tags
