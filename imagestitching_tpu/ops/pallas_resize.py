@@ -43,6 +43,7 @@ boundary.
 
 from __future__ import annotations
 
+import collections
 import functools
 import math
 from typing import Optional, Sequence, Tuple
@@ -112,6 +113,14 @@ def placement_is_copy(p: Placement, filter_kind: str) -> Optional[Tuple[int, int
 
 
 _MAX_TAPS = 64       # K cap; heavier downscales fall back to the XLA engine
+
+# The static geometry one compiled pallas_call is keyed on.  Everything else
+# (taps, band starts, the source itself) is a runtime argument, so placements
+# (or row-window chunks) sharing this tuple share ONE compile.
+_SchedStatic = collections.namedtuple(
+    "_SchedStatic",
+    "m_h m_w m_h_pad m_w_pad th tw bh bw grid_r grid_c "
+    "k_rows k_cols rows_pad cols_pad")
 
 
 class _Schedule:
@@ -227,6 +236,13 @@ class _Schedule:
     def ints(self) -> np.ndarray:
         return np.concatenate([self.row_starts, self.col_starts])
 
+    @property
+    def static(self) -> _SchedStatic:
+        return _SchedStatic(
+            self.m_h, self.m_w, self.m_h_pad, self.m_w_pad, self.th, self.tw,
+            self.bh, self.bw, self.grid_r, self.grid_c, self.k_rows,
+            self.k_cols, self.rows_pad, self.cols_pad)
+
 
 def _pad_to(arr: np.ndarray, n: int) -> np.ndarray:
     out = np.zeros((n,) + arr.shape[1:], arr.dtype)
@@ -333,15 +349,27 @@ def _make_kernel(s: _Schedule, batched: bool, channels: int, batch: int):
 
 
 @functools.lru_cache(maxsize=512)
+def _sched_cache(key: Tuple) -> "_Schedule":
+    p, filter_kind = key
+    return _Schedule(p, filter_kind)
+
+
 def _build_call(key: Tuple, channels: int, interpret: bool, batch: int = 0):
-    """Build the pallas_call for one placement schedule (cached).
+    """Resolve (placement, filter) -> (schedule, compiled call).
 
     ``batch=0`` -> single-job call on (C, mh, mw) sources; ``batch=B`` -> one
     fused call over a stacked batch (B, C, mh, mw) with a leading batch grid
-    dimension (BASELINE config 5 serving mode).
+    dimension (BASELINE config 5 serving mode).  Calls are cached by the
+    schedule's STATIC geometry, so e.g. nine equal placements share one call.
     """
-    p, filter_kind = key
-    s = _Schedule(p, filter_kind)
+    s = _sched_cache(key)
+    return s, _build_call_static(s.static, channels, interpret, batch)
+
+
+@functools.lru_cache(maxsize=512)
+def _build_call_static(s: _SchedStatic, channels: int, interpret: bool,
+                       batch: int = 0):
+    """Build the pallas_call for one static schedule geometry (cached)."""
     batched = batch > 0
 
     if batched:
@@ -398,7 +426,7 @@ def _build_call(key: Tuple, channels: int, interpret: bool, batch: int = 0):
         ),
         interpret=interpret,
     )
-    return s, call
+    return call
 
 
 def resize_place_one(src_chw: jnp.ndarray, placement: Placement,
@@ -432,6 +460,126 @@ def resize_place_batch(src_bchw: jnp.ndarray, placement: Placement,
                   jnp.asarray(s.row_i0), jnp.asarray(s.row_w),
                   jnp.asarray(s.col_i0), jnp.asarray(s.col_w))
     return region, (s.r0, s.c0, s.n_rows, s.n_cols)
+
+
+@functools.lru_cache(maxsize=512)
+def _jitted_call_static(s: _SchedStatic, channels: int, interpret: bool,
+                        batch: int = 0):
+    return jax.jit(_build_call_static(s, channels, interpret, batch))
+
+
+class _WindowPlan:
+    """Chunked row-window schedule for one placement (banded executor).
+
+    The fused kernel under a memory budget (VERDICT r1 #5): the placement's
+    dest rows are processed in fixed ``th``-row chunks, each resampled from a
+    host-cropped source row window.  Because taps, band starts and the crop
+    are all runtime arguments, ONE compiled call (keyed on the static
+    geometry) serves every chunk — and the output canvas never exists on
+    device at all: each chunk's region streams straight back to the host
+    canvas.  Peak device bytes ~= crop + region, independent of canvas size.
+    """
+
+    def __init__(self, p: Placement, filter_kind: str, channels: int = 3,
+                 chunk_rows: int = _TILE_ROWS):
+        self.p = p
+        self.channels = channels
+        disp_w, disp_h = geometry.display_size(p.raw_w, p.raw_h,
+                                               p.orientation)
+        self.disp_h, self.disp_w = disp_h, disp_w
+        r0, r1 = p.row_span
+        c0, c1 = p.col_span
+        self.r0, self.c0 = r0, c0
+        self.n_rows, self.n_cols = r1 - r0, c1 - c0
+        if self.n_rows <= 0 or self.n_cols <= 0:
+            raise Infeasible("empty dest rect")
+        ri0, rw = geometry.filter_taps(r0, r1, p.y0, p.h, disp_h, filter_kind)
+        ci0, cw = geometry.filter_taps(c0, c1, p.x0, p.w, disp_w, filter_kind)
+        k_rows, k_cols = rw.shape[1], cw.shape[1]
+        if max(k_rows, k_cols) > _MAX_TAPS:
+            raise Infeasible(f"filter window K={max(k_rows, k_cols)} exceeds "
+                             f"{_MAX_TAPS} taps")
+        self.ri0 = ri0
+        self.rw = rw.astype(np.float32)
+
+        th = min(_round_up(max(8, chunk_rows), 8),
+                 _round_up(self.n_rows, 8))
+        self.chunk = th
+        # worst-case source window any chunk needs (data-driven)
+        need = k_rows
+        for g0 in range(0, self.n_rows, th):
+            g1 = min(self.n_rows, g0 + th)
+            need = max(need, int(ri0[g1 - 1]) + k_rows - int(ri0[g0]))
+        self.crop_rows = min(disp_h, need)
+        crop_pad = _round_up(self.crop_rows, 8)
+        m_w_pad = _round_up(disp_w, 128)
+
+        tw = min(_TILE_COLS, _round_up(self.n_cols, 128))
+        bh = crop_pad
+        while True:
+            bw = _Schedule._band_size(ci0, k_cols, tw, m_w_pad, 128)
+            vmem = (bh * bw) * 6 + (th * bh + th * bw + bw * tw + th * tw) * 4
+            if vmem <= _MAX_BAND_BYTES:
+                break
+            if tw > 128:
+                tw = max(128, tw // 2)
+            elif th > 8:
+                # shrink the chunk too: rebuild with fewer dest rows
+                self.__init__(p, filter_kind, channels, max(8, th // 2))
+                return
+            else:
+                raise Infeasible(
+                    f"crop window {bh}x{bw} too large for VMEM "
+                    "(extreme downscale; use the XLA engine)")
+        grid_c = _cdiv(self.n_cols, tw)
+        cols_pad = grid_c * tw
+        self.static = _SchedStatic(
+            self.crop_rows, disp_w, crop_pad, m_w_pad, th, tw, bh, bw,
+            1, grid_c, k_rows, k_cols, th, cols_pad)
+        self.col_i0 = _pad_to(ci0, cols_pad).reshape(1, -1)
+        self.col_w = np.ascontiguousarray(
+            _pad_to(cw.astype(np.float32), cols_pad).T)
+        col_starts = _Schedule._band_starts(ci0, k_cols, grid_c, tw, bw,
+                                            disp_w, m_w_pad, 128)
+        self.ints = np.concatenate([np.zeros((1,), np.int32), col_starts])
+
+    @property
+    def n_chunks(self) -> int:
+        return _cdiv(self.n_rows, self.chunk)
+
+    def chunk_window(self, g: int) -> Tuple[int, int, int]:
+        """(dest_row_offset_in_span, valid_rows, src_crop_start) of chunk g."""
+        a = g * self.chunk
+        valid = min(self.n_rows - a, self.chunk)
+        win0 = int(self.ri0[a])
+        s_lo = max(0, min(win0, self.disp_h - self.crop_rows))
+        return a, valid, s_lo
+
+    def chunk_taps(self, g: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Rebased (row_i0 (th,1), row_w (th,K)) for chunk g."""
+        a, valid, s_lo = self.chunk_window(g)
+        i0 = _pad_to(self.ri0[a: a + valid] - s_lo, self.chunk)
+        w = _pad_to(self.rw[a: a + valid], self.chunk)
+        return i0.reshape(-1, 1), w
+
+    def stage_crop(self, oriented_hwc: np.ndarray, g: int) -> np.ndarray:
+        """Host-crop chunk g's source rows -> padded planar CHW uint8."""
+        _, _, s_lo = self.chunk_window(g)
+        crop = oriented_hwc[s_lo: s_lo + self.crop_rows]
+        s = self.static
+        out = np.zeros((self.channels, s.m_h_pad, s.m_w_pad), np.uint8)
+        out[:, : crop.shape[0], : crop.shape[1]] = \
+            np.transpose(crop, (2, 0, 1))
+        return out
+
+    def run_chunk(self, crop_chw, g: int,
+                  interpret: bool = False) -> jnp.ndarray:
+        """Device resample of chunk g -> (C, th, cols_pad) uint8 region."""
+        call = _jitted_call_static(self.static, self.channels, interpret)
+        i0, w = self.chunk_taps(g)
+        return call(jnp.asarray(self.ints), crop_chw,
+                    jnp.asarray(i0), jnp.asarray(w),
+                    jnp.asarray(self.col_i0), jnp.asarray(self.col_w))
 
 
 # ---------------------------------------------------------------------------

@@ -300,11 +300,83 @@ class _BandedExecutor:
         return out
 
 
+def _run_banded_pallas(plan: LayoutPlan, oriented: Sequence[np.ndarray],
+                       channels: int, band_rows: int, progress: ProgressFn,
+                       interpret: bool = False) -> np.ndarray:
+    """Fused-kernel banded compositing: the canvas lives on the HOST.
+
+    Each placement's dest rows run in fixed-size chunks through the Pallas
+    kernel (:class:`..ops.pallas_resize._WindowPlan`) from host-cropped
+    source windows; chunk regions stream straight into the host canvas and
+    background/gap bytes are host memsets.  Peak device bytes ~= one crop +
+    one region — the budget answer for canvases larger than HBM, without
+    abandoning the kernel (VERDICT r1 #5).
+    """
+    from ..ops import pallas_resize
+
+    # feasibility first: any Infeasible placement falls back to XLA banded
+    wplans = []
+    blits = []
+    for idx, p in enumerate(plan.placements):
+        if p.row_span[1] <= p.row_span[0] or p.col_span[1] <= p.col_span[0]:
+            wplans.append(None)
+            blits.append(None)
+            continue
+        off = pallas_resize.placement_is_copy(p, plan.filter)
+        if off is not None:
+            wplans.append(None)
+            blits.append(off)
+            continue
+        wplans.append(pallas_resize._WindowPlan(p, plan.filter, channels,
+                                                chunk_rows=band_rows))
+        blits.append(None)
+
+    bg = np.asarray(plan.background[:channels], np.uint8)
+    out = np.empty((plan.canvas_h, plan.canvas_w, channels), np.uint8)
+    out[:] = bg
+    total = sum(wp.n_chunks if wp is not None else (1 if b is not None else 0)
+                for wp, b in zip(wplans, blits))
+    done = 0
+    for idx, p in enumerate(plan.placements):
+        wp, blit = wplans[idx], blits[idx]
+        r0, _ = p.row_span
+        c0, c1 = p.col_span
+        if blit is not None:
+            sr, sc = blit
+            nr, nc = p.row_span[1] - r0, c1 - c0
+            out[r0: r0 + nr, c0: c1] = \
+                oriented[idx][sr: sr + nr, sc: sc + nc]
+            done += 1
+            progress("composite", 0.30 + 0.60 * done / max(1, total))
+            continue
+        if wp is None:
+            continue
+        for g in range(wp.n_chunks):
+            a, valid, _ = wp.chunk_window(g)
+            crop = wp.stage_crop(oriented[idx], g)
+            region = wp.run_chunk(jnp.asarray(crop), g, interpret)
+            reg = np.asarray(region[:, :valid, : wp.n_cols])
+            out[r0 + a: r0 + a + valid, c0: c1] = reg.transpose(1, 2, 0)
+            done += 1
+            progress("composite", 0.30 + 0.60 * done / max(1, total))
+    return out
+
+
 def _run_banded(plan: LayoutPlan, images: Sequence[np.ndarray],
-                channels: int, band_rows: int,
-                progress: ProgressFn) -> np.ndarray:
+                channels: int, band_rows: int, progress: ProgressFn,
+                config: Optional[RuntimeConfig] = None) -> np.ndarray:
     oriented = [geometry.orient_array(np.asarray(img), p.orientation)
                 for img, p in zip(images, plan.placements)]
+    engine = config.engine if config is not None else "auto"
+    interpret = config.interpret if config is not None else False
+    if engine not in ("xla", "oracle"):
+        try:
+            return _run_banded_pallas(plan, oriented, channels, band_rows,
+                                      progress, interpret)
+        except NotImplementedError:
+            if engine == "pallas":
+                raise
+            get_logger().once("banded.kernel_infeasible_xla_fallback")
     return _BandedExecutor(plan, band_rows, channels).run(oriented, progress)
 
 
@@ -412,7 +484,8 @@ def run_overlapped(plan: LayoutPlan, loaders, config: RuntimeConfig,
         out = None
         while band >= 8:
             try:
-                out = _run_banded(plan, decoded, channels, band, progress)
+                out = _run_banded(plan, decoded, channels, band, progress,
+                                  config)
                 break
             except Exception as e:  # noqa: BLE001 — OOM classification
                 if not _is_oom(e):
@@ -554,7 +627,8 @@ def run(plan: LayoutPlan, images: Sequence[np.ndarray],
             elif attempt_strategy == "streamed":
                 out = _run_streamed(plan, images, channels, config, progress)
             else:
-                out = _run_banded(plan, images, channels, band, progress)
+                out = _run_banded(plan, images, channels, band, progress,
+                                  config)
             m.strategy = attempt_strategy
             break
         except Exception as e:  # noqa: BLE001 — OOM classification below

@@ -152,3 +152,44 @@ def test_pipeline_progress_phases():
     pipeline.run(plan, imgs, cfg, progress=lambda ph, f: seen.append((ph, f)))
     comp = [f for ph, f in seen if ph == "composite"]
     assert comp and comp == sorted(comp) and comp[-1] == 1.0
+
+
+def test_banded_pallas_windowed_matches_oracle():
+    """VERDICT r1 #5: the fused kernel serves the banded strategy via
+    host-cropped row windows (_WindowPlan); parity vs oracle per chunk."""
+    from imagestitching_tpu.core import geometry
+    from imagestitching_tpu.runtime.pipeline import _run_banded_pallas
+
+    specs = [ImageSpec(90, 70), ImageSpec(60, 120, orientation=6),
+             ImageSpec(75, 75)]
+    imgs = [rng.integers(0, 256, (s.raw_h, s.raw_w, 3), np.uint8)
+            for s in specs]
+    for direction in ("vertical", "horizontal"):
+        for mode in ("min", "original"):
+            plan = solve(specs, StitchOptions(direction=direction, mode=mode,
+                                              gap=3, supersample=False))
+            oriented = [geometry.orient_array(a, p.orientation)
+                        for a, p in zip(imgs, plan.placements)]
+            # small band_rows to force several chunks per placement
+            got = _run_banded_pallas(plan, oriented, 3, band_rows=16,
+                                     progress=lambda *a: None,
+                                     interpret=True)
+            want = oracle.stitch(plan, imgs)
+            assert np.abs(got.astype(int) - want.astype(int)).max() <= 1, \
+                (direction, mode)
+
+
+def test_banded_pallas_copy_blit(tmp_path):
+    # equal sizes -> identity taps -> host blit path inside banded
+    from imagestitching_tpu.core import geometry
+    from imagestitching_tpu.runtime.pipeline import _run_banded_pallas
+
+    specs = [ImageSpec(40, 30)] * 3
+    imgs = [rng.integers(0, 256, (30, 40, 3), np.uint8) for _ in specs]
+    plan = solve(specs, StitchOptions(gap=2, supersample=False))
+    oriented = [geometry.orient_array(a, p.orientation)
+                for a, p in zip(imgs, plan.placements)]
+    got = _run_banded_pallas(plan, oriented, 3, band_rows=8,
+                             progress=lambda *a: None, interpret=True)
+    want = oracle.stitch(plan, imgs)
+    np.testing.assert_array_equal(got, want)
