@@ -39,9 +39,12 @@ def _slope_time(fn_impl, dev_imgs, k_lo: int = 2, k_hi: int = 52,
     @functools.partial(jax.jit, static_argnums=0)
     def run_chain(k, imgs):
         def step(carry, _):
-            bumped = [imgs[0].at[0, 0, 0].add(carry)] + list(imgs[1:])
+            # bump EVERY input: a single bumped input would let XLA hoist
+            # the other placements' work out of the loop (loop-invariant
+            # code motion) and the slope would undercount them
+            bumped = [im.at[(0,) * im.ndim].add(carry) for im in imgs]
             out = fn_impl(bumped)
-            return out[0, 0, 0], None
+            return out.reshape(-1)[0], None
         c, _ = jax.lax.scan(step, jnp.uint8(0), None, length=k)
         return c
 

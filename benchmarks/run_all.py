@@ -111,7 +111,8 @@ def main() -> None:
               for w, h in shapes5]
     jax.block_until_ready(stacks)
     fn5 = jax.jit(functools.partial(pbatch._batched_pallas, plan5, 3, False))
-    bump = jax.jit(lambda s, c: s.at[0, 0, 0, 0].add(c))
+    # bump EVERY slot so no placement's work is loop-invariant (hoistable)
+    bump = jax.jit(lambda ss, c: [s.at[0, 0, 0, 0].add(c) for s in ss])
     pick = jax.jit(lambda o: o[0, 0, 0, 0])
     out5 = fn5(stacks)
     out5.block_until_ready()
@@ -120,7 +121,7 @@ def main() -> None:
         c = jnp.uint8(0)
         t0 = time.perf_counter()
         for _ in range(k):
-            c = pick(fn5([bump(stacks[0], c)] + stacks[1:]))
+            c = pick(fn5(bump(stacks, c)))
         int(c)
         return time.perf_counter() - t0
 

@@ -50,10 +50,23 @@ def _load_one(item: ImageInput,
             hit = cache.get(key)
             if hit is not None:
                 return hit
+        store = akey = None
+        if budget is not None and budget.artifact_dir:
+            from .runtime.artifacts import get_store
+            store = get_store(budget.artifact_dir,
+                              budget.artifact_quota_bytes)
+            akey = store.key_for(os.fspath(item))
+            hit = store.get(akey) if akey else None
+            if hit is not None:
+                if key is not None:
+                    cache.put(key, *hit)
+                return hit
         path = codec.transcode_if_needed(item)
         arr, orientation = _decode_with_retry(path)
         if key is not None:
             cache.put(key, arr, orientation)
+        if store is not None and akey is not None:
+            store.put(akey, arr, orientation)
         return arr, orientation
     if isinstance(item, bytes):
         return _decode_with_retry(item)

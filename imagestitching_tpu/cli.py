@@ -66,6 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default="auto",
                    help="overlap decode/H2D with device compositing "
                         "(auto: big jobs only)")
+    p.add_argument("--artifact-cache", default=None, metavar="DIR",
+                   help="persist decode results to DIR (quota-governed disk "
+                        "cache; survives restarts)")
     p.add_argument("--metrics", action="store_true",
                    help="print per-phase StitchMetrics JSON to stderr "
                         "(or merged into --json output)")
@@ -112,9 +115,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     if limits_kw:
         limits = _dc.replace(limits or CanvasLimits(), **limits_kw)
     cfg_kw = {"engine": args.engine, "overlap": args.overlap}
+    budget_kw = {}
     if args.hbm_budget is not None:
-        cfg_kw["budget"] = MemoryBudget(
-            hbm_bytes=int(args.hbm_budget * (1 << 30)))
+        budget_kw["hbm_bytes"] = int(args.hbm_budget * (1 << 30))
+    if args.artifact_cache is not None:
+        budget_kw["artifact_dir"] = args.artifact_cache
+    if budget_kw:
+        cfg_kw["budget"] = MemoryBudget(**budget_kw)
     if args.decode_threads is not None:
         cfg_kw["decode_threads"] = args.decode_threads
     if args.decode_timeout is not None:

@@ -65,6 +65,11 @@ class MemoryBudget:
     hbm_bytes: int = 2 * (1 << 30)     # BASELINE config 4: 2 GB
     host_cache_pixels: int = 64 * 1_000_000  # bitmap-cache analog (index.js:6-7)
     host_cache_entries: int = 6              # (index.js:8-9)
+    # Disk prepared-artifact store (the saveFile + storage-quota governor
+    # analog, index.js:629-676): decode results persisted across processes,
+    # LRU-evicted to this byte quota.  None disables persistence.
+    artifact_dir: Optional[str] = None
+    artifact_quota_bytes: int = 512 << 20
 
 
 @dataclasses.dataclass(frozen=True)

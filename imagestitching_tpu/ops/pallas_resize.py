@@ -61,8 +61,9 @@ from ..core.layout import LayoutPlan, Placement
 # Default output tile. Th: f32 sublane-friendly; Tw: one lane group x4.
 _TILE_ROWS = 256
 _TILE_COLS = 512
-# Cap on the VMEM band scratch (uint8 band + f32 copy + weight blocks).
-_MAX_BAND_BYTES = 6 * 1024 * 1024
+# Cap on the per-step VMEM working set (bands + weight blocks + tiles);
+# v5e has ~16 MB VMEM/core — leave headroom for Mosaic's own buffers.
+_MAX_BAND_BYTES = 10 * 1024 * 1024
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -114,13 +115,97 @@ def placement_is_copy(p: Placement, filter_kind: str) -> Optional[Tuple[int, int
 
 _MAX_TAPS = 64       # K cap; heavier downscales fall back to the XLA engine
 
+# Time-model constants for tile selection (v5e-class chip).  The kernel is
+# MXU-flop-bound at deep downscales — the dense banded-matmul trades gathers
+# for flops, and band width grows as tile/scale — so tile choice matters:
+# smaller col tiles shrink the (Bh x Bw) row-pass operand quadratically.
+_DMA_SLOTS = 3           # band buffers; issue distance = _DMA_SLOTS - 1
+_MXU_EFF_FLOPS = 120e12      # ~197 TF/s bf16 peak x ~0.6 achieved
+_VPU_EFF_OPS = 4e12          # elementwise ops/s (casts, splits, quantize)
+_HBM_BPS = 6e11              # achievable HBM stream bandwidth
+_STEP_OVERHEAD_S = 5e-7      # per-grid-step dispatch/DMA-setup cost
+
+
+def _vmem_bytes(th: int, tw: int, bh: int, bw: int, channels: int = 3) -> int:
+    # double-buffered uint8 bands + f32/bf16 band copies, hi/lo weight
+    # blocks, f32+bf16 intermediates, int32+uint8 output tile — all channels
+    # resident per step (channel-fused kernel)
+    return (channels * bh * bw * 8
+            + (th * bh + bw * tw) * 6
+            + channels * th * (bw * 8 + tw * 5))
+
+
+def _model_step_time(th: int, tw: int, bh: int, bw: int,
+                     channels: int = 3, col_first: bool = False) -> float:
+    """Split-bf16 contraction cost for one grid step, either order.
+
+    Row-first: 2 passes of (Th x Bh)@(Bh x Bw) then 3 of (Th x Bw)@(Bw x Tw).
+    Col-first: 2 passes of (Bh x Bw)@(Bw x Tw) then 3 of (Th x Bh)@(Bh x Tw).
+    Contract-first along the axis whose tile dim is larger — the first pass
+    runs over the full (Bh x Bw) band, so dividing it by the bigger tile
+    side minimizes per-pixel flops.  VPU term covers the uint8->f32 band
+    casts and hi/lo splits (elementwise, proportional to band size).
+    """
+    if col_first:
+        flops = channels * (4 * max(bh, 128) * bw * tw
+                            + 6 * max(th, 128) * bh * tw)
+        inter = bh * tw
+    else:
+        flops = channels * (4 * max(th, 128) * bh * bw
+                            + 6 * max(th, 128) * bw * tw)
+        inter = th * bw
+    vpu = channels * (4 * bh * bw + 4 * inter + 4 * th * tw)
+    dma = channels * (bh * bw + th * tw)
+    return (flops / _MXU_EFF_FLOPS + vpu / _VPU_EFF_OPS
+            + dma / _HBM_BPS + _STEP_OVERHEAD_S)
+
+
+def _choose_tiles(ri0: np.ndarray, ci0: np.ndarray, k_rows: int, k_cols: int,
+                  n_rows: int, n_cols: int, m_h_pad: int, m_w_pad: int,
+                  th_fixed: Optional[int] = None,
+                  ) -> Tuple[int, int, int, int]:
+    """Pick (th, tw, bh, bw) minimizing modeled total time under the VMEM cap.
+
+    Per tile: split-bf16 contractions cost ``4*M*Bh*Bw + 6*M*Bw*Tw`` flops
+    (2-pass row, 3-pass col; M padded to the 128-wide MXU), DMA moves
+    ``Bh*Bw`` band bytes plus the output tile, and each grid step pays a
+    fixed dispatch overhead.  Edge waste is captured by minimizing the TOTAL
+    over the ceil-divided grid, not a per-pixel ratio.
+    """
+    th_max = min(_TILE_ROWS, _round_up(n_rows, 8))
+    tw_max = min(_TILE_COLS, _round_up(n_cols, 128))
+    if th_fixed is not None:
+        th_cands = [min(th_fixed, th_max)]
+    else:
+        th_cands = sorted({min(t, th_max) for t in (32, 64, 128, 256)})
+    tw_cands = sorted({min(t, tw_max) for t in (128, 256, 512)})
+
+    best = None
+    for th in th_cands:
+        bh = _Schedule._band_size(ri0, k_rows, th, m_h_pad, 8)
+        for tw in tw_cands:
+            bw = _Schedule._band_size(ci0, k_cols, tw, m_w_pad, 128)
+            if _vmem_bytes(th, tw, bh, bw) > _MAX_BAND_BYTES:
+                continue
+            tiles = _cdiv(n_rows, th) * _cdiv(n_cols, tw)
+            for cf in (False, True):
+                total = tiles * _model_step_time(th, tw, bh, bw,
+                                                 col_first=cf)
+                if best is None or total < best[0]:
+                    best = (total, th, tw, bh, bw, cf)
+    if best is None:
+        raise Infeasible(
+            "source band too large for VMEM even at 32x128 tiles "
+            "(extreme downscale; use the XLA engine)")
+    return best[1], best[2], best[3], best[4], best[5]
+
 # The static geometry one compiled pallas_call is keyed on.  Everything else
 # (taps, band starts, the source itself) is a runtime argument, so placements
 # (or row-window chunks) sharing this tuple share ONE compile.
 _SchedStatic = collections.namedtuple(
     "_SchedStatic",
     "m_h m_w m_h_pad m_w_pad th tw bh bw grid_r grid_c "
-    "k_rows k_cols rows_pad cols_pad")
+    "k_rows k_cols rows_pad cols_pad col_first")
 
 
 class _Schedule:
@@ -158,27 +243,12 @@ class _Schedule:
                 f"filter window K={max(self.k_rows, self.k_cols)} exceeds "
                 f"{_MAX_TAPS} taps (extreme downscale; use the XLA engine)")
 
-        # Pick tile sizes; shrink while the band would blow VMEM.
-        th, tw = _TILE_ROWS, _TILE_COLS
-        th = min(th, _round_up(self.n_rows, 8))
-        tw = min(tw, _round_up(self.n_cols, 128))
-        while True:
-            bh = self._band_size(ri0, self.k_rows, th, self.m_h_pad, 8)
-            bw = self._band_size(ci0, self.k_cols, tw, self.m_w_pad, 128)
-            # 2x uint8 bands + f32 band + Wr + tmp + Wc + out tile
-            vmem = (bh * bw) * 6 + (th * bh + th * bw + bw * tw + th * tw) * 4
-            if vmem <= _MAX_BAND_BYTES:
-                break
-            if th > 8:
-                th = max(8, th // 2)
-            elif tw > 128:
-                tw = max(128, tw // 2)
-            else:
-                raise Infeasible(
-                    f"band {bh}x{bw} too large for VMEM even at 8x128 tiles "
-                    f"(extreme downscale; use the XLA engine)")
-        self.th, self.tw = th, tw
-        self.bh, self.bw = bh, bw
+        # Pick tile sizes + contraction order by the time model.
+        (self.th, self.tw, self.bh, self.bw,
+         self.col_first) = _choose_tiles(
+            ri0, ci0, self.k_rows, self.k_cols, self.n_rows, self.n_cols,
+            self.m_h_pad, self.m_w_pad)
+        th, tw = self.th, self.tw
         self.grid_r = _cdiv(self.n_rows, th)
         self.grid_c = _cdiv(self.n_cols, tw)
 
@@ -241,7 +311,7 @@ class _Schedule:
         return _SchedStatic(
             self.m_h, self.m_w, self.m_h_pad, self.m_w_pad, self.th, self.tw,
             self.bh, self.bw, self.grid_r, self.grid_c, self.k_rows,
-            self.k_cols, self.rows_pad, self.cols_pad)
+            self.k_cols, self.rows_pad, self.cols_pad, self.col_first)
 
 
 def _pad_to(arr: np.ndarray, n: int) -> np.ndarray:
@@ -254,50 +324,58 @@ def _pad_to(arr: np.ndarray, n: int) -> np.ndarray:
 # Kernel
 # ---------------------------------------------------------------------------
 
-def _make_kernel(s: _Schedule, batched: bool, channels: int, batch: int):
+def _make_kernel(s: _SchedStatic, batched: bool, channels: int, batch: int):
     bh, bw = s.bh, s.bw
     grid_r, grid_c = s.grid_r, s.grid_c
-    total = max(1, batch) * channels * grid_r * grid_c
+    total = max(1, batch) * grid_r * grid_c
 
     def kernel(ints, src, row_i0, row_w, col_i0, col_w, out, band, sem):
-        # grid is (C, gr, gc) single-job or (B, C, gr, gc) batched; the last
-        # three axes always mean (channel, row-tile, col-tile).  Grid steps
-        # run sequentially (all dims "arbitrary"), so the source band for
-        # step k+1 is DMA'd into the other buffer slot while step k computes.
+        # grid is (gr, gc) single-job or (B, gr, gc) batched — ALL channels
+        # of a tile are processed in one step (one weight build, one band
+        # DMA, a 3x-taller fused col matmul).  Grid steps run sequentially
+        # (all dims "arbitrary"), so the source band for step k+1 is DMA'd
+        # into the other buffer slot while step k computes.
         off = 1 if batched else 0
-        c = pl.program_id(off)
-        i = pl.program_id(off + 1)
-        j = pl.program_id(off + 2)
+        i = pl.program_id(off)
+        j = pl.program_id(off + 1)
         if batched:
-            step = ((pl.program_id(0) * channels + c) * grid_r + i) * grid_c + j
+            step = (pl.program_id(0) * grid_r + i) * grid_c + j
         else:
-            step = (c * grid_r + i) * grid_c + j
-        slot = jax.lax.rem(step, 2)
+            step = i * grid_c + j
+        slot = jax.lax.rem(step, _DMA_SLOTS)
 
         def dma_for(st, slot_):
             j_ = jax.lax.rem(st, grid_c)
             r = jax.lax.div(st, grid_c)
             i_ = jax.lax.rem(r, grid_r)
-            r2 = jax.lax.div(r, grid_r)
-            c_ = jax.lax.rem(r2, channels)
             # Band starts are host-aligned to the (8, 128) slice tiling; the
             # multiple_of hints let Mosaic prove it for the dynamic slice.
             rs_ = pl.multiple_of(ints[i_], 8)
             cs_ = pl.multiple_of(ints[grid_r + j_], 128)
             if batched:
-                b_ = jax.lax.div(r2, channels)
-                sl = src.at[b_, c_, pl.ds(rs_, bh), pl.ds(cs_, bw)]
+                b_ = jax.lax.div(r, grid_r)
+                sl = src.at[b_, :, pl.ds(rs_, bh), pl.ds(cs_, bw)]
             else:
-                sl = src.at[c_, pl.ds(rs_, bh), pl.ds(cs_, bw)]
+                sl = src.at[:, pl.ds(rs_, bh), pl.ds(cs_, bw)]
             return pltpu.make_async_copy(sl, band.at[slot_], sem.at[slot_])
 
+        # issue distance = _DMA_SLOTS - 1: band DMAs run that many steps
+        # ahead of compute, hiding DMA latency longer than one step's work
         @pl.when(step == 0)
         def _():
             dma_for(step, slot).start()
+            for d in range(1, _DMA_SLOTS - 1):
+                if d < 1:
+                    continue
 
-        @pl.when(step + 1 < total)
+                @pl.when(d < total)
+                def _(d=d):
+                    dma_for(d, jax.lax.rem(step + d, _DMA_SLOTS)).start()
+
+        @pl.when(step + _DMA_SLOTS - 1 < total)
         def _():
-            dma_for(step + 1, 1 - slot).start()
+            dma_for(step + _DMA_SLOTS - 1,
+                    jax.lax.rem(step + _DMA_SLOTS - 1, _DMA_SLOTS)).start()
 
         rs = pl.multiple_of(ints[i], 8)
         cs = pl.multiple_of(ints[grid_r + j], 128)
@@ -305,6 +383,7 @@ def _make_kernel(s: _Schedule, batched: bool, channels: int, batch: int):
         # Weight blocks: source-absolute iota compared against the K-tap
         # windows (host-exact f64 taps, geometry.filter_taps); bilinear is
         # K=2.  Static K -> the loop unrolls into K vectorized selects.
+        # Built ONCE per step and shared by every channel.
         b_rows = jax.lax.broadcasted_iota(jnp.int32, (s.th, bh), 1) + rs
         i0r = row_i0[...]                    # (Th, 1)
         wr = jnp.zeros((s.th, bh), jnp.float32)
@@ -318,8 +397,6 @@ def _make_kernel(s: _Schedule, batched: bool, channels: int, batch: int):
             wc = wc + jnp.where(b_cols == i0c + k, col_w[k, :][None, :], 0.0)
 
         dma_for(step, slot).wait()
-        # Mosaic has no direct uint8<->f32 casts; route through int32.
-        bandf = band[slot].astype(jnp.int32).astype(jnp.float32)
         # Precision: the MXU's native pass is bf16 (~8 mantissa bits), which
         # alone costs +-2 uint8 levels vs the float64 oracle; fp32-HIGHEST
         # contractions fix parity but run ~6 bf16 passes.  Instead split each
@@ -327,23 +404,58 @@ def _make_kernel(s: _Schedule, batched: bool, channels: int, batch: int):
         # in bf16, and hi+lo carries ~16 mantissa bits of the weights, so the
         # residual error is ~255 * 2^-17 << the 0.5 quantization step — at
         # 2 + 3 native-speed passes instead of 12.
-        band16 = bandf.astype(jnp.bfloat16)
         wr_hi = wr.astype(jnp.bfloat16)
         wr_lo = (wr - wr_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        tmp = (jnp.dot(wr_hi, band16, preferred_element_type=jnp.float32)
-               + jnp.dot(wr_lo, band16, preferred_element_type=jnp.float32))
-        tmp_hi = tmp.astype(jnp.bfloat16)
-        tmp_lo = (tmp - tmp_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         wc_hi = wc.astype(jnp.bfloat16)
         wc_lo = (wc - wc_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        res = (jnp.dot(tmp_hi, wc_hi, preferred_element_type=jnp.float32)
-               + jnp.dot(tmp_hi, wc_lo, preferred_element_type=jnp.float32)
-               + jnp.dot(tmp_lo, wc_hi, preferred_element_type=jnp.float32))
-        q = jnp.clip(jnp.floor(res + 0.5), 0.0, 255.0).astype(jnp.int32)
-        if batched:
-            out[0, 0] = q.astype(jnp.uint8)
+        if s.col_first:
+            # contract cols first (2 passes over the band), then rows (3):
+            # cheaper when the band is wide relative to the tile (see
+            # _model_step_time).
+            outs = []
+            for c in range(channels):
+                # Mosaic has no direct uint8<->f32 casts; route via int32.
+                bandc = band[slot, c].astype(jnp.int32).astype(jnp.float32)
+                band16 = bandc.astype(jnp.bfloat16)
+                t2 = (jnp.dot(band16, wc_hi,
+                              preferred_element_type=jnp.float32)
+                      + jnp.dot(band16, wc_lo,
+                                preferred_element_type=jnp.float32))
+                t2_hi = t2.astype(jnp.bfloat16)
+                t2_lo = (t2 - t2_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                outs.append(
+                    jnp.dot(wr_hi, t2_hi, preferred_element_type=jnp.float32)
+                    + jnp.dot(wr_hi, t2_lo,
+                              preferred_element_type=jnp.float32)
+                    + jnp.dot(wr_lo, t2_hi,
+                              preferred_element_type=jnp.float32))
+            res = outs[0] if channels == 1 else jnp.concatenate(outs, axis=0)
         else:
-            out[0] = q.astype(jnp.uint8)
+            tmps = []
+            for c in range(channels):
+                bandc = band[slot, c].astype(jnp.int32).astype(jnp.float32)
+                band16 = bandc.astype(jnp.bfloat16)
+                tmps.append(
+                    jnp.dot(wr_hi, band16,
+                            preferred_element_type=jnp.float32)
+                    + jnp.dot(wr_lo, band16,
+                              preferred_element_type=jnp.float32))
+            # (C*Th, Bw): channels stacked on the sublane axis so the col
+            # pass is ONE tall matmul (M = C*Th) instead of C narrow ones.
+            tmp = tmps[0] if channels == 1 else jnp.concatenate(tmps, axis=0)
+            tmp_hi = tmp.astype(jnp.bfloat16)
+            tmp_lo = (tmp - tmp_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            res = (jnp.dot(tmp_hi, wc_hi, preferred_element_type=jnp.float32)
+                   + jnp.dot(tmp_hi, wc_lo,
+                             preferred_element_type=jnp.float32)
+                   + jnp.dot(tmp_lo, wc_hi,
+                             preferred_element_type=jnp.float32))
+        q = jnp.clip(jnp.floor(res + 0.5), 0.0, 255.0).astype(jnp.int32)
+        q = q.astype(jnp.uint8).reshape(channels, s.th, s.tw)
+        if batched:
+            out[0] = q
+        else:
+            out[...] = q
 
     return kernel
 
@@ -373,25 +485,25 @@ def _build_call_static(s: _SchedStatic, channels: int, interpret: bool,
     batched = batch > 0
 
     if batched:
-        grid = (batch, channels, s.grid_r, s.grid_c)
-        row_map = lambda b, c, i, j, ints: (i, 0)          # noqa: E731
-        col_map = lambda b, c, i, j, ints: (0, j)          # noqa: E731
-        out_spec = pl.BlockSpec((1, 1, s.th, s.tw),
-                                lambda b, c, i, j, ints: (b, c, i, j))
+        grid = (batch, s.grid_r, s.grid_c)
+        row_map = lambda b, i, j, ints: (i, 0)             # noqa: E731
+        col_map = lambda b, i, j, ints: (0, j)             # noqa: E731
+        out_spec = pl.BlockSpec((1, channels, s.th, s.tw),
+                                lambda b, i, j, ints: (b, 0, i, j))
         out_shape = jax.ShapeDtypeStruct(
             (batch, channels, s.rows_pad, s.cols_pad), jnp.uint8)
         # all-sequential grid: the double-buffered DMA pipeline relies on
         # step order
-        semantics = ("arbitrary", "arbitrary", "arbitrary", "arbitrary")
+        semantics = ("arbitrary", "arbitrary", "arbitrary")
     else:
-        grid = (channels, s.grid_r, s.grid_c)
-        row_map = lambda c, i, j, ints: (i, 0)             # noqa: E731
-        col_map = lambda c, i, j, ints: (0, j)             # noqa: E731
-        out_spec = pl.BlockSpec((1, s.th, s.tw),
-                                lambda c, i, j, ints: (c, i, j))
+        grid = (s.grid_r, s.grid_c)
+        row_map = lambda i, j, ints: (i, 0)                # noqa: E731
+        col_map = lambda i, j, ints: (0, j)                # noqa: E731
+        out_spec = pl.BlockSpec((channels, s.th, s.tw),
+                                lambda i, j, ints: (0, i, j))
         out_shape = jax.ShapeDtypeStruct(
             (channels, s.rows_pad, s.cols_pad), jnp.uint8)
-        semantics = ("arbitrary", "arbitrary", "arbitrary")
+        semantics = ("arbitrary", "arbitrary")
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -405,8 +517,10 @@ def _build_call_static(s: _SchedStatic, channels: int, interpret: bool,
         ],
         out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((2, s.bh, s.bw), jnp.uint8),   # double-buffered bands
-            pltpu.SemaphoreType.DMA((2,)),
+            # multi-buffered all-channel bands (issue distance hides DMA
+            # latency beyond one step's compute)
+            pltpu.VMEM((_DMA_SLOTS, channels, s.bh, s.bw), jnp.uint8),
+            pltpu.SemaphoreType.DMA((_DMA_SLOTS,)),
         ],
     )
     nb = max(1, batch)
@@ -514,28 +628,32 @@ class _WindowPlan:
         crop_pad = _round_up(self.crop_rows, 8)
         m_w_pad = _round_up(disp_w, 128)
 
-        tw = min(_TILE_COLS, _round_up(self.n_cols, 128))
         bh = crop_pad
-        while True:
+        best = None
+        for tw in sorted({min(t, _round_up(self.n_cols, 128))
+                          for t in (128, 256, 512)}):
             bw = _Schedule._band_size(ci0, k_cols, tw, m_w_pad, 128)
-            vmem = (bh * bw) * 6 + (th * bh + th * bw + bw * tw + th * tw) * 4
-            if vmem <= _MAX_BAND_BYTES:
-                break
-            if tw > 128:
-                tw = max(128, tw // 2)
-            elif th > 8:
-                # shrink the chunk too: rebuild with fewer dest rows
+            if _vmem_bytes(th, tw, bh, bw) > _MAX_BAND_BYTES:
+                continue
+            for cf in (False, True):
+                total = (_cdiv(self.n_cols, tw)
+                         * _model_step_time(th, tw, bh, bw, col_first=cf))
+                if best is None or total < best[0]:
+                    best = (total, tw, bw, cf)
+        if best is None:
+            if th > 8:
+                # shrink the chunk: a shorter crop frees VMEM
                 self.__init__(p, filter_kind, channels, max(8, th // 2))
                 return
-            else:
-                raise Infeasible(
-                    f"crop window {bh}x{bw} too large for VMEM "
-                    "(extreme downscale; use the XLA engine)")
+            raise Infeasible(
+                "crop window too large for VMEM even at 8-row chunks "
+                "(extreme downscale; use the XLA engine)")
+        _, tw, bw, col_first = best
         grid_c = _cdiv(self.n_cols, tw)
         cols_pad = grid_c * tw
         self.static = _SchedStatic(
             self.crop_rows, disp_w, crop_pad, m_w_pad, th, tw, bh, bw,
-            1, grid_c, k_rows, k_cols, th, cols_pad)
+            1, grid_c, k_rows, k_cols, th, cols_pad, col_first)
         self.col_i0 = _pad_to(ci0, cols_pad).reshape(1, -1)
         self.col_w = np.ascontiguousarray(
             _pad_to(cw.astype(np.float32), cols_pad).T)

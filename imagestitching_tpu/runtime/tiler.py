@@ -65,6 +65,20 @@ def resident_peak_bytes(plan: LayoutPlan, channels: int = 3) -> int:
     return 2 * canvas + sum(srcs) + (max(regions) if regions else 0)
 
 
+def sharded_peak_bytes(plan: LayoutPlan, n_shards: int,
+                       channels: int = 3) -> int:
+    """Per-device peak of the space-sharded compose (parallel.sharding).
+
+    Every source is replicated to every device (uint8), and the band compose
+    builds ~3 band-sized float32 temporaries (canvas, region, masked blend)
+    plus the uint8 result.
+    """
+    band = _round_up(plan.canvas_h, n_shards) // n_shards
+    srcs = sum(channels * p.raw_w * p.raw_h for p in plan.placements)
+    band_f32 = 4 * channels * band * plan.canvas_w
+    return srcs + 3 * band_f32 + band_f32 // 4
+
+
 def plan_execution(plan: LayoutPlan, budget: MemoryBudget,
                    channels: int = 3) -> ExecutionPlan:
     """Pick the cheapest strategy whose conservative peak fits the budget."""

@@ -193,3 +193,17 @@ def test_banded_pallas_copy_blit(tmp_path):
                              progress=lambda *a: None, interpret=True)
     want = oracle.stitch(plan, imgs)
     np.testing.assert_array_equal(got, want)
+
+
+def test_streamed_kernel_update_matches_oracle():
+    """Streamed strategy with the fused kernel (engine auto, interpret)."""
+    from imagestitching_tpu.runtime.pipeline import _run_streamed
+
+    specs = [ImageSpec(80, 60), ImageSpec(50, 90, orientation=8)]
+    imgs = [rng.integers(0, 256, (s.raw_h, s.raw_w, 3), np.uint8)
+            for s in specs]
+    plan = solve(specs, StitchOptions(gap=2, supersample=False))
+    cfg = RuntimeConfig(engine="auto", interpret=True)
+    got = _run_streamed(plan, imgs, 3, cfg, lambda *a: None)
+    want = oracle.stitch(plan, imgs)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
