@@ -271,10 +271,12 @@ def stitch(items: Sequence[ImageInput],
 
 
 def stitch_to_file(items: Sequence[ImageInput], out_path: Union[str, os.PathLike],
-                   quality: int = 95, **kwargs) -> str:
+                   quality: int = 95, png_compression: int = 6,
+                   **kwargs) -> str:
     """Stitch and write the result (format from extension; PNG default)."""
     out = stitch(items, **kwargs)
-    return codec.encode(out_path, out, quality=quality)
+    return codec.encode(out_path, out, quality=quality,
+                        png_compression=png_compression)
 
 
 def preview_size(width: int, height: int, box_w: int,

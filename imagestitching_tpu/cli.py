@@ -80,6 +80,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--on-error", choices=("raise", "skip"), default="raise",
                    help="per-image failure policy during prepare")
     p.add_argument("--quality", type=int, default=95, help="JPEG quality")
+    p.add_argument("--png-level", type=int, default=6, choices=range(0, 10),
+                   metavar="0-9",
+                   help="PNG zlib level (lossless; lower = faster encode, "
+                        "slightly larger file)")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--json", action="store_true", dest="as_json",
                    help="print a single JSON result line")
@@ -146,7 +150,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                                   limits=limits, on_error=args.on_error,
                                   progress=progress, return_metrics=True)
         from .imgio import codec
-        codec.encode(args.output, out, quality=args.quality)
+        codec.encode(args.output, out, quality=args.quality,
+                     png_compression=args.png_level)
     except (ValueError, RuntimeError, OSError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1

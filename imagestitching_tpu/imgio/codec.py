@@ -202,11 +202,13 @@ def decode(src: PathOrBytes,
 
 
 def encode(path: Union[str, os.PathLike], array: np.ndarray,
-           quality: int = 95) -> str:
+           quality: int = 95, png_compression: int = 6) -> str:
     """Write uint8 HWC array to ``path``; format from extension (PNG default).
 
     The export analog of ``safeCanvasToTempFilePath`` (utils/canvas.js:205-242,
-    reference exports PNG at quality 1.0, index.js:1579).
+    reference exports PNG at quality 1.0, index.js:1579).  PNG is lossless;
+    ``png_compression`` (zlib 0-9) trades encode time for file size only —
+    level 3 encodes ~2x faster than 6 with a few percent larger files.
     """
     if not _HAVE_PIL:
         raise RuntimeError("Pillow unavailable and native codec not built")
@@ -225,7 +227,7 @@ def encode(path: Union[str, os.PathLike], array: np.ndarray,
             if ext in ("jpg", "jpeg"):
                 data = native.encode_jpeg(arr, quality=quality)
             elif ext in ("png", ""):
-                data = native.encode_png(arr)
+                data = native.encode_png(arr, compression=png_compression)
             if data is not None:
                 with open(path if ext else path + ".png", "wb") as f:
                     f.write(data)

@@ -635,9 +635,15 @@ def run(plan: LayoutPlan, images: Sequence[np.ndarray],
     last_oom = None
 
     mesh = config.mesh
-    if (mesh is not None and getattr(mesh, "shape", {}).get("space", 1) > 1
-            and ex.strategy in ("resident", "streamed")):
+    n_space = (getattr(mesh, "shape", {}).get("space", 1)
+               if mesh is not None else 1)
+    if (n_space > 1
+            and tiler.sharded_peak_bytes(plan, n_space, channels)
+            <= config.budget.hbm_bytes):
         # multi-chip: shard this job's canvas row-bands over the space axis
+        # (per-DEVICE byte accounting above: replicated sources + f32 band
+        # temporaries must fit each chip's budget, else fall through to the
+        # single-chip strategy ladder)
         from ..parallel.sharding import ShardedStitch
         out = ShardedStitch(plan, mesh, channels)(images)
         m.strategy = "space-sharded"
@@ -650,6 +656,12 @@ def run(plan: LayoutPlan, images: Sequence[np.ndarray],
                   mp_per_sec=round(m.mp_per_sec, 1))
         progress("composite", 1.0)
         return out, m
+    if n_space > 1:
+        log.event("pipeline.sharded_budget_reject",
+                  est_per_device_mb=round(
+                      tiler.sharded_peak_bytes(plan, n_space, channels)
+                      / 1e6, 1),
+                  budget_mb=round(config.budget.hbm_bytes / 1e6, 1))
 
     for attempt_strategy, band in _strategy_ladder(ex, plan):
         try:
