@@ -1,0 +1,102 @@
+"""HTTP serving front end: JSON + multipart stitch, health, stats."""
+
+import base64
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from imagestitching_tpu.config import StitchOptions
+from imagestitching_tpu.core import oracle
+from imagestitching_tpu.core.layout import ImageSpec, solve
+from imagestitching_tpu.imgio import codec
+from imagestitching_tpu.serve.http import StitchHTTPServer
+
+rng = np.random.default_rng(41)
+
+
+@pytest.fixture(scope="module")
+def srv():
+    with StitchHTTPServer(port=0, engine="xla", max_wait_s=0.005) as s:
+        yield s
+
+
+def _url(srv, path):
+    return f"http://{srv.host}:{srv.port}{path}"
+
+
+def _get_json(srv, path):
+    with urllib.request.urlopen(_url(srv, path), timeout=30) as r:
+        return json.loads(r.read())
+
+
+def test_healthz_and_stats(srv):
+    h = _get_json(srv, "/healthz")
+    assert h["ok"] is True and h["backend"]
+    st = _get_json(srv, "/stats")
+    assert "server" in st and "log_tail" in st
+
+
+def _png_bytes(arr):
+    return codec.encode_bytes(arr, "png")
+
+
+def test_stitch_json_roundtrip(srv):
+    imgs = [rng.integers(0, 256, (40, 60, 3), np.uint8),
+            rng.integers(0, 256, (50, 45, 3), np.uint8)]
+    payload = {
+        "images": [base64.b64encode(_png_bytes(a)).decode() for a in imgs],
+        "direction": "vertical", "mode": "min", "gap": 4,
+    }
+    req = urllib.request.Request(
+        _url(srv, "/stitch"), data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.headers["Content-Type"] == "image/png"
+        out = np.asarray(Image.open(__import__("io").BytesIO(r.read())))
+    plan = solve([ImageSpec(a.shape[1], a.shape[0]) for a in imgs],
+                 StitchOptions(gap=4))
+    want = oracle.stitch(plan, imgs)
+    assert out.shape == want.shape
+    assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_stitch_multipart_jpeg_out(srv):
+    imgs = [rng.integers(0, 256, (32, 32, 3), np.uint8)] * 2
+    boundary = "xXbOuNdArYxX"
+    parts = []
+    for i, a in enumerate(imgs):
+        parts.append(
+            (f"--{boundary}\r\n"
+             f'Content-Disposition: form-data; name="file{i}"; '
+             f'filename="{i}.png"\r\n'
+             f"Content-Type: image/png\r\n\r\n").encode()
+            + _png_bytes(a) + b"\r\n")
+    body = b"".join(parts) + f"--{boundary}--\r\n".encode()
+    req = urllib.request.Request(
+        _url(srv, "/stitch?direction=horizontal&format=jpg&quality=92"),
+        data=body,
+        headers={"Content-Type":
+                 f"multipart/form-data; boundary={boundary}"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.headers["Content-Type"] == "image/jpeg"
+        out = np.asarray(Image.open(__import__("io").BytesIO(r.read())))
+    assert out.shape == (32, 64, 3)
+
+
+def test_stitch_bad_request(srv):
+    req = urllib.request.Request(
+        _url(srv, "/stitch"), data=b"{}",
+        headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 400
+    assert "error" in json.loads(ei.value.read())
+
+
+def test_unknown_route(srv):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(_url(srv, "/nope"), timeout=30)
+    assert ei.value.code == 404
