@@ -128,6 +128,8 @@ def prepare(items: Sequence[ImageInput], config: RuntimeConfig,
     for i, value, err in decoding.iter_decoded(
             jobs, config.decode_threads, config.decode_timeout_s):
         if err is not None:
+            if not isinstance(err, Exception):
+                raise err     # KeyboardInterrupt etc. — never skippable
             log.event("prepare.fail", index=i, error=repr(err))
             if on_error == "raise":
                 raise err

@@ -179,26 +179,32 @@ def decode(src: PathOrBytes,
         if arr is not None:
             return arr, orientation
 
-    with _open(src) as img:
-        orientation = _read_orientation(img)
-        if (max_pixels is not None and img.format == "JPEG"
-                and img.width * img.height > max_pixels):
-            scale = (img.width * img.height / max_pixels) ** 0.5
-            denom = 1
-            while denom < 8 and denom < scale:
-                denom *= 2
-            img.draft("RGB", (max(1, img.width // denom),
-                              max(1, img.height // denom)))
-        if img.mode in ("RGBA", "LA", "PA") or (
-                img.mode == "P" and "transparency" in img.info):
-            rgba = img.convert("RGBA")
-            arr = np.asarray(rgba, np.float32)
-            alpha = arr[:, :, 3:4] / 255.0
-            rgb = arr[:, :, :3] * alpha + 255.0 * (1.0 - alpha)
-            out = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
-        else:
-            out = np.asarray(img.convert("RGB"))
-        return np.ascontiguousarray(out), orientation
+    _pil_gate.read_acquire()    # strict decode: exclude salvage's tolerance
+    try:
+        # decode from the bytes already read: re-opening the PATH here can
+        # block forever on pipe-like inputs while holding the read gate
+        with _open(data) as img:
+            orientation = _read_orientation(img)
+            if (max_pixels is not None and img.format == "JPEG"
+                    and img.width * img.height > max_pixels):
+                scale = (img.width * img.height / max_pixels) ** 0.5
+                denom = 1
+                while denom < 8 and denom < scale:
+                    denom *= 2
+                img.draft("RGB", (max(1, img.width // denom),
+                                  max(1, img.height // denom)))
+            if img.mode in ("RGBA", "LA", "PA") or (
+                    img.mode == "P" and "transparency" in img.info):
+                rgba = img.convert("RGBA")
+                arr = np.asarray(rgba, np.float32)
+                alpha = arr[:, :, 3:4] / 255.0
+                rgb = arr[:, :, :3] * alpha + 255.0 * (1.0 - alpha)
+                out = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+            else:
+                out = np.asarray(img.convert("RGB"))
+            return np.ascontiguousarray(out), orientation
+    finally:
+        _pil_gate.read_release()
 
 
 def encode(path: Union[str, os.PathLike], array: np.ndarray,
@@ -256,7 +262,46 @@ def encode_bytes(array: np.ndarray, format: str = "png",
     return buf.getvalue()
 
 
-_salvage_lock = __import__("threading").Lock()
+class _PilGate:
+    """Readers-writer gate around Pillow's process-global strictness flag.
+
+    ``LOAD_TRUNCATED_IMAGES`` is module-global in Pillow: while a salvage
+    decode holds it True, a concurrent *strict* decode would silently accept
+    truncated data.  Strict decodes take the (concurrent) read side; salvage
+    takes the exclusive write side.
+    """
+
+    def __init__(self):
+        import threading
+        self._cond = threading.Condition()
+        self._readers = 0
+        self._writer = False
+
+    def read_acquire(self):
+        with self._cond:
+            while self._writer:
+                self._cond.wait()
+            self._readers += 1
+
+    def read_release(self):
+        with self._cond:
+            self._readers -= 1
+            if self._readers == 0:
+                self._cond.notify_all()
+
+    def write_acquire(self):
+        with self._cond:
+            while self._writer or self._readers:
+                self._cond.wait()
+            self._writer = True
+
+    def write_release(self):
+        with self._cond:
+            self._writer = False
+            self._cond.notify_all()
+
+
+_pil_gate = _PilGate()
 
 
 def salvage_decode(src: PathOrBytes) -> Tuple[np.ndarray, int]:
@@ -269,16 +314,20 @@ def salvage_decode(src: PathOrBytes) -> Tuple[np.ndarray, int]:
     """
     if not _HAVE_PIL:
         raise RuntimeError("Pillow unavailable; cannot salvage-decode")
-    with _salvage_lock:   # LOAD_TRUNCATED_IMAGES is Pillow-global state
-        prev = ImageFile.LOAD_TRUNCATED_IMAGES
-        ImageFile.LOAD_TRUNCATED_IMAGES = True
-        try:
-            with _open(src) as img:
-                orientation = _read_orientation(img)
-                out = np.ascontiguousarray(np.asarray(img.convert("RGB")))
-            return out, orientation
-        finally:
-            ImageFile.LOAD_TRUNCATED_IMAGES = prev
+    # read the bytes BEFORE taking the gate: file I/O can block arbitrarily
+    # (pipes, dead mounts) and must never stall every other decode
+    data = src if isinstance(src, bytes) else open(os.fspath(src), "rb").read()
+    _pil_gate.write_acquire()   # exclusive: the tolerance flag is global
+    prev = ImageFile.LOAD_TRUNCATED_IMAGES
+    ImageFile.LOAD_TRUNCATED_IMAGES = True
+    try:
+        with _open(data) as img:
+            orientation = _read_orientation(img)
+            out = np.ascontiguousarray(np.asarray(img.convert("RGB")))
+        return out, orientation
+    finally:
+        ImageFile.LOAD_TRUNCATED_IMAGES = prev
+        _pil_gate.write_release()
 
 
 def transcode_if_needed(path: Union[str, os.PathLike],

@@ -163,8 +163,9 @@ def _model_step_time(th: int, tw: int, bh: int, bw: int,
 def _choose_tiles(ri0: np.ndarray, ci0: np.ndarray, k_rows: int, k_cols: int,
                   n_rows: int, n_cols: int, m_h_pad: int, m_w_pad: int,
                   th_fixed: Optional[int] = None,
-                  ) -> Tuple[int, int, int, int]:
-    """Pick (th, tw, bh, bw) minimizing modeled total time under the VMEM cap.
+                  ) -> Tuple[int, int, int, int, bool]:
+    """Pick (th, tw, bh, bw, col_first) minimizing modeled total time under
+    the VMEM cap.
 
     Per tile: split-bf16 contractions cost ``4*M*Bh*Bw + 6*M*Bw*Tw`` flops
     (2-pass row, 3-pass col; M padded to the 128-wide MXU), DMA moves
@@ -365,9 +366,6 @@ def _make_kernel(s: _SchedStatic, batched: bool, channels: int, batch: int):
         def _():
             dma_for(step, slot).start()
             for d in range(1, _DMA_SLOTS - 1):
-                if d < 1:
-                    continue
-
                 @pl.when(d < total)
                 def _(d=d):
                     dma_for(d, jax.lax.rem(step + d, _DMA_SLOTS)).start()

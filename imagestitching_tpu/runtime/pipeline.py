@@ -467,8 +467,12 @@ def run_overlapped(plan: LayoutPlan, loaders, config: RuntimeConfig,
                 f"header said {p.raw_w}x{p.raw_h}")
         return raw
 
-    # Retained for a potential banded retry (host RAM, not HBM).
+    # Host copies are kept only until an image is safely composited (or for
+    # the banded path, which needs them); an OOM retry re-decodes the
+    # already-released ones instead of pinning ~GBs of raw arrays for the
+    # whole job.
     decoded: List[Optional[np.ndarray]] = [None] * n
+    composited: List[bool] = [False] * n
     stream_ok = ex.strategy in ("resident", "streamed")
     canvas = None
     oom = None
@@ -496,6 +500,8 @@ def run_overlapped(plan: LayoutPlan, loaders, config: RuntimeConfig,
                 src = jnp.asarray(raw)          # async H2D
                 canvas = _streamed_update(plan, i, channels, canvas, src,
                                           config.engine, config.interpret)
+                composited[i] = True
+                decoded[i] = None   # composited: release the host copy
             except Exception as e:  # noqa: BLE001 — OOM classification
                 if not _is_oom(e):
                     raise
@@ -510,13 +516,29 @@ def run_overlapped(plan: LayoutPlan, loaders, config: RuntimeConfig,
     t_drain = time.perf_counter()
     if canvas is not None and oom is None:
         # compute_s = device drain exposed after the last decode (work that
-        # ran *under* decode is genuinely overlapped and costs no wall time)
-        canvas.block_until_ready()
+        # ran *under* decode is genuinely overlapped and costs no wall
+        # time).  block_until_ready returns at enqueue on some transports,
+        # so force completion with a data-dependent 1-element fetch; it
+        # overcounts compute by one transfer round trip.
+        np.asarray(jax.device_get(canvas[:1, :1, :1]))
         m.compute_s = time.perf_counter() - t_drain
         t0 = time.perf_counter()
         out = np.asarray(canvas)
         m.readback_s = time.perf_counter() - t0
     else:
+        # re-decode images released after successful streamed updates (rare
+        # path: only reached when an OOM forces the banded retry)
+        missing = [i for i in range(n) if decoded[i] is None
+                   and composited[i]]
+        if missing:
+            log.event("pipeline.oom_redecode", n=len(missing))
+            for i, raw2, err2 in decoding.iter_decoded(
+                    [loaders[i] for i in missing], config.decode_threads,
+                    config.decode_timeout_s):
+                if err2 is not None:
+                    raise err2
+                decoded[missing[i]] = _checked(missing[i],
+                                               np.asarray(raw2))
         # demotion ladder: banded compositing from the retained host arrays
         band = ex.band_rows or min(plan.canvas_h, 2048)
         out = None

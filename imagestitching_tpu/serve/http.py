@@ -52,13 +52,16 @@ def _parse_multipart(content_type: str, body: bytes) -> List[bytes]:
 def _options_from(params: dict) -> Tuple[StitchOptions, dict]:
     def one(key, default=None):
         v = params.get(key)
-        if isinstance(v, list):
-            v = v[0] if v else None
+        # parse_qs wraps each value in a single-element str list; JSON
+        # arrays (e.g. "background": [250, 250, 250]) pass through intact
+        if isinstance(v, list) and len(v) == 1 and isinstance(v[0], str):
+            v = v[0]
         return default if v is None else v
 
     bg = one("background", "255,255,255")
     if isinstance(bg, str):
-        bg = tuple(int(x) for x in bg.split(","))
+        bg = [int(x) for x in bg.split(",")]
+    bg = tuple(int(x) for x in bg)
     options = StitchOptions(
         direction=one("direction", "vertical"),
         mode=one("mode", "min"),
@@ -167,8 +170,12 @@ class StitchHTTPServer:
     def stitch_blobs(self, blobs: List[bytes], options: StitchOptions,
                      enc: dict) -> Tuple[bytes, str]:
         """Decode request images, run one batched job, encode the strip."""
-        images = [codec.decode(b)[0] for b in blobs]
-        out = self.server.submit(images, options).result(timeout=300)
+        decoded = [codec.decode(b) for b in blobs]
+        images = [d[0] for d in decoded]
+        orientations = [d[1] for d in decoded]   # EXIF applied on device
+        out = self.server.submit(images, options,
+                                 orientations=orientations).result(
+                                     timeout=300)
         if enc["format"] in ("jpg", "jpeg"):
             data = codec.encode_bytes(out, "jpeg", quality=enc["quality"])
             return data, "image/jpeg"

@@ -72,13 +72,23 @@ class StitchServer:
 
     def submit(self, images: Sequence[np.ndarray],
                options: Optional[StitchOptions] = None,
-               limits: Optional[CanvasLimits] = None) -> Future:
-        """Enqueue one stitch job; resolves to the uint8 HWC strip."""
+               limits: Optional[CanvasLimits] = None,
+               orientations: Optional[Sequence[int]] = None) -> Future:
+        """Enqueue one stitch job; resolves to the uint8 HWC strip.
+
+        ``orientations``: per-image EXIF orientation (1-8) applied on
+        device, matching api.stitch's behavior for decoded files.
+        """
         if self._closed:
             raise RuntimeError("server is closed")
         options = (options or StitchOptions()).validate()
         imgs = [np.ascontiguousarray(np.asarray(a)) for a in images]
-        specs = [ImageSpec(a.shape[1], a.shape[0]) for a in imgs]
+        if orientations is None:
+            orientations = [1] * len(imgs)
+        if len(orientations) != len(imgs):
+            raise ValueError("orientations length must match images")
+        specs = [ImageSpec(a.shape[1], a.shape[0], int(o))
+                 for a, o in zip(imgs, orientations)]
         plan = solve(specs, options, limits)
         fut: Future = Future()
         self._queue.put(_Job(imgs, plan, fut, time.perf_counter()))

@@ -100,3 +100,39 @@ def test_unknown_route(srv):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(_url(srv, "/nope"), timeout=30)
     assert ei.value.code == 404
+
+
+def test_stitch_json_exif_orientation(srv):
+    # EXIF orientation must be honored by the HTTP path (review finding):
+    # a rotated JPEG lands upright in the strip
+    arr = rng.integers(0, 256, (40, 30, 3), np.uint8)
+    import io as _io
+    buf = _io.BytesIO()
+    img = Image.fromarray(arr)
+    ex = img.getexif()
+    ex[274] = 6                      # 90-degree rotation: display 40x30
+    img.save(buf, "JPEG", quality=95, exif=ex)
+    payload = {"images": [base64.b64encode(buf.getvalue()).decode()],
+               "direction": "vertical"}
+    req = urllib.request.Request(
+        _url(srv, "/stitch"), data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        out = np.asarray(Image.open(__import__("io").BytesIO(r.read())))
+    assert out.shape == (30, 40, 3)  # oriented dims, not raw 40x30
+
+
+def test_stitch_json_array_background(srv):
+    # JSON array background (review finding: list params must survive)
+    imgs = [rng.integers(0, 256, (20, 20, 3), np.uint8) for _ in range(2)]
+    payload = {
+        "images": [base64.b64encode(_png_bytes(a)).decode() for a in imgs],
+        "background": [10, 200, 30], "gap": 4,
+    }
+    req = urllib.request.Request(
+        _url(srv, "/stitch"), data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        out = np.asarray(Image.open(__import__("io").BytesIO(r.read())))
+    assert out.shape == (44, 20, 3)            # 20 + 4 gap + 20 rows
+    np.testing.assert_array_equal(out[21, 0], [10, 200, 30])  # gap row
