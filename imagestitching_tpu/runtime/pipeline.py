@@ -459,6 +459,13 @@ def run_overlapped(plan: LayoutPlan, loaders, config: RuntimeConfig,
               budget_mb=round(ex.budget_bytes / 1e6, 1),
               canvas=(plan.canvas_w, plan.canvas_h))
 
+    profile_ctx = None
+    if config.profile:
+        trace_dir = os.environ.get("IMAGESTITCH_TRACE_DIR",
+                                   "/tmp/imagestitching_trace")
+        profile_ctx = jax.profiler.trace(trace_dir)
+        profile_ctx.__enter__()
+
     def _checked(i: int, raw: np.ndarray) -> np.ndarray:
         p = plan.placements[i]
         if raw.shape[:2] != (p.raw_h, p.raw_w):
@@ -559,6 +566,8 @@ def run_overlapped(plan: LayoutPlan, loaders, config: RuntimeConfig,
                 "strategy") from oom
         m.strategy = "overlapped/banded"
         m.compute_s = time.perf_counter() - t_drain
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
     m.total_s = time.perf_counter() - t_start
     log.event("pipeline.overlapped_done", n=n, strategy=m.strategy,
               total_s=round(m.total_s, 4),

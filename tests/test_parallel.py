@@ -184,3 +184,18 @@ def test_space_sharded_budget_reject_falls_back():
     out2, m2 = pipeline.run(plan, imgs, cfg2)
     assert m2.strategy == "space-sharded"
     assert np.abs(out2.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_batch_on_2d_mesh_jobs_axis():
+    """Batched serving on a 2D (jobs, space) mesh: batch shards over jobs,
+    replicates over space — a config change, not a redesign (SURVEY §2c)."""
+    mesh = pmesh.make_mesh((4, 2))
+    specs = [ImageSpec(40, 24), ImageSpec(24, 32)]
+    plan = solve(specs, StitchOptions(gap=1, supersample=False))
+    b = 8
+    stacks = [rng.integers(0, 256, (b, 24, 40, 3), np.uint8),
+              rng.integers(0, 256, (b, 32, 24, 3), np.uint8)]
+    out = pbatch.stitch_batch(plan, stacks, engine="xla", mesh=mesh)
+    want = np.stack([oracle.stitch(plan, [s[i] for s in stacks])
+                     for i in range(b)])
+    assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
