@@ -36,7 +36,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gap", type=float, default=0.0,
                    help="inter-image gap in output pixels (reference UI "
                         "clamps to 0-20; unbounded here)")
-    p.add_argument("--filter", choices=("bilinear", "triangle", "box"),
+    p.add_argument("--filter",
+                   choices=("bilinear", "triangle", "box", "lanczos3"),
                    default="bilinear",
                    help="resampling filter (bilinear = Canvas-2D parity; "
                         "triangle = antialiased downscale)")

@@ -85,7 +85,7 @@ class StitchOptions:
     # surprise is wrong, so it is opt-in here (parity mode: pass True).
     supersample: bool = False
     background: Tuple[int, int, int] = (255, 255, 255)  # white fill (index.js:1423-1424)
-    filter: str = "bilinear"           # "bilinear" | "triangle" (AA downscale) | "box"
+    filter: str = "bilinear"           # "bilinear" | "triangle" | "box" | "lanczos3"
     max_images: Optional[int] = 9      # MAX_IMAGES (index.js:311); None = unlimited
 
     def validate(self) -> "StitchOptions":
@@ -95,7 +95,7 @@ class StitchOptions:
             raise ValueError(f"mode must be one of {MODES}, got {self.mode!r}")
         if self.gap < 0:
             raise ValueError(f"gap must be >= 0, got {self.gap}")
-        if self.filter not in ("bilinear", "triangle", "box"):
+        if self.filter not in ("bilinear", "triangle", "box", "lanczos3"):
             raise ValueError(f"unknown filter {self.filter!r}")
         return self
 

@@ -152,6 +152,18 @@ def filter_matrix(px_lo: int, px_hi: int, a: float, length: float, m: int,
             w[bad, nearest] = 1.0
             wsum = w.sum(axis=1, keepdims=True)
         w = w / wsum
+    elif kind == "lanczos3":
+        support = 3.0 * max(1.0, 1.0 / scale)    # widen on downscale
+        d = (s[:, None] - idx[None, :]) * (3.0 / support)
+        w = np.where(np.abs(d) < 3.0, np.sinc(d) * np.sinc(d / 3.0), 0.0)
+        wsum = w.sum(axis=1, keepdims=True)
+        bad = (np.abs(wsum) <= 1e-12).ravel()
+        if bad.any():
+            nearest = np.clip(np.rint(s[bad]), 0, m - 1).astype(np.int64)
+            w[bad] = 0.0
+            w[bad, nearest] = 1.0
+            wsum = w.sum(axis=1, keepdims=True)
+        w = w / wsum
     elif kind == "box":
         # Box filter: integrate source over the dest pixel's footprint
         # [ (px - a)/length*m , (px+1 - a)/length*m ).
@@ -227,6 +239,14 @@ def filter_taps(px_lo: int, px_hi: int, a: float, length: float, m: int,
         K = max(2, int(np.ceil(2 * support)) + 1)  # covers (s-sup, s+sup)
         idx = i0[:, None] + np.arange(K)[None, :]
         w = np.maximum(0.0, 1.0 - np.abs(idx - s[:, None]) / support)
+    elif kind == "lanczos3":
+        s = source_coords(px, a, length, m)
+        support = 3.0 * max(1.0, 1.0 / scale)
+        i0 = np.ceil(s - support)
+        K = max(2, int(np.ceil(2 * support)) + 1)
+        idx = i0[:, None] + np.arange(K)[None, :]
+        d = (idx - s[:, None]) * (3.0 / support)
+        w = np.where(np.abs(d) < 3.0, np.sinc(d) * np.sinc(d / 3.0), 0.0)
     elif kind == "box":
         left = (px - a) / length * m
         right = (px + 1.0 - a) / length * m
@@ -240,7 +260,9 @@ def filter_taps(px_lo: int, px_hi: int, a: float, length: float, m: int,
 
     w = np.where((idx >= 0) & (idx <= m - 1), w, 0.0)
     wsum = w.sum(axis=1, keepdims=True)
-    bad = (wsum <= 0.0).ravel()
+    # <= eps (not < 0): a clipped lanczos row can leave a tiny or negative
+    # sum whose reciprocal would explode — fall back to the nearest tap
+    bad = (wsum <= 1e-9).ravel()
     if bad.any():
         s = source_coords(px, a, length, m)
         nearest = np.clip(np.rint(s[bad]), 0, m - 1)

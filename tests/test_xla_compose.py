@@ -133,3 +133,31 @@ def test_shape_mismatch_raises():
     plan = plan_for([ImageSpec(32, 16)])
     with pytest.raises(ValueError):
         xla_compose.stitch(plan, [rand_img(16, 32)])
+
+
+def test_lanczos3_filter_all_engines_match_oracle():
+    """Lanczos3 rides the same K-tap machinery as every other filter."""
+    from imagestitching_tpu.ops import pallas_resize
+
+    specs = [ImageSpec(97, 64), ImageSpec(48, 80, orientation=6)]
+    imgs = [rng.integers(0, 256, (64, 97, 3), np.uint8),
+            rng.integers(0, 256, (80, 48, 3), np.uint8)]
+    plan = solve(specs, StitchOptions(gap=2, filter="lanczos3",
+                                      supersample=False))
+    want = oracle.stitch(plan, imgs)
+    got_xla = xla_compose.stitch(plan, imgs)
+    assert np.abs(got_xla.astype(int) - want.astype(int)).max() <= 1
+    got_k = pallas_resize.stitch(plan, imgs, interpret=True)
+    assert np.abs(got_k.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_lanczos3_constant_image_stays_constant():
+    # partition of unity: rows sum to 1 even with negative lobes
+    specs = [ImageSpec(200, 150)]
+    img = np.full((150, 200, 3), 119, np.uint8)
+    for limits_w in (77, 450):   # down- and upscale
+        plan = solve(specs, StitchOptions(filter="lanczos3",
+                                          supersample=False),
+                     CanvasLimits(max_side=limits_w))
+        out = xla_compose.stitch(plan, [img])
+        assert np.abs(out.astype(int) - 119).max() <= 1
