@@ -301,8 +301,8 @@ def make_preview(image: np.ndarray, box_w: int,
     only the preview-sized result crosses back to the host; ``device=False``
     forces the float64 host (oracle) path.
     """
-    if device and not isinstance(image, np.ndarray):
-        image = np.asarray(image) if not _is_jax_array(image) else image
+    if not (_is_jax_array(image) or isinstance(image, np.ndarray)):
+        image = np.asarray(image)
     h, w = (image.shape[0], image.shape[1])
     pw, ph = preview_size(w, h, box_w, min_height)
     if device:

@@ -185,14 +185,11 @@ def decode(src: PathOrBytes,
         # block forever on pipe-like inputs while holding the read gate
         with _open(data) as img:
             orientation = _read_orientation(img)
-            if (max_pixels is not None and img.format == "JPEG"
-                    and img.width * img.height > max_pixels):
-                scale = (img.width * img.height / max_pixels) ** 0.5
-                denom = 1
-                while denom < 8 and denom < scale:
-                    denom *= 2
-                img.draft("RGB", (max(1, img.width // denom),
-                                  max(1, img.height // denom)))
+            if max_pixels is not None and img.format == "JPEG":
+                denom = _jpeg_scale_denom(img.width, img.height, max_pixels)
+                if denom > 1:
+                    img.draft("RGB", (max(1, img.width // denom),
+                                      max(1, img.height // denom)))
             if img.mode in ("RGBA", "LA", "PA") or (
                     img.mode == "P" and "transparency" in img.info):
                 rgba = img.convert("RGBA")

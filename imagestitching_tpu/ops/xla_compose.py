@@ -91,11 +91,12 @@ def placement_params(p: Placement, kind: str) -> dict:
 # Device-side resample + composite
 # ---------------------------------------------------------------------------
 
-def _ktap(img: jnp.ndarray, prm: dict, axis: int) -> jnp.ndarray:
-    """K-tap separable resample via gathers; out-of-range taps weigh zero."""
+def ktap_axis(img: jnp.ndarray, i0, w, axis: int) -> jnp.ndarray:
+    """K-tap separable resample along ``axis`` via gathers (the one shared
+    gather-engine primitive; out-of-range taps carry zero weight, so clipped
+    indices are harmless).  ``i0 (n,) int32`` window starts, ``w (n, K)``."""
     m = img.shape[axis]
-    i0 = jnp.asarray(prm["i0"])
-    w = prm["w"]
+    i0 = jnp.asarray(i0)
     acc = None
     for k in range(w.shape[1]):
         shape = [1] * img.ndim
@@ -104,6 +105,10 @@ def _ktap(img: jnp.ndarray, prm: dict, axis: int) -> jnp.ndarray:
                         axis=axis) * jnp.asarray(w[:, k]).reshape(shape)
         acc = term if acc is None else acc + term
     return acc
+
+
+def _ktap(img: jnp.ndarray, prm: dict, axis: int) -> jnp.ndarray:
+    return ktap_axis(img, prm["i0"], prm["w"], axis)
 
 
 def _resample_axis0(img: jnp.ndarray, prm: dict) -> jnp.ndarray:

@@ -36,17 +36,7 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _ktap(img, i0, w, axis):
-    """K-tap separable resample along ``axis`` (zero-weight taps clipped)."""
-    m = img.shape[axis]
-    acc = None
-    for k in range(w.shape[1]):
-        shape = [1, 1, 1]
-        shape[axis] = w.shape[0]
-        term = jnp.take(img, jnp.clip(i0 + k, 0, m - 1),
-                        axis=axis) * w[:, k].reshape(shape)
-        acc = term if acc is None else acc + term
-    return acc
+_ktap = xla_compose.ktap_axis
 
 
 def _shard_taps(plan: LayoutPlan, n_shards: int, band: int) -> List[dict]:

@@ -87,23 +87,7 @@ def _copy_update_exe(canvas_shape, src_shape, window_shape, orientation):
     return jax.jit(fn, donate_argnums=(0,))
 
 
-def _ktap_axis(img, i0, w, axis):
-    """K-tap separable resample along ``axis`` via gathers (XLA engine).
-
-    ``i0 (n,) int32`` window starts, ``w (n, K) f32`` weights; out-of-range
-    taps carry zero weight, so clipped gather indices are harmless.
-    """
-    m = img.shape[axis]
-    K = w.shape[1]
-    acc = None
-    for k in range(K):
-        wk = w[:, k]
-        shape = [1, 1, 1]
-        shape[axis] = wk.shape[0]
-        term = jnp.take(img, jnp.clip(i0 + k, 0, m - 1),
-                        axis=axis) * wk.reshape(shape)
-        acc = term if acc is None else acc + term
-    return acc
+_ktap_axis = xla_compose.ktap_axis
 
 
 @functools.lru_cache(maxsize=256)
@@ -539,12 +523,12 @@ def run_overlapped(plan: LayoutPlan, loaders, config: RuntimeConfig,
                    and composited[i]]
         if missing:
             log.event("pipeline.oom_redecode", n=len(missing))
-            for i, raw2, err2 in decoding.iter_decoded(
-                    [loaders[i] for i in missing], config.decode_threads,
+            for k, raw2, err2 in decoding.iter_decoded(
+                    [loaders[j] for j in missing], config.decode_threads,
                     config.decode_timeout_s):
                 if err2 is not None:
                     raise err2
-                decoded[missing[i]] = _checked(missing[i],
+                decoded[missing[k]] = _checked(missing[k],
                                                np.asarray(raw2))
         # demotion ladder: banded compositing from the retained host arrays
         band = ex.band_rows or min(plan.canvas_h, 2048)
