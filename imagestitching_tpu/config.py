@@ -107,7 +107,6 @@ class RuntimeConfig:
     engine: str = "auto"               # "auto" | "pallas" | "xla" | "oracle"
     limits: CanvasLimits = dataclasses.field(default_factory=CanvasLimits)
     budget: MemoryBudget = dataclasses.field(default_factory=MemoryBudget)
-    compute_dtype: str = "float32"
     interpret: bool = False            # run Pallas kernels in interpreter mode
     profile: bool = False              # enable jax.profiler traces per phase
     decode_threads: int = 8            # host codec pool (replaces serial decode,
@@ -125,8 +124,6 @@ class RuntimeConfig:
     # canvas row-bands across chips (parallel.sharding.ShardedStitch); the
     # serving layer uses the "jobs" axis for batch data-parallelism.
     mesh: Optional[object] = None
-    tile_rows: int = 256               # output band height for the tiler
-    donate_canvas: bool = True
 
     def validate(self) -> "RuntimeConfig":
         if self.engine not in ("auto", "pallas", "xla", "oracle"):
