@@ -123,7 +123,7 @@ _DMA_SLOTS = 3           # band buffers; issue distance = _DMA_SLOTS - 1
 _MXU_EFF_FLOPS = 120e12      # ~197 TF/s bf16 peak x ~0.6 achieved
 _VPU_EFF_OPS = 4e12          # elementwise ops/s (casts, splits, quantize)
 _HBM_BPS = 6e11              # achievable HBM stream bandwidth
-_STEP_OVERHEAD_S = 5e-7      # per-grid-step dispatch/DMA-setup cost
+_STEP_OVERHEAD_S = 1.2e-6      # per-grid-step dispatch/DMA-setup cost
 
 
 def _vmem_bytes(th: int, tw: int, bh: int, bw: int, channels: int = 3) -> int:
