@@ -35,6 +35,12 @@ def __getattr__(name):  # lazy: keep `import imagestitching_tpu` JAX-free
     if name == "StitchServer":
         from .serve.server import StitchServer
         return StitchServer
+    if name == "StitchHTTPServer":
+        from .serve.http import StitchHTTPServer
+        return StitchHTTPServer
+    if name == "ArtifactStore":
+        from .runtime.artifacts import ArtifactStore
+        return ArtifactStore
     if name == "StitchMetrics":
         from .runtime.pipeline import StitchMetrics
         return StitchMetrics

@@ -288,3 +288,33 @@ def test_stitch_return_metrics(tmp_path):
                         return_metrics=True)
     assert out.shape == (48, 24, 3)
     assert m.total_s > 0 and m.prepare_s >= 0
+
+
+def test_lazy_exports_stay_jax_free():
+    import subprocess as sp
+    code = (
+        "import sys\n"
+        "import imagestitching_tpu as ist\n"
+        "assert 'jax' not in sys.modules, 'import must stay JAX-free'\n"
+        "assert ist.StitchHTTPServer and ist.ArtifactStore and "
+        "ist.StitchServer and ist.StitchMetrics\n"
+        "print('ok')\n")
+    r = sp.run([sys.executable, "-c", code], capture_output=True, text=True,
+               env={"PYTHONPATH": ".", "PATH": "/usr/bin:/bin",
+                    "JAX_PLATFORMS": "cpu", "HOME": "/tmp"})
+    assert r.returncode == 0, r.stderr
+    assert "ok" in r.stdout
+
+
+def test_many_images_strip():
+    # 30-image job (way past the reference's 9-cap) through the full API
+    imgs = [rng.integers(0, 256, (12, 10 + (i % 3), 3), np.uint8)
+            for i in range(30)]
+    opts = StitchOptions(gap=1, supersample=False, max_images=None)
+    out = ist.stitch(imgs, options=opts,
+                     config=RuntimeConfig(engine="xla", overlap="never"))
+    specs = [api.ImageSpec(a.shape[1], a.shape[0]) for a in imgs]
+    from imagestitching_tpu.core.layout import solve as _solve
+    plan = _solve(specs, opts)
+    want = oracle.stitch(plan, imgs)
+    assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
