@@ -179,7 +179,8 @@ def main() -> None:
     print(json.dumps(result))
 
 
-def _bench_end_to_end(n_images: int, w: int, h: int) -> dict:
+def _bench_end_to_end(n_images: int, w: int, h: int,
+                      runs: int = 3) -> dict:
     """Config-4 wall clock, disk to disk: 9 JPEGs -> decode pool -> H2D ->
     device composite -> D2H -> native PNG encode (VERDICT r1 #2).
 
@@ -212,8 +213,8 @@ def _bench_end_to_end(n_images: int, w: int, h: int) -> dict:
         cfg = RuntimeConfig(overlap="always", budget=MemoryBudget(
             host_cache_pixels=0, host_cache_entries=0))
 
-        runs = []
-        for r in range(3):                  # run 0 warms compiles
+        results = []
+        for r in range(runs):               # run 0 warms compiles
             t0 = time.perf_counter()
             out, m = api.stitch(paths, config=cfg, return_metrics=True)
             t1 = time.perf_counter()
@@ -222,17 +223,17 @@ def _bench_end_to_end(n_images: int, w: int, h: int) -> dict:
             # host has ONE core — MT strips can't help it)
             codec.encode(out_path, out, png_compression=3)
             t2 = time.perf_counter()
-            runs.append({"total_ms": (t2 - t0) * 1000,
+            results.append({"total_ms": (t2 - t0) * 1000,
                          "decode_wall_ms": m.prepare_s * 1000,
                          "device_drain_ms": m.compute_s * 1000,
                          "readback_ms": m.readback_s * 1000,
                          "encode_ms": (t2 - t1) * 1000})
-            log(f"e2e run {r}: total {runs[-1]['total_ms']:.0f} ms  "
-                f"(decode {runs[-1]['decode_wall_ms']:.0f}, "
-                f"drain {runs[-1]['device_drain_ms']:.0f}, "
-                f"readback {runs[-1]['readback_ms']:.0f}, "
-                f"encode {runs[-1]['encode_ms']:.0f})")
-        warm = runs[1:]
+            log(f"e2e run {r}: total {results[-1]['total_ms']:.0f} ms  "
+                f"(decode {results[-1]['decode_wall_ms']:.0f}, "
+                f"drain {results[-1]['device_drain_ms']:.0f}, "
+                f"readback {results[-1]['readback_ms']:.0f}, "
+                f"encode {results[-1]['encode_ms']:.0f})")
+        warm = results[1:] if len(results) > 1 else results
         p50 = _stats.median(r["total_ms"] for r in warm)
         phases = {k: round(_stats.median(r[k] for r in warm), 1)
                   for k in warm[0]}
