@@ -119,6 +119,11 @@ class _Handler(BaseHTTPRequestHandler):
         app = self.server.app          # type: ignore[attr-defined]
         try:
             length = int(self.headers.get("Content-Length", 0))
+            if length > app.max_request_bytes:
+                self._send_json(413, {
+                    "error": f"request {length} B exceeds the "
+                             f"{app.max_request_bytes} B limit"})
+                return
             body = self.rfile.read(length)
             ctype = self.headers.get("Content-Type", "")
             params = {k: v for k, v in parse_qs(url.query).items()}
@@ -147,7 +152,9 @@ class StitchHTTPServer:
     """
 
     def __init__(self, host: str = "127.0.0.1", port: int = 8080,
-                 server: Optional[StitchServer] = None, **server_kw):
+                 server: Optional[StitchServer] = None,
+                 max_request_bytes: int = 256 << 20, **server_kw):
+        self.max_request_bytes = max_request_bytes
         self.server = server or StitchServer(**server_kw)
         self._own_server = server is None
         self._httpd = ThreadingHTTPServer((host, port), _Handler)

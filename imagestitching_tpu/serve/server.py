@@ -53,13 +53,19 @@ class StitchServer:
     def __init__(self, max_batch: int = 64, max_wait_s: float = 0.005,
                  engine: str = "pallas", use_mesh: bool = False,
                  config: Optional[RuntimeConfig] = None,
-                 interpret: bool = False):
+                 interpret: bool = False, max_queue: int = 1024):
         self.max_batch = max_batch
         self.max_wait_s = max_wait_s
         self.engine = engine
         self.interpret = interpret
         self.config = (config or RuntimeConfig()).validate()
         self.mesh = pmesh.make_mesh() if use_mesh else None
+        # bounded queue = explicit backpressure: reject at admission instead
+        # of buffering unboundedly (the server analog of the reference's
+        # isStitching mutex refusing re-entry, index.js:25,772)
+        self.max_queue = max_queue
+        self._pending = 0                  # submitted, future not yet set
+        self._plock = threading.Lock()
         self._queue: "queue.Queue[Optional[_Job]]" = queue.Queue()
         self._compiled: Dict[Tuple, Dict[int, BatchedStitch]] = {}
         self._log = get_logger()
@@ -90,9 +96,24 @@ class StitchServer:
         specs = [ImageSpec(a.shape[1], a.shape[0], int(o))
                  for a, o in zip(imgs, orientations)]
         plan = solve(specs, options, limits)
+        with self._plock:
+            if self._pending >= self.max_queue:
+                self._log.event("serve.queue_full", depth=self._pending)
+                raise RuntimeError(
+                    f"server queue full ({self.max_queue} jobs pending); "
+                    "retry later")
+            self._pending += 1
         fut: Future = Future()
         self._queue.put(_Job(imgs, plan, fut, time.perf_counter()))
         return fut
+
+    def _resolve(self, job: "_Job", value=None, error=None) -> None:
+        with self._plock:
+            self._pending -= 1
+        if error is not None:
+            job.future.set_exception(error)
+        else:
+            job.future.set_result(value)
 
     def stats(self) -> dict:
         return dict(self._stats)
@@ -203,7 +224,7 @@ class StitchServer:
             compiled = self._get_compiled(plan, padded)
             out = compiled(stacks)
             for i, j in enumerate(jobs):
-                j.future.set_result(out[i])
+                self._resolve(j, value=out[i])
             self._stats["jobs"] += b
             self._stats["batches"] += 1
             self._log.event("serve.flush", batch=b, padded=padded,
@@ -212,7 +233,7 @@ class StitchServer:
             # batch-level failure: retry jobs individually so one poisoned
             # job cannot take down its batch-mates
             if len(jobs) == 1:
-                jobs[0].future.set_exception(e)
+                self._resolve(jobs[0], error=e)
                 self._stats["failed"] += 1
                 self._log.event("serve.job_fail", error=repr(e))
                 return

@@ -136,3 +136,15 @@ def test_stitch_json_array_background(srv):
         out = np.asarray(Image.open(__import__("io").BytesIO(r.read())))
     assert out.shape == (44, 20, 3)            # 20 + 4 gap + 20 rows
     np.testing.assert_array_equal(out[21, 0], [10, 200, 30])  # gap row
+
+
+def test_request_size_limit():
+    with StitchHTTPServer(port=0, engine="xla",
+                          max_request_bytes=1000) as small:
+        req = urllib.request.Request(
+            f"http://{small.host}:{small.port}/stitch",
+            data=b"x" * 2000,
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 413

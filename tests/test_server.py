@@ -121,3 +121,20 @@ def test_server_budget_caps_batch_proactively():
         assert st["batches"] >= 4          # ceil(10/3) launches at minimum
     tags = [r["tag"] for r in get_logger().ring()]
     assert "serve.batch_capped" in tags
+
+
+def test_server_queue_backpressure():
+    # bounded admission by PENDING count (not raw queue depth — the batcher
+    # drains the queue into buckets immediately): the 4th submit is rejected
+    s = StitchServer(max_batch=8, max_wait_s=30.0, engine="xla", max_queue=3)
+    try:
+        jobs = []
+        for _ in range(3):
+            jobs.append(s.submit([rand_img(8, 8)]))
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError, match="queue full"):
+            s.submit([rand_img(8, 8)])
+    finally:
+        s.close()
+        for f in jobs:
+            assert f.result(timeout=60).shape == (8, 8, 3)
