@@ -412,9 +412,10 @@ def _make_kernel(s: _SchedStatic, batched: bool, channels: int, batch: int):
             # _model_step_time).
             outs = []
             for c in range(channels):
-                # Mosaic has no direct uint8<->f32 casts; route via int32.
-                bandc = band[slot, c].astype(jnp.int32).astype(jnp.float32)
-                band16 = bandc.astype(jnp.bfloat16)
+                # Mosaic has no direct uint8 casts; route via int32.  Pixels
+                # 0-255 are exact in bf16, so skip the f32 intermediate (one
+                # fewer VPU pass over the band).
+                band16 = band[slot, c].astype(jnp.int32).astype(jnp.bfloat16)
                 t2 = (jnp.dot(band16, wc_hi,
                               preferred_element_type=jnp.float32)
                       + jnp.dot(band16, wc_lo,
@@ -431,8 +432,7 @@ def _make_kernel(s: _SchedStatic, batched: bool, channels: int, batch: int):
         else:
             tmps = []
             for c in range(channels):
-                bandc = band[slot, c].astype(jnp.int32).astype(jnp.float32)
-                band16 = bandc.astype(jnp.bfloat16)
+                band16 = band[slot, c].astype(jnp.int32).astype(jnp.bfloat16)
                 tmps.append(
                     jnp.dot(wr_hi, band16,
                             preferred_element_type=jnp.float32)
