@@ -55,9 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "default here: unlimited)")
     p.add_argument("--engine", choices=("auto", "pallas", "xla", "oracle"),
                    default="auto")
-    p.add_argument("--hbm-budget", type=float, default=None, metavar="GB",
+    p.add_argument("--hbm-budget", default=None, metavar="GB|auto",
                    help="device memory budget in GiB for one job (governor "
-                        "picks resident/streamed/banded to fit; default 2)")
+                        "picks resident/streamed/banded to fit; default 2; "
+                        "'auto' probes the device's HBM)")
     p.add_argument("--decode-threads", type=int, default=None,
                    help="host decode pool size (default 8)")
     p.add_argument("--decode-timeout", type=float, default=None, metavar="S",
@@ -121,8 +122,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         limits = _dc.replace(limits or CanvasLimits(), **limits_kw)
     cfg_kw = {"engine": args.engine, "overlap": args.overlap}
     budget_kw = {}
-    if args.hbm_budget is not None:
-        budget_kw["hbm_bytes"] = int(args.hbm_budget * (1 << 30))
+    if args.hbm_budget == "auto":
+        budget_kw["hbm_bytes"] = MemoryBudget.from_device().hbm_bytes
+    elif args.hbm_budget is not None:
+        budget_kw["hbm_bytes"] = int(float(args.hbm_budget) * (1 << 30))
     if args.artifact_cache is not None:
         budget_kw["artifact_dir"] = args.artifact_cache
     if budget_kw:

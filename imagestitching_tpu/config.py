@@ -71,6 +71,37 @@ class MemoryBudget:
     artifact_dir: Optional[str] = None
     artifact_quota_bytes: int = 512 << 20
 
+    @staticmethod
+    def from_device(fraction: float = 0.6) -> "MemoryBudget":
+        """Budget a fraction of the actual device HBM.
+
+        The reference *probes* device limits by trial-allocating canvases
+        and caches the answer (index.js:345-448); on TPU the runtime just
+        knows: ``memory_stats()`` where the backend reports it, else a
+        device-kind table.  Falls back to the 2 GB default when neither
+        works (e.g. CPU test meshes).
+        """
+        total = None
+        try:
+            import jax
+            d = jax.devices()[0]
+            stats = d.memory_stats() or {}
+            total = (stats.get("bytes_limit")
+                     or stats.get("bytes_reservable_limit"))
+            if not total:
+                kind = getattr(d, "device_kind", "").lower()
+                table = {"v5 lite": 16, "v5e": 16, "v5p": 95, "v6 lite": 32,
+                         "v6e": 32, "v4": 32, "v3": 16, "v2": 8}
+                for k, gb in table.items():
+                    if k in kind:
+                        total = gb << 30
+                        break
+        except Exception:  # pragma: no cover — probing must never fail
+            total = None
+        if not total:
+            return MemoryBudget()
+        return MemoryBudget(hbm_bytes=int(total * fraction))
+
 
 @dataclasses.dataclass(frozen=True)
 class StitchOptions:

@@ -318,3 +318,20 @@ def test_many_images_strip():
     plan = _solve(specs, opts)
     want = oracle.stitch(plan, imgs)
     assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_budget_from_device():
+    from imagestitching_tpu.config import MemoryBudget
+    b = MemoryBudget.from_device()
+    assert b.hbm_bytes > 0        # probed or default, never zero/crash
+    b2 = MemoryBudget.from_device(fraction=0.1)
+    assert b2.hbm_bytes <= max(b.hbm_bytes, 2 << 30)
+
+
+def test_cli_hbm_budget_auto(tmp_path):
+    a = tmp_path / "a.png"
+    Image.fromarray(rng.integers(0, 256, (16, 16, 3), np.uint8)).save(a)
+    out = tmp_path / "o.png"
+    r = run_cli(a, "-o", out, "--engine", "xla", "--hbm-budget", "auto",
+                "--json")
+    assert r.returncode == 0, r.stderr
