@@ -19,6 +19,16 @@ from . import api
 from .config import CanvasLimits, MemoryBudget, RuntimeConfig, StitchOptions
 
 
+def _gb_or_auto(v: str):
+    if v == "auto":
+        return v
+    try:
+        return float(v)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"expected GiB number or 'auto', got {v!r}") from None
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="imagestitching-tpu",
@@ -55,7 +65,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "default here: unlimited)")
     p.add_argument("--engine", choices=("auto", "pallas", "xla", "oracle"),
                    default="auto")
-    p.add_argument("--hbm-budget", default=None, metavar="GB|auto",
+    p.add_argument("--hbm-budget", type=_gb_or_auto, default=None,
+                   metavar="GB|auto",
                    help="device memory budget in GiB for one job (governor "
                         "picks resident/streamed/banded to fit; default 2; "
                         "'auto' probes the device's HBM)")
@@ -125,7 +136,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.hbm_budget == "auto":
         budget_kw["hbm_bytes"] = MemoryBudget.from_device().hbm_bytes
     elif args.hbm_budget is not None:
-        budget_kw["hbm_bytes"] = int(float(args.hbm_budget) * (1 << 30))
+        budget_kw["hbm_bytes"] = int(args.hbm_budget * (1 << 30))
     if args.artifact_cache is not None:
         budget_kw["artifact_dir"] = args.artifact_cache
     if budget_kw:

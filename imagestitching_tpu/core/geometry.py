@@ -295,10 +295,22 @@ def source_band(px_lo: int, px_hi: int, a: float, length: float, m: int,
         return 0, 0
     edges = source_coords(np.asarray([px_lo, px_hi - 1], np.float64), a, length, m)
     if kind == "bilinear":
-        r = 1.0
-    else:
-        scale = length / m
-        r = max(1.0, 1.0 / scale)
-    lo = int(math.floor(min(edges) - (r - 1.0))) if kind != "bilinear" else int(math.floor(edges[0]))
-    hi = (int(math.ceil(max(edges) + r)) + 1) if kind != "bilinear" else (int(math.floor(edges[1])) + 2)
+        return (max(0, min(int(math.floor(edges[0])), m - 1)),
+                max(1, min(m, int(math.floor(edges[1])) + 2)))
+    r = filter_support(kind, length / m)
+    lo = int(math.floor(min(edges) - (r - 1.0)))
+    hi = int(math.ceil(max(edges) + r)) + 1
     return max(0, min(lo, m - 1)), max(1, min(m, hi))
+
+
+def filter_support(kind: str, scale: float) -> float:
+    """Half-width (source px) of a filter's footprint at this dest/src scale.
+
+    Every consumer sizing crops/bands from dest spans must use this — a
+    triangle widens by 1/scale on downscale and lanczos3 spans 3x that.
+    """
+    base = {"bilinear": 1.0, "triangle": 1.0, "box": 1.0,
+            "lanczos3": 3.0}.get(kind)
+    if base is None:
+        raise ValueError(f"unknown filter kind {kind!r}")
+    return base * max(1.0, 1.0 / scale)

@@ -405,6 +405,26 @@ def _run_banded(plan: LayoutPlan, images: Sequence[np.ndarray],
 # Overlapped execution: decode || H2D || compute
 # ---------------------------------------------------------------------------
 
+
+class _Profile:
+    """Exception-safe jax.profiler trace: stop() is idempotent and MUST run
+    on every exit path, or the process-global profiler stays started and
+    every later profiled run raises 'Profile has already been started'."""
+
+    def __init__(self, enabled: bool):
+        self._ctx = None
+        if enabled:
+            trace_dir = os.environ.get("IMAGESTITCH_TRACE_DIR",
+                                       "/tmp/imagestitching_trace")
+            self._ctx = jax.profiler.trace(trace_dir)
+            self._ctx.__enter__()
+
+    def stop(self) -> None:
+        if self._ctx is not None:
+            ctx, self._ctx = self._ctx, None
+            ctx.__exit__(None, None, None)
+
+
 def run_overlapped(plan: LayoutPlan, loaders, config: RuntimeConfig,
                    progress: ProgressFn = _noop,
                    ) -> Tuple[np.ndarray, StitchMetrics]:
@@ -443,12 +463,17 @@ def run_overlapped(plan: LayoutPlan, loaders, config: RuntimeConfig,
               budget_mb=round(ex.budget_bytes / 1e6, 1),
               canvas=(plan.canvas_w, plan.canvas_h))
 
-    profile_ctx = None
-    if config.profile:
-        trace_dir = os.environ.get("IMAGESTITCH_TRACE_DIR",
-                                   "/tmp/imagestitching_trace")
-        profile_ctx = jax.profiler.trace(trace_dir)
-        profile_ctx.__enter__()
+    prof = _Profile(config.profile)
+    try:
+        return _run_overlapped_body(plan, loaders, config, progress, m,
+                                    ex, log, t_start, channels, n)
+    finally:
+        prof.stop()
+
+
+def _run_overlapped_body(plan, loaders, config, progress, m, ex, log,
+                         t_start, channels, n):
+    from . import decoding
 
     def _checked(i: int, raw: np.ndarray) -> np.ndarray:
         p = plan.placements[i]
@@ -550,8 +575,6 @@ def run_overlapped(plan: LayoutPlan, loaders, config: RuntimeConfig,
                 "strategy") from oom
         m.strategy = "overlapped/banded"
         m.compute_s = time.perf_counter() - t_drain
-    if profile_ctx is not None:
-        profile_ctx.__exit__(None, None, None)
     m.total_s = time.perf_counter() - t_start
     log.event("pipeline.overlapped_done", n=n, strategy=m.strategy,
               total_s=round(m.total_s, 4),
@@ -637,13 +660,16 @@ def run(plan: LayoutPlan, images: Sequence[np.ndarray],
               canvas=(plan.canvas_w, plan.canvas_h))
     progress("layout", 1.0)
 
-    profile_ctx = None
-    if config.profile:
-        import jax as _jax
-        trace_dir = os.environ.get("IMAGESTITCH_TRACE_DIR",
-                                   "/tmp/imagestitching_trace")
-        profile_ctx = _jax.profiler.trace(trace_dir)
-        profile_ctx.__enter__()
+    prof = _Profile(config.profile)
+    try:
+        return _run_body(plan, images, config, progress, m, ex, log,
+                         t_start, channels)
+    finally:
+        prof.stop()
+
+
+def _run_body(plan, images, config, progress, m, ex, log, t_start,
+              channels):
 
     t0 = time.perf_counter()
     out = None
@@ -663,8 +689,6 @@ def run(plan: LayoutPlan, images: Sequence[np.ndarray],
         out = ShardedStitch(plan, mesh, channels)(images)
         m.strategy = "space-sharded"
         m.compute_s = time.perf_counter() - t0
-        if profile_ctx is not None:
-            profile_ctx.__exit__(None, None, None)
         m.total_s = time.perf_counter() - t_start
         log.event("pipeline.done", strategy=m.strategy,
                   compute_s=round(m.compute_s, 4),
@@ -708,8 +732,6 @@ def run(plan: LayoutPlan, images: Sequence[np.ndarray],
         raise MemoryError(
             "stitch ran out of device memory on every strategy") from last_oom
     m.compute_s = time.perf_counter() - t0
-    if profile_ctx is not None:
-        profile_ctx.__exit__(None, None, None)
     m.total_s = time.perf_counter() - t_start
     log.event("pipeline.done", strategy=ex.strategy,
               compute_s=round(m.compute_s, 4),

@@ -129,7 +129,9 @@ def _banded_peak(plan: LayoutPlan, band: int, channels: int) -> int:
         disp_w, disp_h = geometry.display_size(p.raw_w, p.raw_h,
                                                p.orientation)
         scale = p.h / max(1, disp_h)          # canvas rows per source row
-        rows_needed = min(disp_h, int(math.ceil(band / max(scale, 1e-9))) + 2)
+        support = geometry.filter_support(plan.filter, max(scale, 1e-9))
+        rows_needed = min(disp_h, int(math.ceil(
+            band / max(scale, 1e-9) + 2 * support)) + 2)
         worst = max(worst, channels * rows_needed * _round_up(disp_w, 128) * 2)
     return 2 * band_canvas + worst
 
@@ -139,18 +141,20 @@ def band_ranges(plan: LayoutPlan, band_rows: int) -> List[Tuple[int, int]]:
             for lo in range(0, plan.canvas_h, band_rows)]
 
 
-def band_source_rows(p: Placement, band_lo: int, band_hi: int
+def band_source_rows(p: Placement, band_lo: int, band_hi: int,
+                     kind: str = "bilinear",
                      ) -> Optional[Tuple[int, int, int, int]]:
     """Source rows needed for canvas rows [band_lo, band_hi) of placement p.
 
     Returns (canvas_r0, canvas_r1, src_lo, src_hi) of the intersection, or
     None if the image doesn't touch the band.  Source rows are in *display*
-    (oriented) space.
+    (oriented) space; ``kind`` must be the plan's filter (wider filters need
+    wider crops — geometry.filter_support).
     """
     r0, r1 = p.row_span
     br0, br1 = max(r0, band_lo), min(r1, band_hi)
     if br1 <= br0:
         return None
     _, disp_h = geometry.display_size(p.raw_w, p.raw_h, p.orientation)
-    lo, hi = geometry.source_band(br0, br1, p.y0, p.h, disp_h)
+    lo, hi = geometry.source_band(br0, br1, p.y0, p.h, disp_h, kind)
     return br0, br1, lo, hi

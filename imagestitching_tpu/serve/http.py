@@ -34,7 +34,7 @@ from urllib.parse import parse_qs, urlparse
 from ..config import StitchOptions
 from ..imgio import codec
 from ..runtime.logger import get_logger
-from .server import StitchServer
+from .server import ServerOverloaded, StitchServer
 
 
 def _parse_multipart(content_type: str, body: bytes) -> List[bytes]:
@@ -120,6 +120,9 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             length = int(self.headers.get("Content-Length", 0))
             if length > app.max_request_bytes:
+                # the unread body would corrupt a keep-alive connection
+                # (parsed as the next request line) — drop the connection
+                self.close_connection = True
                 self._send_json(413, {
                     "error": f"request {length} B exceeds the "
                              f"{app.max_request_bytes} B limit"})
@@ -139,6 +142,17 @@ class _Handler(BaseHTTPRequestHandler):
             options, enc = _options_from(params)
             data, ctype_out = app.stitch_blobs(blobs, options, enc)
             self._send(200, data, ctype_out)
+        except ServerOverloaded as e:
+            # backpressure is overload, not a client error: 503 +
+            # Retry-After so well-behaved clients retry
+            get_logger().event("http.overloaded", error=repr(e))
+            self.send_response(503)
+            self.send_header("Retry-After", "1")
+            body = json.dumps({"error": str(e)}).encode()
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         except Exception as e:  # noqa: BLE001 — request isolation boundary
             get_logger().event("http.request_fail", error=repr(e))
             self._send_json(400, {"error": str(e)})

@@ -34,6 +34,11 @@ from ..parallel import mesh as pmesh
 from ..runtime.logger import get_logger
 
 
+class ServerOverloaded(RuntimeError):
+    """Raised at admission when the pending-job bound is hit (backpressure);
+    clients should retry after a short delay."""
+
+
 @dataclasses.dataclass
 class _Job:
     images: List[np.ndarray]
@@ -99,12 +104,17 @@ class StitchServer:
         with self._plock:
             if self._pending >= self.max_queue:
                 self._log.event("serve.queue_full", depth=self._pending)
-                raise RuntimeError(
+                raise ServerOverloaded(
                     f"server queue full ({self.max_queue} jobs pending); "
                     "retry later")
             self._pending += 1
-        fut: Future = Future()
-        self._queue.put(_Job(imgs, plan, fut, time.perf_counter()))
+            fut: Future = Future()
+            # put under the lock so close() cannot interleave its shutdown
+            # sentinel between our _closed check and the enqueue
+            if self._closed:
+                self._pending -= 1
+                raise RuntimeError("server is closed")
+            self._queue.put(_Job(imgs, plan, fut, time.perf_counter()))
         return fut
 
     def _resolve(self, job: "_Job", value=None, error=None) -> None:
@@ -120,9 +130,18 @@ class StitchServer:
 
     def close(self, timeout: float = 10.0) -> None:
         if not self._closed:
-            self._closed = True
-            self._queue.put(None)
+            with self._plock:
+                self._closed = True
+                self._queue.put(None)
             self._thread.join(timeout)
+            # fail anything that still slipped in behind the sentinel
+            while True:
+                try:
+                    job = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if job is not None:
+                    self._resolve(job, error=RuntimeError("server closed"))
 
     def __enter__(self):
         return self

@@ -299,9 +299,18 @@ def test_lazy_exports_stay_jax_free():
         "assert ist.StitchHTTPServer and ist.ArtifactStore and "
         "ist.StitchServer and ist.StitchMetrics\n"
         "print('ok')\n")
+    import os
+    # inherit the environment (never rebuild it from scratch) but drop the
+    # axon site hook for THIS child: it pre-imports jax at interpreter
+    # start, which is exactly what the test asserts the package does not do
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    parts = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+             if p and "axon" not in p]
+    env["PYTHONPATH"] = os.pathsep.join([repo] + parts)
+    env["JAX_PLATFORMS"] = "cpu"
     r = sp.run([sys.executable, "-c", code], capture_output=True, text=True,
-               env={"PYTHONPATH": ".", "PATH": "/usr/bin:/bin",
-                    "JAX_PLATFORMS": "cpu", "HOME": "/tmp"})
+               env=env)
     assert r.returncode == 0, r.stderr
     assert "ok" in r.stdout
 

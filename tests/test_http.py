@@ -148,3 +148,18 @@ def test_request_size_limit():
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(req, timeout=30)
         assert ei.value.code == 413
+
+
+def test_overload_maps_to_503():
+    with StitchHTTPServer(port=0, engine="xla", max_queue=0) as tiny:
+        imgs = [rng.integers(0, 256, (8, 8, 3), np.uint8)]
+        payload = {"images": [base64.b64encode(_png_bytes(a)).decode()
+                              for a in imgs]}
+        req = urllib.request.Request(
+            f"http://{tiny.host}:{tiny.port}/stitch",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 503
+        assert ei.value.headers.get("Retry-After")

@@ -207,3 +207,29 @@ def test_streamed_kernel_update_matches_oracle():
     got = _run_streamed(plan, imgs, 3, cfg, lambda *a: None)
     want = oracle.stitch(plan, imgs)
     assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_profile_trace_released_on_failure(monkeypatch, tmp_path):
+    """A failing profiled run must not leak the process-global profiler
+    (review finding: 'Profile has already been started')."""
+    import os
+    monkeypatch.setenv("IMAGESTITCH_TRACE_DIR", str(tmp_path / "t"))
+    from imagestitching_tpu.ops import xla_compose
+    from imagestitching_tpu.runtime import pipeline
+
+    def broken(plan, images):
+        raise ValueError("boom")
+
+    specs = [ImageSpec(16, 16)]
+    imgs = [rng.integers(0, 256, (16, 16, 3), np.uint8)]
+    plan = solve(specs, StitchOptions(supersample=False))
+    monkeypatch.setattr(xla_compose, "stitch", broken)
+    with pytest.raises(ValueError):
+        pipeline.run(plan, imgs, RuntimeConfig(engine="xla", profile=True))
+    monkeypatch.undo()
+    monkeypatch.setenv("IMAGESTITCH_TRACE_DIR", str(tmp_path / "t2"))
+    # a second profiled run must work (no leaked active profile)
+    out, m = pipeline.run(plan, imgs,
+                          RuntimeConfig(engine="xla", profile=True))
+    want = oracle.stitch(plan, imgs)
+    assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
