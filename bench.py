@@ -39,12 +39,20 @@ def _slope_time(fn_impl, dev_imgs, k_lo: int = 2, k_hi: int = 52,
     @functools.partial(jax.jit, static_argnums=0)
     def run_chain(k, imgs):
         def step(carry, _):
-            # bump EVERY input: a single bumped input would let XLA hoist
-            # the other placements' work out of the loop (loop-invariant
-            # code motion) and the slope would undercount them
+            # bump EVERY input (else XLA hoists the other placements out
+            # of the loop); a FIXED carried element would let XLA dead-code-
+            # eliminate every op not feeding it (measured 9x undercount on
+            # multi-placement jobs).
             bumped = [im.at[(0,) * im.ndim].add(carry) for im in imgs]
             out = fn_impl(bumped)
-            return out.reshape(-1)[0], None
+            # read a CARRY-DEPENDENT position: XLA cannot prove any region
+            # dead (it must materialize the whole canvas) yet the probe is
+            # O(1) — no artificial full-canvas checksum cost.
+            c32 = carry.astype(jnp.int32)
+            r = jax.lax.rem(c32 * 40503 + 1, out.shape[0])
+            q = jax.lax.rem(c32 * 48271 + 7, out.shape[1])
+            return jax.lax.dynamic_slice(out, (r, q, 0),
+                                         (1, 1, 1)).reshape(()), None
         c, _ = jax.lax.scan(step, jnp.uint8(0), None, length=k)
         return c
 

@@ -111,8 +111,17 @@ def source_coords(px: np.ndarray, a: float, length: float, m: int) -> np.ndarray
 
     ``s = (px + 0.5 - a) / length * m - 0.5`` — half-pixel-center mapping of a
     dest span [a, a+length) onto m source samples.
+
+    Near-integer coordinates are snapped (1e-9): divide-then-multiply float
+    noise (e.g. ``(px+0.5)/3000*3000``) otherwise turns exact identity
+    placements into 2-tap resamples with weights like 1-1e-13 — defeating
+    the copy fast path and perturbing nothing visible (the weight change is
+    ~14 orders below the uint8 quantization step).  Every engine and the
+    oracle share this function, so the contract stays single-sourced.
     """
-    return (np.asarray(px, np.float64) + 0.5 - a) / length * m - 0.5
+    s = (np.asarray(px, np.float64) + 0.5 - a) / length * m - 0.5
+    snapped = np.rint(s)
+    return np.where(np.abs(s - snapped) < 1e-9, snapped, s)
 
 
 def filter_matrix(px_lo: int, px_hi: int, a: float, length: float, m: int,
