@@ -163,9 +163,9 @@ def main() -> None:
         "# BENCHMARKS — measured on one TPU v5e chip",
         "",
         f"Backend: `{backend}`. Device-compute timing (scan-chained slope "
-        "with full-output checksums so XLA cannot dead-code-eliminate any "
-        "placement; sources staged on device as the serving pipeline holds "
-        "them). "
+        "with a carry-dependent output probe so XLA cannot dead-code-"
+        "eliminate any placement; sources staged on device as the serving "
+        "pipeline holds them). "
         "Parity = max |diff| vs the float64 NumPy oracle "
         "(0 = bit-exact, 1 = f32-vs-f64 rounding).",
         "",
