@@ -49,10 +49,12 @@ def _slope_time(fn_impl, dev_imgs, k_lo: int = 2, k_hi: int = 52,
             # dead (it must materialize the whole canvas) yet the probe is
             # O(1) — no artificial full-canvas checksum cost.
             c32 = carry.astype(jnp.int32)
-            r = jax.lax.rem(c32 * 40503 + 1, out.shape[0])
-            q = jax.lax.rem(c32 * 48271 + 7, out.shape[1])
-            return jax.lax.dynamic_slice(out, (r, q, 0),
-                                         (1, 1, 1)).reshape(()), None
+            mults = (40503, 48271, 12007, 9973)
+            starts = tuple(
+                jax.lax.rem(c32 * mults[d % 4] + d + 1,
+                            out.shape[d]) for d in range(out.ndim))
+            probe = jax.lax.dynamic_slice(out, starts, (1,) * out.ndim)
+            return probe.reshape(()).astype(jnp.uint8), None
         c, _ = jax.lax.scan(step, jnp.uint8(0), None, length=k)
         return c
 
