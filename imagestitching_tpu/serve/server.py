@@ -126,7 +126,10 @@ class StitchServer:
             job.future.set_result(value)
 
     def stats(self) -> dict:
-        return dict(self._stats)
+        with self._plock:
+            pending = self._pending
+        return {**self._stats, "pending": pending,
+                "max_queue": self.max_queue}
 
     def close(self, timeout: float = 10.0) -> None:
         if not self._closed:

@@ -58,3 +58,33 @@ def test_tpu_device_preview_parity():
     dev = api.make_preview(img, 120, device=True)
     host = api.make_preview(img, 120, device=False)
     assert np.abs(dev.astype(int) - host.astype(int)).max() <= 1
+
+
+def test_tpu_strategy_matrix_parity():
+    """Every budget strategy on real hardware against the oracle."""
+    from imagestitching_tpu.runtime import pipeline
+
+    from imagestitching_tpu.runtime import tiler
+
+    specs, imgs, options, plan = _job(
+        [(260, 200, 1), (220, 260, 3)], gap=2)
+    want = oracle.stitch(plan, imgs)
+    resident_peak = tiler.resident_peak_bytes(plan, 3)
+    streamed_peak = 3 * plan.canvas_w * plan.canvas_h + max(
+        tiler._src_bytes(p, 3) + tiler._region_bytes(p, 3)
+        for p in plan.placements)
+    for budget_bytes, expect in ((resident_peak + 1, "resident"),
+                                 (resident_peak - 1, "streamed"),
+                                 (streamed_peak - 1, "banded")):
+        cfg = RuntimeConfig(budget=MemoryBudget(hbm_bytes=budget_bytes))
+        out, m = pipeline.run(plan, imgs, cfg)
+        assert m.strategy == expect, (m.strategy, expect, budget_bytes)
+        assert np.abs(out.astype(int) - want.astype(int)).max() <= 1, expect
+
+
+def test_tpu_lanczos3_parity():
+    specs, imgs, options, plan = _job([(300, 220, 1)], filter="lanczos3")
+    out = api.stitch_arrays(imgs, specs, options,
+                            RuntimeConfig(engine="pallas"))
+    want = oracle.stitch(plan, imgs)
+    assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
