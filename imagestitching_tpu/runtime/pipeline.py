@@ -238,12 +238,18 @@ class _BandedExecutor:
             ci0, cw = geometry.filter_taps(c0, c1, p.x0, p.w, disp_w,
                                            plan.filter)
             k_rows = rw.shape[1]
-            # widest window any `band_rows` consecutive dest rows can need
+            # widest window any CANVAS-aligned band can need: bands start at
+            # multiples of band_rows in canvas space, not at the image's
+            # span start, so iterate the actual band intersections (a
+            # span-aligned grouping undercovers wide-K filters at band
+            # boundaries — caught by the lanczos3 soak)
             need = k_rows
-            n = len(ri0)
-            for g0 in range(0, n, band_rows):
-                g1 = min(n, g0 + band_rows)
-                need = max(need, int(ri0[g1 - 1]) + k_rows - int(ri0[g0]))
+            for lo, hi in tiler.band_ranges(plan, band_rows):
+                br0, br1 = max(r0, lo), min(r1, hi)
+                if br1 <= br0:
+                    continue
+                need = max(need, int(ri0[br1 - 1 - r0]) + k_rows
+                           - int(ri0[br0 - r0]))
             self.crop_rows.append(min(disp_h, need))
             self.row_taps.append({"i0": ri0, "w": rw.astype(np.float32)})
             self.col_taps.append({"i0": ci0.astype(np.int32),

@@ -233,3 +233,27 @@ def test_profile_trace_released_on_failure(monkeypatch, tmp_path):
                           RuntimeConfig(engine="xla", profile=True))
     want = oracle.stitch(plan, imgs)
     assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_banded_xla_wide_filter_band_alignment():
+    """Soak-caught bug: the XLA banded executor sized crops over groups
+    aligned to each image's span start, but bands are CANVAS-aligned — at
+    band boundaries wide-K filters (lanczos3/box) got undercovered crops and
+    clamped taps (errors up to 33 uint8 levels)."""
+    from imagestitching_tpu.core import geometry
+    from imagestitching_tpu.runtime.pipeline import _BandedExecutor
+
+    rng2 = np.random.default_rng(1065)
+    for kind in ("lanczos3", "box", "triangle"):
+        # spans deliberately NOT aligned to the band size (gap offsets them)
+        specs = [ImageSpec(119, 50, 2), ImageSpec(52, 67, 2),
+                 ImageSpec(76, 73, 2), ImageSpec(97, 86, 5)]
+        imgs = [rng2.integers(0, 256, (s.raw_h, s.raw_w, 3), np.uint8)
+                for s in specs]
+        plan = solve(specs, StitchOptions(mode="max", gap=3, filter=kind,
+                                          supersample=False))
+        oriented = [geometry.orient_array(a, p.orientation)
+                    for a, p in zip(imgs, plan.placements)]
+        got = _BandedExecutor(plan, 128, 3).run(oriented)
+        want = oracle.stitch(plan, imgs)
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 1, kind
