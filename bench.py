@@ -190,15 +190,21 @@ def main() -> None:
 
 
 def _bench_end_to_end(n_images: int, w: int, h: int,
-                      runs: int = 3) -> dict:
+                      runs: int = 3, budget_s: float = 240.0) -> dict:
     """Config-4 wall clock, disk to disk: 9 JPEGs -> decode pool -> H2D ->
-    device composite -> D2H -> native PNG encode (VERDICT r1 #2).
+    device composite -> streamed D2H || PNG encode -> file (VERDICT r1 #2).
 
-    Honest per-phase breakdown.  In this sandbox the device-to-host relay
-    runs at ~11-20 MB/s, so readback of the 324 MB canvas dominates; the
-    `e2e_excl_readback_ms` figure is the same pipeline minus that
-    environment artifact (on production PCIe/DMA links readback of 324 MB
-    is ~50-100 ms).
+    Uses the streaming export (`api.stitch_to_file(stream="auto")`): the
+    banded canvas readback overlaps the incremental native PNG encode, so
+    the export wall is ~max(readback, encode) instead of their sum.  Honest
+    per-phase breakdown: busy times per phase plus the overlapped export
+    wall.  In this sandbox the device-to-host relay runs at ~11-20 MB/s, so
+    readback of the 324 MB canvas dominates; `e2e_excl_readback_ms` is the
+    same pipeline minus that environment artifact (on production PCIe/DMA
+    links readback of 324 MB is ~50-100 ms).
+
+    Time-bounded: stops after ``budget_s`` once >=2 runs landed (run 0
+    warms compiles), so a slow sandbox never starves the headline metric.
     """
     import os
     import shutil
@@ -224,34 +230,43 @@ def _bench_end_to_end(n_images: int, w: int, h: int,
             host_cache_pixels=0, host_cache_entries=0))
 
         results = []
+        t_all = time.perf_counter()
+        canvas_shape = None
         for r in range(runs):               # run 0 warms compiles
             t0 = time.perf_counter()
-            out, m = api.stitch(paths, config=cfg, return_metrics=True)
-            t1 = time.perf_counter()
             out_path = os.path.join(d, "out.png")
             # level 3: ~2x faster lossless encode, same bytes on noise (this
             # host has ONE core — MT strips can't help it)
-            codec.encode(out_path, out, png_compression=3)
-            t2 = time.perf_counter()
-            results.append({"total_ms": (t2 - t0) * 1000,
-                         "decode_wall_ms": m.prepare_s * 1000,
-                         "device_drain_ms": m.compute_s * 1000,
-                         "readback_ms": m.readback_s * 1000,
-                         "encode_ms": (t2 - t1) * 1000})
+            _, m = api.stitch_to_file(paths, out_path, png_compression=3,
+                                      config=cfg, return_metrics=True)
+            t1 = time.perf_counter()
+            canvas_shape = (m.canvas_h, m.canvas_w)
+            results.append({"total_ms": (t1 - t0) * 1000,
+                            "decode_wall_ms": m.prepare_s * 1000,
+                            "device_drain_ms": m.compute_s * 1000,
+                            "export_wall_ms": m.export_s * 1000,
+                            "readback_busy_ms": m.readback_s * 1000,
+                            "encode_busy_ms": m.encode_s * 1000})
             log(f"e2e run {r}: total {results[-1]['total_ms']:.0f} ms  "
                 f"(decode {results[-1]['decode_wall_ms']:.0f}, "
                 f"drain {results[-1]['device_drain_ms']:.0f}, "
-                f"readback {results[-1]['readback_ms']:.0f}, "
-                f"encode {results[-1]['encode_ms']:.0f})")
+                f"export {results[-1]['export_wall_ms']:.0f} = "
+                f"readback {results[-1]['readback_busy_ms']:.0f} || "
+                f"encode {results[-1]['encode_busy_ms']:.0f})")
+            if len(results) >= 2 and time.perf_counter() - t_all > budget_s:
+                log(f"e2e: time budget {budget_s:.0f}s reached after "
+                    f"{len(results)} runs")
+                break
         warm = results[1:] if len(results) > 1 else results
         p50 = _stats.median(r["total_ms"] for r in warm)
         phases = {k: round(_stats.median(r[k] for r in warm), 1)
                   for k in warm[0]}
-        mp = out.shape[0] * out.shape[1] / 1e6
+        mp = canvas_shape[0] * canvas_shape[1] / 1e6
         return {
             "e2e_ms": round(p50, 1),
             "e2e_mp_per_sec": round(mp / (p50 / 1000), 1),
-            "e2e_excl_readback_ms": round(p50 - phases["readback_ms"], 1),
+            "e2e_excl_readback_ms": round(p50 - phases["readback_busy_ms"],
+                                          1),
             "e2e_phases": phases,
             "e2e_png_level": 3,
             "host_cores": os.cpu_count(),

@@ -152,10 +152,11 @@ def main() -> None:
         e2e_row = (f"| {e2e['e2e_ms'] / 1000:.1f} s "
                    f"| {ph['decode_wall_ms'] / 1000:.1f} s "
                    f"| {ph['device_drain_ms'] / 1000:.1f} s "
-                   f"| {ph['readback_ms'] / 1000:.1f} s "
-                   f"| {ph['encode_ms'] / 1000:.1f} s |")
+                   f"| {ph['export_wall_ms'] / 1000:.1f} s "
+                   f"| {ph['readback_busy_ms'] / 1000:.1f} s "
+                   f"| {ph['encode_busy_ms'] / 1000:.1f} s |")
     else:
-        e2e_row = f"| (failed: {e2e.get('e2e_error')}) | | | | |"
+        e2e_row = f"| (failed: {e2e.get('e2e_error')}) | | | | | |"
     log(f"e2e row: {e2e_row}")
 
     # ---- write BENCHMARKS.md
@@ -197,16 +198,21 @@ def main() -> None:
         "",
         "## End-to-end (disk to disk, config 4)",
         "",
-        "9 JPEGs on disk -> decode pool -> H2D -> device composite -> D2H "
-        "-> native PNG on disk (`bench.py` `_bench_end_to_end`; also "
-        "emitted as `e2e_*` keys in its JSON line). This sandbox exposes "
-        "ONE host core and a ~15 MB/s device->host relay, so decode, "
-        "readback and encode dominate here in ways production hosts do "
-        "not; the per-phase split keeps the numbers honest:",
+        "9 JPEGs on disk -> decode pool -> H2D -> device composite -> "
+        "streamed D2H overlapped with incremental PNG encode -> file "
+        "(`bench.py` `_bench_end_to_end`, via "
+        "`api.stitch_to_file(stream=\"auto\")`; also emitted as `e2e_*` "
+        "keys in its JSON line). The export wall is ~max(readback, encode) "
+        "instead of their sum: the banded readback is IO-bound on the "
+        "device link while libpng deflate is CPU-bound, so they hide under "
+        "each other even on this sandbox's ONE host core. The ~15 MB/s "
+        "device->host relay makes readback dominate here in ways "
+        "production hosts do not; the per-phase split keeps the numbers "
+        "honest:",
         "",
-        "| total (p50) | decode wall | device drain | readback (relay) | "
-        "PNG encode |",
-        "|---|---|---|---|---|",
+        "| total (p50) | decode wall | device drain | export wall "
+        "(overlapped) | readback busy (relay) | PNG encode busy |",
+        "|---|---|---|---|---|---|",
         e2e_row,
         "",
         f"_Generated by benchmarks/run_all.py; samples: "

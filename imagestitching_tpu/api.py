@@ -156,12 +156,18 @@ def stitch_arrays(images: Sequence[np.ndarray],
                   config: Optional[RuntimeConfig] = None,
                   limits: Optional[CanvasLimits] = None,
                   progress: ProgressFn = _noop_progress,
-                  return_metrics: bool = False):
+                  return_metrics: bool = False,
+                  keep_on_device: bool = False):
     """Stitch already-decoded raw arrays (uint8 HWC) into one strip.
 
     With ``return_metrics=True`` returns ``(array, StitchMetrics)`` — the
     per-phase timing/strategy record (observability analog of the
     reference's timing console.logs, index.js:1443-1616).
+
+    ``keep_on_device=True`` skips the final device->host readback when the
+    canvas ends up device-resident: the result is then a ``jax.Array``
+    (``np.asarray`` it, keep computing on it, or stream-export it).  Host-
+    compositing strategies (banded/oracle) still return numpy.
     """
     options = (options or StitchOptions()).validate()
     config = (config or RuntimeConfig()).validate()
@@ -174,7 +180,8 @@ def stitch_arrays(images: Sequence[np.ndarray],
               n=len(images), mode=plan.mode, direction=plan.direction,
               supersample=plan.supersample, scale_down=plan.scale_down)
     from .runtime import pipeline
-    out, metrics = pipeline.run(plan, images, config, progress)
+    out, metrics = pipeline.run(plan, images, config, progress,
+                                keep_on_device=keep_on_device)
     log.event("stitch.done", shape=tuple(out.shape))
     if return_metrics:
         return out, metrics
@@ -222,7 +229,8 @@ def stitch(items: Sequence[ImageInput],
            limits: Optional[CanvasLimits] = None,
            on_error: str = "raise",
            progress: ProgressFn = _noop_progress,
-           return_metrics: bool = False):
+           return_metrics: bool = False,
+           keep_on_device: bool = False):
     """Stitch image files/bytes/arrays into one strip (returns uint8 HWC).
 
     The one-call equivalent of the reference's full user flow: pick
@@ -250,8 +258,9 @@ def stitch(items: Sequence[ImageInput],
             plan = solve(specs, options, limits)
             loaders = [(lambda it=it: _load_one(it, config)[0])
                        for it in items]
-            out, metrics = pipeline.run_overlapped(plan, loaders, config,
-                                                   progress)
+            out, metrics = pipeline.run_overlapped(
+                plan, loaders, config, progress,
+                keep_on_device=keep_on_device)
             return (out, metrics) if return_metrics else out
         # unprobeable input (needs transcode to even read the header):
         # fall through to the plain flow
@@ -266,7 +275,8 @@ def stitch(items: Sequence[ImageInput],
                 f"first: {failures[0][1]!r}")
         raise ValueError("no images to stitch")
     out, metrics = stitch_arrays(images, specs, options, config, limits,
-                                 progress, return_metrics=True)
+                                 progress, return_metrics=True,
+                                 keep_on_device=keep_on_device)
     metrics.prepare_s = prepare_s
     metrics.total_s += prepare_s
     return (out, metrics) if return_metrics else out
@@ -274,11 +284,56 @@ def stitch(items: Sequence[ImageInput],
 
 def stitch_to_file(items: Sequence[ImageInput], out_path: Union[str, os.PathLike],
                    quality: int = 95, png_compression: int = 6,
-                   **kwargs) -> str:
-    """Stitch and write the result (format from extension; PNG default)."""
-    out = stitch(items, **kwargs)
-    return codec.encode(out_path, out, quality=quality,
+                   stream: Union[bool, str] = "auto",
+                   return_metrics: bool = False, **kwargs) -> str:
+    """Stitch and write the result (format from extension; PNG default).
+
+    ``stream`` controls the PNG export pipeline: ``"auto"`` (default) keeps
+    the canvas on device and overlaps the banded device->host readback with
+    the incremental native PNG encode whenever the output is PNG and the
+    native codec is available — on big canvases the encode hides almost
+    entirely under the transfer.  ``False`` forces the monolithic
+    fetch-then-encode path; ``True`` requires streaming (raises if the
+    native codec is missing).
+    """
+    out_path = os.fspath(out_path)
+    ext = os.path.splitext(out_path)[1].lower().lstrip(".")
+    want_stream = stream is True or (stream == "auto"
+                                     and ext in ("png", "")
+                                     and _native_available())
+    if want_stream:
+        if ext not in ("png", ""):
+            raise ValueError("stream=True only supports PNG output")
+        out, metrics = stitch(items, return_metrics=True,
+                              keep_on_device=True, **kwargs)
+        path = out_path if ext else out_path + ".png"
+        if out.ndim == 3 and out.shape[2] == 3:
+            from .runtime import export
+            progress = kwargs.get("progress", _noop_progress)
+            phases = export.stream_to_png(out, path, png_compression,
+                                          progress=progress)
+            metrics.readback_s += phases["readback_s"]
+            metrics.encode_s += phases["encode_s"]
+            metrics.export_s = phases["wall_s"]
+            metrics.total_s += phases["wall_s"]
+            return (path, metrics) if return_metrics else path
+        # non-RGB canvas: fall through to the monolithic encoder
+        out = np.asarray(out)
+    else:
+        out, metrics = stitch(items, return_metrics=True, **kwargs)
+    import time as _time
+    t0 = _time.perf_counter()
+    path = codec.encode(out_path, np.asarray(out), quality=quality,
                         png_compression=png_compression)
+    metrics.encode_s += _time.perf_counter() - t0
+    metrics.export_s = metrics.readback_s + metrics.encode_s
+    metrics.total_s += _time.perf_counter() - t0
+    return (path, metrics) if return_metrics else path
+
+
+def _native_available() -> bool:
+    from .imgio import native
+    return native.available()
 
 
 def preview_size(width: int, height: int, box_w: int,

@@ -75,6 +75,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
             ctypes.POINTER(ctypes.c_size_t)]
         lib.isx_free.argtypes = [ctypes.c_void_p]
+        lib.isx_png_stream_open.restype = ctypes.c_void_p
+        lib.isx_png_stream_open.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.isx_png_stream_write.argtypes = [ctypes.c_void_p, u8p,
+                                             ctypes.c_int]
+        lib.isx_png_stream_close.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -166,3 +172,76 @@ def encode_png(rgb: np.ndarray, compression: int = 6,
     if rc != 0:
         raise ValueError(f"png encode: {lib.isx_last_error().decode()}")
     return bytes(_take(lib, out, n.value))
+
+
+class PngStreamWriter:
+    """Band-incremental PNG file writer (native libpng, GIL-free per band).
+
+    Feed row bands top-to-bottom with :meth:`write`; :meth:`close` finalizes
+    the file (and fails if the row count doesn't match).  As a context
+    manager it closes on success and aborts (freeing the native handle,
+    leaving a partial file for the caller to unlink) on exception.
+    """
+
+    def __init__(self, path: str, width: int, height: int,
+                 compression: int = 6):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native codec unavailable")
+        if width <= 0 or height <= 0:
+            raise ValueError(f"bad canvas size {width}x{height}")
+        self._lib = lib
+        self.width, self.height = int(width), int(height)
+        self.rows_written = 0
+        handle = lib.isx_png_stream_open(os.fspath(path).encode(),
+                                         self.width, self.height,
+                                         int(compression))
+        if not handle:
+            raise ValueError(
+                f"png stream open: {lib.isx_last_error().decode()}")
+        self._handle = handle
+
+    def write(self, band: np.ndarray) -> None:
+        if self._handle is None:
+            raise ValueError("writer is closed")
+        band = np.ascontiguousarray(band, np.uint8)
+        if band.ndim != 3 or band.shape[1] != self.width \
+                or band.shape[2] != 3:
+            raise ValueError(f"band shape {band.shape} != "
+                             f"(n, {self.width}, 3)")
+        n = band.shape[0]
+        if self.rows_written + n > self.height:
+            raise ValueError("more rows than the declared height")
+        rc = self._lib.isx_png_stream_write(
+            self._handle, band.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_uint8)), n)
+        if rc != 0:
+            err = self._lib.isx_last_error().decode()
+            self.abort()
+            raise ValueError(f"png stream write: {err}")
+        self.rows_written += n
+
+    def close(self) -> None:
+        if self._handle is None:
+            return
+        handle, self._handle = self._handle, None
+        rc = self._lib.isx_png_stream_close(handle)
+        if rc != 0:
+            raise ValueError(
+                f"png stream close: {self._lib.isx_last_error().decode()}")
+
+    def abort(self) -> None:
+        """Free the native handle without requiring a complete image."""
+        if self._handle is None:
+            return
+        handle, self._handle = self._handle, None
+        self._lib.isx_png_stream_close(handle)   # rc ignored: partial file
+
+    def __enter__(self) -> "PngStreamWriter":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None:
+            self.close()
+        else:
+            self.abort()

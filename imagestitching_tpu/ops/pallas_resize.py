@@ -795,7 +795,10 @@ class CompiledPallasStitch:
         self._jitted = jax.jit(
             functools.partial(_stitch_jit, plan, channels, interpret))
 
-    def __call__(self, images: Sequence[np.ndarray]) -> np.ndarray:
+    def __call__(self, images: Sequence[np.ndarray],
+                 device: bool = False) -> np.ndarray:
+        """Run the job; ``device=True`` returns the canvas as a jax.Array
+        without the final device->host readback (streaming export path)."""
         if len(images) != len(self.plan.placements):
             raise ValueError("image count does not match plan")
         dev = []
@@ -810,7 +813,8 @@ class CompiledPallasStitch:
                     f"image {p.index}: got {arr.shape[1]}x{arr.shape[0]}, "
                     f"plan says {p.raw_w}x{p.raw_h}")
             dev.append(jnp.asarray(arr))
-        return np.asarray(self._jitted(dev))
+        out = self._jitted(dev)
+        return out if device else np.asarray(out)
 
 
 @functools.lru_cache(maxsize=64)
@@ -825,10 +829,10 @@ def get_compiled(plan: LayoutPlan, channels: int = 3,
 
 
 def stitch(plan: LayoutPlan, images: Sequence[np.ndarray],
-           interpret: bool = False) -> np.ndarray:
+           interpret: bool = False, device: bool = False) -> np.ndarray:
     """Fused-kernel stitch (raises Infeasible/NotImplementedError -> use XLA)."""
     channels = 3
     if images:
         a0 = np.asarray(images[0])
         channels = a0.shape[2] if a0.ndim == 3 else 1
-    return get_compiled(plan, channels, interpret)(images)
+    return get_compiled(plan, channels, interpret)(images, device=device)

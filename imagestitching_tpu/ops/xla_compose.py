@@ -162,7 +162,10 @@ class CompiledStitch:
 
         self._jitted = jax.jit(fn)
 
-    def __call__(self, images: Sequence[np.ndarray]) -> np.ndarray:
+    def __call__(self, images: Sequence[np.ndarray],
+                 device: bool = False) -> np.ndarray:
+        """Run the job; ``device=True`` returns the canvas as a jax.Array
+        without the final device->host readback (streaming export path)."""
         if len(images) != len(self.plan.placements):
             raise ValueError("image count does not match plan")
         dev_images: List[jnp.ndarray] = []
@@ -180,7 +183,7 @@ class CompiledStitch:
                     f"expected {self.channels}")
             dev_images.append(jnp.asarray(arr))
         out = self._jitted(dev_images, self.params)
-        return np.asarray(out)
+        return out if device else np.asarray(out)
 
 
 @functools.lru_cache(maxsize=64)
@@ -209,11 +212,12 @@ def get_compiled(plan: LayoutPlan, channels: int = 3) -> CompiledStitch:
     return _compiled_cache(_PlanKey(plan), channels)
 
 
-def stitch(plan: LayoutPlan, images: Sequence[np.ndarray]) -> np.ndarray:
+def stitch(plan: LayoutPlan, images: Sequence[np.ndarray],
+           device: bool = False) -> np.ndarray:
     """One-shot convenience: compile (cached) and run."""
     channels = 3
     if images and np.asarray(images[0]).ndim == 3:
         channels = np.asarray(images[0]).shape[2]
     elif images and np.asarray(images[0]).ndim == 2:
         channels = 1
-    return get_compiled(plan, channels)(images)
+    return get_compiled(plan, channels)(images, device=device)

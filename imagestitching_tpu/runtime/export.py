@@ -1,0 +1,151 @@
+"""Streaming canvas export: device->host readback overlapped with encode.
+
+The reference's export is one opaque native call (``wx.canvasToTempFilePath``,
+utils/canvas.js:205-242).  A framework canvas can be 100+ MP, which makes the
+monolithic fetch-then-encode form both a latency and a peak-RSS problem: the
+readback is IO-bound (device link) and the PNG filter+deflate is CPU-bound,
+so running them serially wastes one of the two resources the whole time.
+
+:func:`stream_to_png` pipelines them: a producer thread fetches fixed-height
+row bands of the (device-resident) canvas while the main thread feeds the
+previous band to the native incremental PNG writer
+(:class:`..imgio.native.PngStreamWriter`).  Both sides release the GIL for
+their long operations (PJRT transfer / libpng deflate), so the overlap is
+real even on a single host core.  Peak host memory is a few bands, never the
+whole canvas.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+from .logger import get_logger
+
+ProgressFn = Callable[[str, float], None]
+
+# Target ~24 MB fetched per band: big enough to amortize per-transfer
+# overhead on the device link, small enough that 2-3 in-flight bands stay
+# cheap in host RAM.
+_BAND_BYTES = 24 << 20
+
+
+def _noop(phase: str, fraction: float) -> None:
+    del phase, fraction
+
+
+def _is_device_array(x) -> bool:
+    return type(x).__module__.startswith("jax")
+
+
+def band_rows_for(width: int, channels: int = 3,
+                  target_bytes: int = _BAND_BYTES) -> int:
+    rows = max(64, target_bytes // max(1, width * channels))
+    return int(rows)
+
+
+def stream_to_png(canvas, path: str, png_compression: int = 6,
+                  band_rows: Optional[int] = None,
+                  progress: ProgressFn = _noop) -> dict:
+    """Write ``canvas`` (uint8 HWC, 3 channels) to ``path`` as PNG, banded.
+
+    ``canvas`` may be a host numpy array (bands are encoded straight out of
+    it) or a device array (bands are fetched by a producer thread that runs
+    ahead of the encoder).  Returns a phase dict:
+    ``{"readback_s", "encode_s", "wall_s", "overlapped": bool}`` —
+    ``readback_s``/``encode_s`` are the per-phase busy times, ``wall_s`` the
+    actual elapsed export time (< their sum when the overlap engages).
+
+    Raises if the native codec is unavailable — callers fall back to the
+    monolithic :func:`..imgio.codec.encode` path (see ``api.stitch_to_file``).
+    On any error the partial output file is removed.
+    """
+    from ..imgio import native
+
+    h, w = int(canvas.shape[0]), int(canvas.shape[1])
+    channels = int(canvas.shape[2]) if canvas.ndim == 3 else 1
+    if channels != 3:
+        raise ValueError("stream_to_png requires a 3-channel canvas")
+    band = min(h, band_rows or band_rows_for(w))
+    t_wall = time.perf_counter()
+    phases = {"readback_s": 0.0, "encode_s": 0.0,
+              "overlapped": _is_device_array(canvas)}
+
+    writer = native.PngStreamWriter(path, w, h, png_compression)
+    try:
+        if not _is_device_array(canvas):
+            arr = np.asarray(canvas)
+            for r in range(0, h, band):
+                t0 = time.perf_counter()
+                writer.write(arr[r: r + band])
+                phases["encode_s"] += time.perf_counter() - t0
+                progress("export", min(1.0, (r + band) / h))
+            writer.close()
+        else:
+            _stream_device(canvas, writer, h, w, channels, band, phases,
+                           progress)
+    except BaseException:
+        writer.abort()
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+        raise
+    phases["wall_s"] = time.perf_counter() - t_wall
+    get_logger().event(
+        "export.stream_png", canvas=(w, h), band_rows=band,
+        wall_s=round(phases["wall_s"], 3),
+        readback_s=round(phases["readback_s"], 3),
+        encode_s=round(phases["encode_s"], 3))
+    return phases
+
+
+def _stream_device(canvas, writer, h: int, w: int, channels: int, band: int,
+                   phases: dict, progress: ProgressFn) -> None:
+    """Producer (device fetch) / consumer (PNG encode) pipeline."""
+    import jax
+
+    @jax.jit
+    def fetch(o, r):
+        # dynamic_slice clamps the start, so the tail band re-reads rows the
+        # producer then trims — one compile for every band including the last
+        return jax.lax.dynamic_slice(o, (r, 0, 0), (band, w, channels))
+
+    q: "queue.Queue" = queue.Queue(maxsize=2)
+    err: list = []
+
+    def producer():
+        try:
+            for r in range(0, h, band):
+                n = min(band, h - r)
+                t0 = time.perf_counter()
+                arr = np.asarray(fetch(canvas, r))
+                phases["readback_s"] += time.perf_counter() - t0
+                q.put(arr[band - n:] if n < band else arr)
+        except BaseException as e:  # noqa: BLE001 — re-raised by consumer
+            err.append(e)
+        finally:
+            q.put(None)
+
+    t = threading.Thread(target=producer, name="stitch-readback",
+                         daemon=True)
+    t.start()
+    done_rows = 0
+    while True:
+        arr = q.get()
+        if arr is None:
+            break
+        t0 = time.perf_counter()
+        writer.write(arr)
+        phases["encode_s"] += time.perf_counter() - t0
+        done_rows += arr.shape[0]
+        progress("export", done_rows / h)
+    t.join()
+    if err:
+        raise err[0]
+    writer.close()

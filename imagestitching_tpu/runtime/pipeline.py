@@ -51,6 +51,9 @@ class StitchMetrics:
     layout_s: float = 0.0
     compute_s: float = 0.0
     readback_s: float = 0.0
+    encode_s: float = 0.0     # busy time in the file encoder (export paths)
+    export_s: float = 0.0     # wall time of readback+encode; < readback_s +
+                              # encode_s when the streaming overlap engages
     total_s: float = 0.0
     canvas_w: int = 0
     canvas_h: int = 0
@@ -153,7 +156,8 @@ def _streamed_update(plan, index: int, channels: int, canvas, src,
         offs = jnp.asarray([copy_off[0], copy_off[1],
                             p.row_span[0], p.col_span[0]], jnp.int32)
         return exe(canvas, src, offs)
-    if engine not in ("xla", "oracle"):
+    if engine not in ("xla", "oracle") and _kernel_backend_ok(engine,
+                                                              interpret):
         try:
             s, exe = _kernel_update_exe(canvas.shape, src.shape,
                                         _PlanKey(plan), index, channels,
@@ -180,7 +184,8 @@ def _streamed_update(plan, index: int, channels: int, canvas, src,
 
 def _run_streamed(plan: LayoutPlan, images: Sequence[np.ndarray],
                   channels: int, config: RuntimeConfig,
-                  progress: ProgressFn) -> np.ndarray:
+                  progress: ProgressFn,
+                  keep_on_device: bool = False) -> np.ndarray:
     bg = np.asarray(plan.background[:channels], np.uint8)
     canvas = jnp.broadcast_to(
         jnp.asarray(bg), (plan.canvas_h, plan.canvas_w, channels))
@@ -198,7 +203,7 @@ def _run_streamed(plan: LayoutPlan, images: Sequence[np.ndarray],
             canvas = _streamed_update(plan, i, channels, canvas, src,
                                       config.engine, config.interpret)
         progress("composite", 0.30 + 0.60 * (i + 1) / n)
-    return np.asarray(canvas)
+    return canvas if keep_on_device else np.asarray(canvas)
 
 
 # ---------------------------------------------------------------------------
@@ -396,7 +401,8 @@ def _run_banded(plan: LayoutPlan, images: Sequence[np.ndarray],
                 for img, p in zip(images, plan.placements)]
     engine = config.engine if config is not None else "auto"
     interpret = config.interpret if config is not None else False
-    if engine not in ("xla", "oracle"):
+    if engine not in ("xla", "oracle") and _kernel_backend_ok(engine,
+                                                              interpret):
         try:
             return _run_banded_pallas(plan, oriented, channels, band_rows,
                                       progress, interpret)
@@ -433,6 +439,7 @@ class _Profile:
 
 def run_overlapped(plan: LayoutPlan, loaders, config: RuntimeConfig,
                    progress: ProgressFn = _noop,
+                   keep_on_device: bool = False,
                    ) -> Tuple[np.ndarray, StitchMetrics]:
     """Streamed composite that overlaps host decode with device compute.
 
@@ -472,13 +479,14 @@ def run_overlapped(plan: LayoutPlan, loaders, config: RuntimeConfig,
     prof = _Profile(config.profile)
     try:
         return _run_overlapped_body(plan, loaders, config, progress, m,
-                                    ex, log, t_start, channels, n)
+                                    ex, log, t_start, channels, n,
+                                    keep_on_device)
     finally:
         prof.stop()
 
 
 def _run_overlapped_body(plan, loaders, config, progress, m, ex, log,
-                         t_start, channels, n):
+                         t_start, channels, n, keep_on_device=False):
     from . import decoding
 
     def _checked(i: int, raw: np.ndarray) -> np.ndarray:
@@ -544,9 +552,12 @@ def _run_overlapped_body(plan, loaders, config, progress, m, ex, log,
         # overcounts compute by one transfer round trip.
         np.asarray(jax.device_get(canvas[:1, :1, :1]))
         m.compute_s = time.perf_counter() - t_drain
-        t0 = time.perf_counter()
-        out = np.asarray(canvas)
-        m.readback_s = time.perf_counter() - t0
+        if keep_on_device:
+            out = canvas      # caller streams the readback (export overlap)
+        else:
+            t0 = time.perf_counter()
+            out = np.asarray(canvas)
+            m.readback_s = time.perf_counter() - t0
     else:
         # re-decode images released after successful streamed updates (rare
         # path: only reached when an OOM forces the banded retry)
@@ -624,8 +635,19 @@ def _strategy_ladder(ex: "tiler.ExecutionPlan", plan: LayoutPlan):
     return ladder
 
 
+def _kernel_backend_ok(engine: str, interpret: bool) -> bool:
+    """Mosaic only lowers on TPU: ``auto`` silently takes the XLA engine on
+    other backends; explicit ``engine="pallas"`` is honored (interpret mode,
+    or an honest lowering error on an unsupported backend)."""
+    if engine == "pallas" or interpret:
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def _pallas_ok(plan: LayoutPlan, config: RuntimeConfig) -> bool:
     if config.engine == "xla" or config.engine == "oracle":
+        return False
+    if not _kernel_backend_ok(config.engine, config.interpret):
         return False
     try:
         from ..ops import pallas_resize
@@ -642,8 +664,16 @@ def _pallas_ok(plan: LayoutPlan, config: RuntimeConfig) -> bool:
 def run(plan: LayoutPlan, images: Sequence[np.ndarray],
         config: Optional[RuntimeConfig] = None,
         progress: ProgressFn = _noop,
+        keep_on_device: bool = False,
         ) -> Tuple[np.ndarray, StitchMetrics]:
-    """Execute one solved stitch job under the configured budget."""
+    """Execute one solved stitch job under the configured budget.
+
+    ``keep_on_device=True`` skips the final device->host readback when the
+    winning strategy leaves the canvas device-resident (resident/streamed):
+    the returned array is then a ``jax.Array`` for the caller to stream or
+    keep processing on device.  Banded/oracle strategies composite on the
+    host and return numpy either way.
+    """
     config = (config or RuntimeConfig()).validate()
     log = get_logger()
     m = StitchMetrics(canvas_w=plan.canvas_w, canvas_h=plan.canvas_h)
@@ -669,13 +699,13 @@ def run(plan: LayoutPlan, images: Sequence[np.ndarray],
     prof = _Profile(config.profile)
     try:
         return _run_body(plan, images, config, progress, m, ex, log,
-                         t_start, channels)
+                         t_start, channels, keep_on_device)
     finally:
         prof.stop()
 
 
 def _run_body(plan, images, config, progress, m, ex, log, t_start,
-              channels):
+              channels, keep_on_device=False):
 
     t0 = time.perf_counter()
     out = None
@@ -716,14 +746,23 @@ def _run_body(plan, images, config, progress, m, ex, log, t_start,
                 if _pallas_ok(plan, config):
                     from ..ops import pallas_resize
                     out = pallas_resize.stitch(plan, images,
-                                               interpret=config.interpret)
+                                               interpret=config.interpret,
+                                               device=keep_on_device)
                 else:
-                    out = xla_compose.stitch(plan, images)
+                    out = xla_compose.stitch(plan, images,
+                                             device=keep_on_device)
             elif attempt_strategy == "streamed":
-                out = _run_streamed(plan, images, channels, config, progress)
+                out = _run_streamed(plan, images, channels, config, progress,
+                                    keep_on_device)
             else:
                 out = _run_banded(plan, images, channels, band, progress,
                                   config)
+            if keep_on_device and out is not None \
+                    and type(out).__module__.startswith("jax"):
+                # dispatch is async: force execution with a 1-element fetch
+                # so an OOM surfaces HERE, inside the demotion ladder, not
+                # later at the caller's first use of the device canvas
+                np.asarray(jax.device_get(out[:1, :1, :1]))
             m.strategy = attempt_strategy
             break
         except Exception as e:  # noqa: BLE001 — OOM classification below

@@ -288,6 +288,106 @@ int isx_encode_png(const uint8_t* rgb, int w, int h, int compression,
 
 }  // extern "C"
 
+// --------------------------------------------------- PNG (streaming writer)
+//
+// Band-incremental PNG encoder: open once, feed row bands as they arrive
+// (e.g. straight off device readback), close to finalize.  The whole canvas
+// never needs to exist in host RAM, and the caller can overlap the next
+// band's device->host transfer with this band's filter+deflate — on the
+// stitch export path those two phases are IO-bound and CPU-bound
+// respectively, so they hide under each other (the reference's export is one
+// opaque native call, utils/canvas.js:205-242; a framework canvas can be
+// 100+ MP, which makes the monolithic form a peak-RSS and latency problem).
+
+extern "C" {
+
+struct PngStream {
+    FILE* f;
+    png_structp png;
+    png_infop info;
+    int w, h, written;
+};
+
+// Returns an opaque handle, or nullptr (isx_last_error set).
+void* isx_png_stream_open(const char* path, int w, int h, int compression) {
+    // volatile: `s` must survive the longjmp back to the setjmp below
+    PngStream* volatile s =
+        static_cast<PngStream*>(std::calloc(1, sizeof(PngStream)));
+    if (!s) { set_err("oom"); return nullptr; }
+    s->f = std::fopen(path, "wb");
+    if (!s->f) { set_err("png-stream: fopen failed"); std::free(s);
+                 return nullptr; }
+    s->png = png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr,
+                                     nullptr);
+    s->info = s->png ? png_create_info_struct(s->png) : nullptr;
+    if (!s->png || !s->info || setjmp(png_jmpbuf(s->png))) {
+        if (!g_err[0]) set_err("png-stream: init failed");
+        if (s->png) png_destroy_write_struct(&s->png, &s->info);
+        std::fclose(s->f);
+        std::free(s);
+        return nullptr;
+    }
+    png_init_io(s->png, s->f);
+    png_set_compression_level(s->png, compression);
+    png_set_IHDR(s->png, s->info, w, h, 8, PNG_COLOR_TYPE_RGB,
+                 PNG_INTERLACE_NONE, PNG_COMPRESSION_TYPE_DEFAULT,
+                 PNG_FILTER_TYPE_DEFAULT);
+    png_write_info(s->png, s->info);
+    s->w = w;
+    s->h = h;
+    s->written = 0;
+    return s;
+}
+
+// Append `nrows` packed RGB8 rows.  0 on success.
+int isx_png_stream_write(void* handle, const uint8_t* rgb, int nrows) {
+    PngStream* s = static_cast<PngStream*>(handle);
+    if (!s || !s->png) { set_err("png-stream: bad handle"); return 1; }
+    if (nrows < 0 || s->written + nrows > s->h) {
+        set_err("png-stream: row overflow");
+        return 1;
+    }
+    // the jmp_buf captured at open died with open's stack frame — rearm it
+    // in every call that enters libpng
+    if (setjmp(png_jmpbuf(s->png))) {
+        if (!g_err[0]) set_err("png-stream: write error");
+        return 1;
+    }
+    const size_t stride = static_cast<size_t>(s->w) * 3;
+    for (int y = 0; y < nrows; ++y)
+        png_write_row(s->png, const_cast<uint8_t*>(rgb) + y * stride);
+    s->written += nrows;
+    return 0;
+}
+
+// Finalize and free.  0 on success (all h rows were written and the file
+// closed cleanly).  Always releases the handle — also the error/abort path.
+int isx_png_stream_close(void* handle) {
+    PngStream* s = static_cast<PngStream*>(handle);
+    if (!s) { set_err("png-stream: bad handle"); return 1; }
+    int rc = 0;
+    if (s->png) {
+        if (setjmp(png_jmpbuf(s->png))) {
+            if (!g_err[0]) set_err("png-stream: finalize error");
+            rc = 1;
+        } else if (s->written == s->h) {
+            png_write_end(s->png, nullptr);
+        } else {
+            set_err("png-stream: closed before all rows were written");
+            rc = 1;
+        }
+        png_destroy_write_struct(&s->png, &s->info);
+    }
+    if (s->f && std::fclose(s->f) != 0 && rc == 0) {
+        set_err("png-stream: fclose failed");
+        rc = 1;
+    }
+    std::free(s);
+    return rc;
+}
+
+}  // extern "C"
+
 // ---------------------------------------------------------------- PNG (MT)
 //
 // Multi-threaded PNG encoder (pigz-style): row strips are filtered and

@@ -1,0 +1,204 @@
+"""Streaming export: banded readback overlapped with incremental PNG encode.
+
+Covers the native band-incremental writer (imgio.native.PngStreamWriter),
+the overlap pipeline (runtime.export.stream_to_png) for host and device
+canvases, and the api.stitch_to_file(stream=...) front door — including its
+fallbacks.  The monolithic encoder is the byte-level referee: libpng with the
+same compression level must produce pixel-identical files.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from imagestitching_tpu import api
+from imagestitching_tpu.config import MemoryBudget, RuntimeConfig
+from imagestitching_tpu.imgio import codec, native
+from imagestitching_tpu.runtime import export
+
+needs_native = pytest.mark.skipif(not native.available(),
+                                  reason="native codec unavailable")
+
+rng = np.random.default_rng(42)
+
+
+def _canvas(h=300, w=217):
+    return rng.integers(0, 256, (h, w, 3), np.uint8)
+
+
+# ---------------------------------------------------------------- writer
+
+@needs_native
+def test_stream_writer_roundtrip_arbitrary_bands(tmp_path):
+    arr = _canvas()
+    p = str(tmp_path / "s.png")
+    with native.PngStreamWriter(p, 217, 300, compression=6) as w:
+        w.write(arr[:1])
+        w.write(arr[1:128])
+        w.write(arr[128:300])
+    back, _ = codec.decode(open(p, "rb").read())
+    np.testing.assert_array_equal(back, arr)
+    # byte-identical to the monolithic single-thread encoder
+    assert open(p, "rb").read() == native.encode_png(arr, compression=6,
+                                                     threads=1)
+
+
+@needs_native
+def test_stream_writer_validates(tmp_path):
+    p = str(tmp_path / "s.png")
+    w = native.PngStreamWriter(p, 64, 32)
+    with pytest.raises(ValueError, match="band shape"):
+        w.write(np.zeros((4, 63, 3), np.uint8))
+    with pytest.raises(ValueError, match="more rows"):
+        w.write(np.zeros((33, 64, 3), np.uint8))
+    w.write(np.zeros((30, 64, 3), np.uint8))
+    with pytest.raises(ValueError, match="before all rows"):
+        w.close()
+    # closed now; further writes rejected
+    with pytest.raises(ValueError, match="closed"):
+        w.write(np.zeros((2, 64, 3), np.uint8))
+
+
+@needs_native
+def test_stream_writer_abort_on_exception(tmp_path):
+    p = str(tmp_path / "s.png")
+    with pytest.raises(RuntimeError, match="boom"):
+        with native.PngStreamWriter(p, 64, 32) as w:
+            w.write(np.zeros((4, 64, 3), np.uint8))
+            raise RuntimeError("boom")
+    # handle freed; partial file left for the caller
+    assert w._handle is None
+    assert os.path.exists(p)
+
+
+# ---------------------------------------------------------------- pipeline
+
+@needs_native
+def test_stream_to_png_host_and_device_match(tmp_path):
+    import jax.numpy as jnp
+
+    arr = _canvas(500, 301)
+    p_host = str(tmp_path / "h.png")
+    p_dev = str(tmp_path / "d.png")
+    ph1 = export.stream_to_png(arr, p_host, band_rows=128)
+    ph2 = export.stream_to_png(jnp.asarray(arr), p_dev, band_rows=128)
+    assert not ph1["overlapped"] and ph2["overlapped"]
+    assert ph2["readback_s"] > 0
+    b1, _ = codec.decode(open(p_host, "rb").read())
+    b2, _ = codec.decode(open(p_dev, "rb").read())
+    np.testing.assert_array_equal(b1, arr)
+    np.testing.assert_array_equal(b2, arr)
+
+
+@needs_native
+def test_stream_to_png_tail_band_not_multiple(tmp_path):
+    import jax.numpy as jnp
+
+    # 130 rows with 64-row bands: tail band is clamped + trimmed
+    arr = _canvas(130, 257)
+    p = str(tmp_path / "t.png")
+    export.stream_to_png(jnp.asarray(arr), p, band_rows=64)
+    back, _ = codec.decode(open(p, "rb").read())
+    np.testing.assert_array_equal(back, arr)
+
+
+@needs_native
+def test_stream_to_png_rejects_non_rgb(tmp_path):
+    with pytest.raises(ValueError, match="3-channel"):
+        export.stream_to_png(np.zeros((8, 8, 1), np.uint8),
+                             str(tmp_path / "g.png"))
+    assert not os.path.exists(tmp_path / "g.png")
+
+
+# ---------------------------------------------------------------- api
+
+def _sources(tmp_path, n=3):
+    imgs = [rng.integers(0, 256, (h, w, 3), np.uint8)
+            for w, h in [(300, 200), (250, 320), (300, 200)][:n]]
+    paths = [codec.encode(str(tmp_path / f"{i}.png"), a)
+             for i, a in enumerate(imgs)]
+    return imgs, paths
+
+
+@needs_native
+def test_stitch_to_file_stream_matches_monolithic(tmp_path):
+    _, paths = _sources(tmp_path)
+    p1, m1 = api.stitch_to_file(paths, str(tmp_path / "s.png"), gap=4,
+                                return_metrics=True)
+    p2 = api.stitch_to_file(paths, str(tmp_path / "m.png"), gap=4,
+                            stream=False)
+    a1, _ = codec.decode(open(p1, "rb").read())
+    a2, _ = codec.decode(open(p2, "rb").read())
+    np.testing.assert_array_equal(a1, a2)
+    assert m1.export_s > 0 and m1.encode_s > 0
+
+
+@needs_native
+def test_stitch_to_file_stream_overlapped_big_task(tmp_path):
+    # >=7 images routes through run_overlapped(keep_on_device=True)
+    imgs, paths = _sources(tmp_path)
+    paths = paths * 3
+    p, m = api.stitch_to_file(paths, str(tmp_path / "o.png"), gap=2,
+                              return_metrics=True)
+    assert m.strategy.startswith("overlapped")
+    got, _ = codec.decode(open(p, "rb").read())
+    from imagestitching_tpu.config import StitchOptions
+    from imagestitching_tpu.core import oracle
+    from imagestitching_tpu.core.layout import ImageSpec, solve
+    plan = solve([ImageSpec(a.shape[1], a.shape[0]) for a in imgs * 3],
+                 StitchOptions(gap=2))
+    want = oracle.stitch(plan, imgs * 3)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+@needs_native
+def test_stitch_to_file_stream_banded_strategy_host_canvas(tmp_path):
+    # a tiny budget forces banded compositing -> host canvas -> the
+    # streaming writer still consumes it (no device readback)
+    _, paths = _sources(tmp_path)
+    cfg = RuntimeConfig(budget=MemoryBudget(hbm_bytes=256 << 10))
+    p, m = api.stitch_to_file(paths, str(tmp_path / "b.png"), gap=4,
+                              config=cfg, return_metrics=True)
+    assert m.strategy == "banded"
+    a1, _ = codec.decode(open(p, "rb").read())
+    p2 = api.stitch_to_file(paths, str(tmp_path / "b2.png"), gap=4,
+                            stream=False)
+    a2, _ = codec.decode(open(p2, "rb").read())
+    np.testing.assert_array_equal(a1, a2)
+
+
+def test_stitch_to_file_stream_requires_png(tmp_path):
+    _, paths = _sources(tmp_path, 2)
+    with pytest.raises(ValueError, match="PNG"):
+        api.stitch_to_file(paths, str(tmp_path / "x.jpg"), stream=True)
+
+
+def test_stitch_to_file_native_fallback(tmp_path, monkeypatch):
+    # native codec "missing": stream='auto' silently takes the monolithic
+    # path (export is an optimization, never a requirement)
+    _, paths = _sources(tmp_path, 2)
+    monkeypatch.setattr(api, "_native_available", lambda: False)
+    p = api.stitch_to_file(paths, str(tmp_path / "f.png"), gap=1)
+    a1, _ = codec.decode(open(p, "rb").read())
+    p2 = api.stitch_to_file(paths, str(tmp_path / "f2.png"), gap=1,
+                            stream=False)
+    a2, _ = codec.decode(open(p2, "rb").read())
+    np.testing.assert_array_equal(a1, a2)
+
+
+def test_keep_on_device_returns_jax_array(tmp_path):
+    imgs, _ = _sources(tmp_path, 2)
+    out = api.stitch_arrays(imgs[:2], keep_on_device=True)
+    assert type(out).__module__.startswith("jax") or isinstance(
+        out, np.ndarray)  # banded fallback may return numpy
+    full = api.stitch_arrays(imgs[:2])
+    np.testing.assert_array_equal(np.asarray(out), full)
+
+
+@needs_native
+def test_stitch_to_file_grayscale_falls_back(tmp_path):
+    imgs = [rng.integers(0, 256, (40, 30), np.uint8) for _ in range(2)]
+    p = api.stitch_to_file([(a, 1) for a in imgs], str(tmp_path / "g.png"))
+    back = np.asarray(__import__("PIL.Image", fromlist=["open"]).open(p))
+    assert back.shape[0] > 40

@@ -45,7 +45,7 @@ def test_oom_demotes_to_streamed(monkeypatch):
     calls = {"n": 0}
     real = xla_compose.stitch
 
-    def flaky(plan, images):
+    def flaky(plan, images, **kw):
         calls["n"] += 1
         raise RuntimeError("RESOURCE_EXHAUSTED: synthetic")
 
@@ -64,7 +64,7 @@ def test_oom_demotes_to_streamed(monkeypatch):
 def test_non_oom_errors_propagate(monkeypatch):
     from imagestitching_tpu.ops import xla_compose
 
-    def broken(plan, images):
+    def broken(plan, images, **kw):
         raise ValueError("genuine bug")
 
     monkeypatch.setattr(xla_compose, "stitch", broken)

@@ -217,7 +217,7 @@ def test_profile_trace_released_on_failure(monkeypatch, tmp_path):
     from imagestitching_tpu.ops import xla_compose
     from imagestitching_tpu.runtime import pipeline
 
-    def broken(plan, images):
+    def broken(plan, images, **kw):
         raise ValueError("boom")
 
     specs = [ImageSpec(16, 16)]
