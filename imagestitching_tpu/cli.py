@@ -97,6 +97,10 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar="0-9",
                    help="PNG zlib level (lossless; lower = faster encode, "
                         "slightly larger file)")
+    p.add_argument("--no-stream", action="store_true",
+                   help="disable the streaming PNG export (device readback "
+                        "overlapped with incremental encode); forces the "
+                        "monolithic fetch-then-encode path")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--json", action="store_true", dest="as_json",
                    help="print a single JSON result line")
@@ -161,17 +165,17 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     t0 = time.perf_counter()
     try:
-        out, metrics = api.stitch(args.images, options=options, config=config,
-                                  limits=limits, on_error=args.on_error,
-                                  progress=progress, return_metrics=True)
-        from .imgio import codec
-        codec.encode(args.output, out, quality=args.quality,
-                     png_compression=args.png_level)
+        _, metrics = api.stitch_to_file(
+            args.images, args.output, quality=args.quality,
+            png_compression=args.png_level,
+            stream=False if args.no_stream else "auto",
+            return_metrics=True, options=options, config=config,
+            limits=limits, on_error=args.on_error, progress=progress)
     except (ValueError, RuntimeError, OSError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
     dt = time.perf_counter() - t0
-    h, w = out.shape[:2]
+    h, w = metrics.canvas_h, metrics.canvas_w
     mdict = {k: (round(v, 5) if isinstance(v, float) else v)
              for k, v in _dc.asdict(metrics).items()}
     mdict["mp_per_sec"] = round(metrics.mp_per_sec, 1)

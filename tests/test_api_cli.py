@@ -220,6 +220,20 @@ def test_cli_options(tmp_path):
     assert (res["width"], res["height"]) == (45, 10)
 
 
+def test_cli_stream_matches_no_stream(tmp_path):
+    a, b = tmp_path / "a.png", tmp_path / "b.png"
+    make_png(a, 32, 16)
+    make_png(b, 40, 24)
+    o1, o2 = tmp_path / "s.png", tmp_path / "m.png"
+    r1 = run_cli(a, b, "-o", o1, "--engine", "xla", "--gap", "3", "--json")
+    r2 = run_cli(a, b, "-o", o2, "--engine", "xla", "--gap", "3",
+                 "--no-stream", "--json")
+    assert r1.returncode == 0 and r2.returncode == 0, (r1.stderr, r2.stderr)
+    i1, _ = codec.decode(o1.read_bytes())
+    i2, _ = codec.decode(o2.read_bytes())
+    np.testing.assert_array_equal(i1, i2)
+
+
 def test_cli_bad_inputs(tmp_path):
     a = tmp_path / "a.png"
     make_png(a, 8, 8)
