@@ -272,6 +272,10 @@ int isx_encode_png(const uint8_t* rgb, int w, int h, int compression,
     }
     png_set_write_fn(png, &ctx, png_write_fn, png_flush_fn);
     png_set_compression_level(png, compression);
+    // fixed Up filter: libpng's default per-row 5-filter heuristic costs
+    // ~40% of encode time (measured) for a few percent of size on photo
+    // content; the MT encoder uses the same fixed choice
+    png_set_filter(png, 0, PNG_FILTER_UP);
     png_set_IHDR(png, info, w, h, 8, PNG_COLOR_TYPE_RGB,
                  PNG_INTERLACE_NONE, PNG_COMPRESSION_TYPE_DEFAULT,
                  PNG_FILTER_TYPE_DEFAULT);
@@ -329,6 +333,7 @@ void* isx_png_stream_open(const char* path, int w, int h, int compression) {
     }
     png_init_io(s->png, s->f);
     png_set_compression_level(s->png, compression);
+    png_set_filter(s->png, 0, PNG_FILTER_UP);   // see isx_encode_png
     png_set_IHDR(s->png, s->info, w, h, 8, PNG_COLOR_TYPE_RGB,
                  PNG_INTERLACE_NONE, PNG_COMPRESSION_TYPE_DEFAULT,
                  PNG_FILTER_TYPE_DEFAULT);
