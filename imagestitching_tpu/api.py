@@ -288,30 +288,35 @@ def stitch_to_file(items: Sequence[ImageInput], out_path: Union[str, os.PathLike
                    return_metrics: bool = False, **kwargs) -> str:
     """Stitch and write the result (format from extension; PNG default).
 
-    ``stream`` controls the PNG export pipeline: ``"auto"`` (default) keeps
-    the canvas on device and overlaps the banded device->host readback with
-    the incremental native PNG encode whenever the output is PNG and the
+    ``stream`` controls the export pipeline: ``"auto"`` (default) keeps the
+    canvas on device and overlaps the banded device->host readback with the
+    incremental native encode (PNG or JPEG by extension) whenever the
     native codec is available — on big canvases the encode hides almost
     entirely under the transfer.  ``False`` forces the monolithic
     fetch-then-encode path; ``True`` requires streaming (raises if the
-    native codec is missing).
+    native codec is missing or the format has no streaming encoder).
     """
     out_path = os.fspath(out_path)
     ext = os.path.splitext(out_path)[1].lower().lstrip(".")
-    want_stream = stream is True or (stream == "auto"
-                                     and ext in ("png", "")
+    streamable = ext in ("png", "jpg", "jpeg", "")
+    want_stream = stream is True or (stream == "auto" and streamable
                                      and _native_available())
     if want_stream:
-        if ext not in ("png", ""):
-            raise ValueError("stream=True only supports PNG output")
+        if not streamable:
+            raise ValueError(
+                f"stream=True has no streaming encoder for {ext!r}")
         out, metrics = stitch(items, return_metrics=True,
                               keep_on_device=True, **kwargs)
         path = out_path if ext else out_path + ".png"
         if out.ndim == 3 and out.shape[2] == 3:
             from .runtime import export
             progress = kwargs.get("progress", _noop_progress)
-            phases = export.stream_to_png(out, path, png_compression,
-                                          progress=progress)
+            if ext in ("jpg", "jpeg"):
+                phases = export.stream_to_jpeg(out, path, quality,
+                                               progress=progress)
+            else:
+                phases = export.stream_to_png(out, path, png_compression,
+                                              progress=progress)
             metrics.readback_s += phases["readback_s"]
             metrics.encode_s += phases["encode_s"]
             metrics.export_s = phases["wall_s"]

@@ -75,12 +75,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
             ctypes.POINTER(ctypes.c_size_t)]
         lib.isx_free.argtypes = [ctypes.c_void_p]
-        lib.isx_png_stream_open.restype = ctypes.c_void_p
-        lib.isx_png_stream_open.argtypes = [
-            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
-        lib.isx_png_stream_write.argtypes = [ctypes.c_void_p, u8p,
-                                             ctypes.c_int]
-        lib.isx_png_stream_close.argtypes = [ctypes.c_void_p]
+        for fmt in ("png", "jpeg"):
+            getattr(lib, f"isx_{fmt}_stream_open").restype = ctypes.c_void_p
+            getattr(lib, f"isx_{fmt}_stream_open").argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+            getattr(lib, f"isx_{fmt}_stream_write").argtypes = [
+                ctypes.c_void_p, u8p, ctypes.c_int]
+            getattr(lib, f"isx_{fmt}_stream_close").argtypes = [
+                ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -174,8 +176,8 @@ def encode_png(rgb: np.ndarray, compression: int = 6,
     return bytes(_take(lib, out, n.value))
 
 
-class PngStreamWriter:
-    """Band-incremental PNG file writer (native libpng, GIL-free per band).
+class _StreamWriter:
+    """Band-incremental file writer (native, GIL-free per band).
 
     Feed row bands top-to-bottom with :meth:`write`; :meth:`close` finalizes
     the file (and fails if the row count doesn't match).  As a context
@@ -183,8 +185,9 @@ class PngStreamWriter:
     leaving a partial file for the caller to unlink) on exception.
     """
 
-    def __init__(self, path: str, width: int, height: int,
-                 compression: int = 6):
+    _fmt = ""          # "png" | "jpeg" (subclasses)
+
+    def __init__(self, path: str, width: int, height: int, param: int):
         lib = get_lib()
         if lib is None:
             raise RuntimeError("native codec unavailable")
@@ -193,12 +196,11 @@ class PngStreamWriter:
         self._lib = lib
         self.width, self.height = int(width), int(height)
         self.rows_written = 0
-        handle = lib.isx_png_stream_open(os.fspath(path).encode(),
-                                         self.width, self.height,
-                                         int(compression))
+        handle = getattr(lib, f"isx_{self._fmt}_stream_open")(
+            os.fspath(path).encode(), self.width, self.height, int(param))
         if not handle:
             raise ValueError(
-                f"png stream open: {lib.isx_last_error().decode()}")
+                f"{self._fmt} stream open: {lib.isx_last_error().decode()}")
         self._handle = handle
 
     def write(self, band: np.ndarray) -> None:
@@ -212,32 +214,33 @@ class PngStreamWriter:
         n = band.shape[0]
         if self.rows_written + n > self.height:
             raise ValueError("more rows than the declared height")
-        rc = self._lib.isx_png_stream_write(
+        rc = getattr(self._lib, f"isx_{self._fmt}_stream_write")(
             self._handle, band.ctypes.data_as(
                 ctypes.POINTER(ctypes.c_uint8)), n)
         if rc != 0:
             err = self._lib.isx_last_error().decode()
             self.abort()
-            raise ValueError(f"png stream write: {err}")
+            raise ValueError(f"{self._fmt} stream write: {err}")
         self.rows_written += n
 
     def close(self) -> None:
         if self._handle is None:
             return
         handle, self._handle = self._handle, None
-        rc = self._lib.isx_png_stream_close(handle)
+        rc = getattr(self._lib, f"isx_{self._fmt}_stream_close")(handle)
         if rc != 0:
-            raise ValueError(
-                f"png stream close: {self._lib.isx_last_error().decode()}")
+            raise ValueError(f"{self._fmt} stream close: "
+                             f"{self._lib.isx_last_error().decode()}")
 
     def abort(self) -> None:
         """Free the native handle without requiring a complete image."""
         if self._handle is None:
             return
         handle, self._handle = self._handle, None
-        self._lib.isx_png_stream_close(handle)   # rc ignored: partial file
+        # rc ignored: a partial file is expected on the abort path
+        getattr(self._lib, f"isx_{self._fmt}_stream_close")(handle)
 
-    def __enter__(self) -> "PngStreamWriter":
+    def __enter__(self) -> "_StreamWriter":
         return self
 
     def __exit__(self, exc_type, exc, tb) -> None:
@@ -245,3 +248,22 @@ class PngStreamWriter:
             self.close()
         else:
             self.abort()
+
+
+class PngStreamWriter(_StreamWriter):
+    _fmt = "png"
+
+    def __init__(self, path: str, width: int, height: int,
+                 compression: int = 6):
+        super().__init__(path, width, height, compression)
+
+
+class JpegStreamWriter(_StreamWriter):
+    """Scanline-incremental JPEG twin: bytes identical to encode_jpeg at
+    equal quality."""
+
+    _fmt = "jpeg"
+
+    def __init__(self, path: str, width: int, height: int,
+                 quality: int = 95):
+        super().__init__(path, width, height, quality)

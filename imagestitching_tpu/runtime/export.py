@@ -55,28 +55,47 @@ def stream_to_png(canvas, path: str, png_compression: int = 6,
     """Write ``canvas`` (uint8 HWC, 3 channels) to ``path`` as PNG, banded.
 
     ``canvas`` may be a host numpy array (bands are encoded straight out of
-    it) or a device array (bands are fetched by a producer thread that runs
+    it) or a device array (bands are fetched by producer threads that run
     ahead of the encoder).  Returns a phase dict:
     ``{"readback_s", "encode_s", "wall_s", "overlapped": bool}`` —
-    ``readback_s``/``encode_s`` are the per-phase busy times, ``wall_s`` the
-    actual elapsed export time (< their sum when the overlap engages).
+    ``encode_s`` is the encoder's busy time, ``readback_s`` the fetch
+    pipeline's wall, ``wall_s`` the elapsed export time (< their sum when
+    the overlap engages).
 
     Raises if the native codec is unavailable — callers fall back to the
     monolithic :func:`..imgio.codec.encode` path (see ``api.stitch_to_file``).
     On any error the partial output file is removed.
     """
+    return _stream_to_file(canvas, path, "png", png_compression, band_rows,
+                           progress)
+
+
+def stream_to_jpeg(canvas, path: str, quality: int = 95,
+                   band_rows: Optional[int] = None,
+                   progress: ProgressFn = _noop) -> dict:
+    """JPEG twin of :func:`stream_to_png` (scanline-incremental libjpeg;
+    bytes identical to the monolithic encoder at equal quality)."""
+    return _stream_to_file(canvas, path, "jpeg", quality, band_rows,
+                           progress)
+
+
+def _stream_to_file(canvas, path: str, fmt: str, param: int,
+                    band_rows: Optional[int],
+                    progress: ProgressFn) -> dict:
     from ..imgio import native
 
     h, w = int(canvas.shape[0]), int(canvas.shape[1])
     channels = int(canvas.shape[2]) if canvas.ndim == 3 else 1
     if channels != 3:
-        raise ValueError("stream_to_png requires a 3-channel canvas")
+        raise ValueError("streaming export requires a 3-channel canvas")
     band = min(h, band_rows or band_rows_for(w))
     t_wall = time.perf_counter()
     phases = {"readback_s": 0.0, "encode_s": 0.0,
               "overlapped": _is_device_array(canvas)}
 
-    writer = native.PngStreamWriter(path, w, h, png_compression)
+    cls = (native.PngStreamWriter if fmt == "png"
+           else native.JpegStreamWriter)
+    writer = cls(path, w, h, param)
     try:
         if not _is_device_array(canvas):
             arr = np.asarray(canvas)
@@ -98,7 +117,7 @@ def stream_to_png(canvas, path: str, png_compression: int = 6,
         raise
     phases["wall_s"] = time.perf_counter() - t_wall
     get_logger().event(
-        "export.stream_png", canvas=(w, h), band_rows=band,
+        f"export.stream_{fmt}", canvas=(w, h), band_rows=band,
         wall_s=round(phases["wall_s"], 3),
         readback_s=round(phases["readback_s"], 3),
         encode_s=round(phases["encode_s"], 3))

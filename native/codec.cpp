@@ -391,6 +391,98 @@ int isx_png_stream_close(void* handle) {
     return rc;
 }
 
+// -------------------------------------------------- JPEG (streaming writer)
+//
+// Scanline-incremental twin of the PNG stream writer: same open/write/close
+// contract, same overlap story (device readback hides under the DCT+huffman
+// CPU work).  Output bytes are identical to isx_encode_jpeg at equal quality.
+
+struct JpegStream {
+    FILE* f;
+    jpeg_compress_struct cinfo;
+    JpegErr jerr;
+    int w, h, written;
+};
+
+void* isx_jpeg_stream_open(const char* path, int w, int h, int quality) {
+    // volatile: must survive the longjmp back to the setjmp below
+    JpegStream* volatile s =
+        static_cast<JpegStream*>(std::calloc(1, sizeof(JpegStream)));
+    if (!s) { set_err("oom"); return nullptr; }
+    s->f = std::fopen(path, "wb");
+    if (!s->f) { set_err("jpeg-stream: fopen failed"); std::free(s);
+                 return nullptr; }
+    s->cinfo.err = jpeg_std_error(&s->jerr.mgr);
+    s->jerr.mgr.error_exit = jpeg_err_exit;
+    if (setjmp(s->jerr.jump)) {
+        if (!g_err[0]) set_err("jpeg-stream: init failed");
+        jpeg_destroy_compress(&s->cinfo);
+        std::fclose(s->f);
+        std::free(const_cast<JpegStream*>(s));
+        return nullptr;
+    }
+    jpeg_create_compress(&s->cinfo);
+    jpeg_stdio_dest(&s->cinfo, s->f);
+    s->cinfo.image_width = static_cast<JDIMENSION>(w);
+    s->cinfo.image_height = static_cast<JDIMENSION>(h);
+    s->cinfo.input_components = 3;
+    s->cinfo.in_color_space = JCS_RGB;
+    jpeg_set_defaults(&s->cinfo);
+    jpeg_set_quality(&s->cinfo, quality, TRUE);
+    jpeg_start_compress(&s->cinfo, TRUE);
+    s->w = w;
+    s->h = h;
+    s->written = 0;
+    return const_cast<JpegStream*>(s);
+}
+
+int isx_jpeg_stream_write(void* handle, const uint8_t* rgb, int nrows) {
+    JpegStream* s = static_cast<JpegStream*>(handle);
+    if (!s) { set_err("jpeg-stream: bad handle"); return 1; }
+    if (nrows < 0 || s->written + nrows > s->h) {
+        set_err("jpeg-stream: row overflow");
+        return 1;
+    }
+    if (setjmp(s->jerr.jump)) {
+        if (!g_err[0]) set_err("jpeg-stream: write error");
+        return 1;
+    }
+    const size_t stride = static_cast<size_t>(s->w) * 3;
+    int y = 0;
+    while (y < nrows) {
+        JSAMPROW rows[8];
+        int n = 0;
+        for (; n < 8 && y + n < nrows; ++n)
+            rows[n] = const_cast<uint8_t*>(rgb) + (y + n) * stride;
+        jpeg_write_scanlines(&s->cinfo, rows, static_cast<JDIMENSION>(n));
+        y += n;
+    }
+    s->written += nrows;
+    return 0;
+}
+
+int isx_jpeg_stream_close(void* handle) {
+    JpegStream* s = static_cast<JpegStream*>(handle);
+    if (!s) { set_err("jpeg-stream: bad handle"); return 1; }
+    int rc = 0;
+    if (setjmp(s->jerr.jump)) {
+        if (!g_err[0]) set_err("jpeg-stream: finalize error");
+        rc = 1;
+    } else if (s->written == s->h) {
+        jpeg_finish_compress(&s->cinfo);
+    } else {
+        set_err("jpeg-stream: closed before all rows were written");
+        rc = 1;
+    }
+    jpeg_destroy_compress(&s->cinfo);
+    if (s->f && std::fclose(s->f) != 0 && rc == 0) {
+        set_err("jpeg-stream: fclose failed");
+        rc = 1;
+    }
+    std::free(s);
+    return rc;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------- PNG (MT)

@@ -168,10 +168,31 @@ def test_stitch_to_file_stream_banded_strategy_host_canvas(tmp_path):
     np.testing.assert_array_equal(a1, a2)
 
 
-def test_stitch_to_file_stream_requires_png(tmp_path):
+def test_stitch_to_file_stream_rejects_unstreamable_format(tmp_path):
     _, paths = _sources(tmp_path, 2)
-    with pytest.raises(ValueError, match="PNG"):
-        api.stitch_to_file(paths, str(tmp_path / "x.jpg"), stream=True)
+    with pytest.raises(ValueError, match="streaming encoder"):
+        api.stitch_to_file(paths, str(tmp_path / "x.webp"), stream=True)
+
+
+@needs_native
+def test_jpeg_stream_matches_monolithic(tmp_path):
+    arr = _canvas(200, 160)
+    p = str(tmp_path / "s.jpg")
+    with native.JpegStreamWriter(p, 160, 200, quality=92) as w:
+        w.write(arr[:77])
+        w.write(arr[77:])
+    assert open(p, "rb").read() == native.encode_jpeg(arr, quality=92)
+
+
+@needs_native
+def test_stitch_to_file_stream_jpeg(tmp_path):
+    _, paths = _sources(tmp_path)
+    p1, m1 = api.stitch_to_file(paths, str(tmp_path / "s.jpg"), gap=4,
+                                quality=90, return_metrics=True)
+    p2 = api.stitch_to_file(paths, str(tmp_path / "m.jpg"), gap=4,
+                            quality=90, stream=False)
+    assert m1.export_s > 0
+    assert open(p1, "rb").read() == open(p2, "rb").read()
 
 
 def test_stitch_to_file_native_fallback(tmp_path, monkeypatch):
