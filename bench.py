@@ -39,23 +39,28 @@ def _slope_time(fn_impl, dev_imgs, k_lo: int = 2, k_hi: int = 52,
     @functools.partial(jax.jit, static_argnums=0)
     def run_chain(k, imgs):
         def step(carry, _):
+            probe0, ims = carry
             # bump EVERY input (else XLA hoists the other placements out
             # of the loop); a FIXED carried element would let XLA dead-code-
             # eliminate every op not feeding it (measured 9x undercount on
-            # multi-placement jobs).
-            bumped = [im.at[(0,) * im.ndim].add(carry) for im in imgs]
-            out = fn_impl(bumped)
+            # multi-placement jobs).  The images ride the CARRY so the bump
+            # is an aliased in-place 1-element update — bumping a scan
+            # CLOSURE instead forces XLA to copy every source each step
+            # (~1 ms for 324 MB: it DOUBLED config 4's reported time).
+            ims = [im.at[(0,) * im.ndim].add(probe0) for im in ims]
+            out = fn_impl(ims)
             # read a CARRY-DEPENDENT position: XLA cannot prove any region
             # dead (it must materialize the whole canvas) yet the probe is
             # O(1) — no artificial full-canvas checksum cost.
-            c32 = carry.astype(jnp.int32)
+            c32 = probe0.astype(jnp.int32)
             mults = (40503, 48271, 12007, 9973)
             starts = tuple(
                 jax.lax.rem(c32 * mults[d % 4] + d + 1,
                             out.shape[d]) for d in range(out.ndim))
             probe = jax.lax.dynamic_slice(out, starts, (1,) * out.ndim)
-            return probe.reshape(()).astype(jnp.uint8), None
-        c, _ = jax.lax.scan(step, jnp.uint8(0), None, length=k)
+            return (probe.reshape(()).astype(jnp.uint8), ims), None
+        (c, _), _ = jax.lax.scan(step, (jnp.uint8(0), list(imgs)), None,
+                                 length=k)
         return c
 
     int(run_chain(k_lo, dev_imgs))       # compile + warm
