@@ -19,6 +19,7 @@ from .core import oracle as _oracle
 from .core.layout import ImageSpec, solve
 from .imgio import codec
 from .runtime import decoding
+from .runtime.jaxcfg import is_device_array
 from .runtime.logger import get_logger
 
 ArrayLike = np.ndarray
@@ -291,11 +292,19 @@ def stitch_to_file(items: Sequence[ImageInput], out_path: Union[str, os.PathLike
     ``stream`` controls the export pipeline: ``"auto"`` (default) keeps the
     canvas on device and overlaps the banded device->host readback with the
     incremental native encode (PNG or JPEG by extension) whenever the
-    native codec is available — on big canvases the encode hides almost
-    entirely under the transfer.  ``False`` forces the monolithic
-    fetch-then-encode path; ``True`` requires streaming (raises if the
-    native codec is missing or the format has no streaming encoder).
+    native codec is available and the canvas is RGB — on big canvases the
+    encode hides almost entirely under the transfer.  ``False`` forces the
+    monolithic fetch-then-encode path; ``True`` requires streaming (raises
+    if the native codec is missing, the format has no streaming encoder, or
+    the canvas is not RGB).
     """
+    import time as _time
+
+    if stream not in (True, False, "auto"):
+        raise ValueError(f"stream must be True/False/'auto', got {stream!r}")
+    if "keep_on_device" in kwargs:
+        raise TypeError("keep_on_device is managed by stitch_to_file; "
+                        "use stitch()/stitch_arrays() for a device canvas")
     out_path = os.fspath(out_path)
     ext = os.path.splitext(out_path)[1].lower().lstrip(".")
     streamable = ext in ("png", "jpg", "jpeg", "")
@@ -322,11 +331,16 @@ def stitch_to_file(items: Sequence[ImageInput], out_path: Union[str, os.PathLike
             metrics.export_s = phases["wall_s"]
             metrics.total_s += phases["wall_s"]
             return (path, metrics) if return_metrics else path
-        # non-RGB canvas: fall through to the monolithic encoder
-        out = np.asarray(out)
+        if stream is True:
+            raise ValueError("stream=True requires a 3-channel RGB canvas")
+        # auto + non-RGB canvas: monolithic encoder; count the readback
+        if is_device_array(out):
+            t0 = _time.perf_counter()
+            out = np.asarray(out)
+            metrics.readback_s += _time.perf_counter() - t0
+            metrics.total_s += _time.perf_counter() - t0
     else:
         out, metrics = stitch(items, return_metrics=True, **kwargs)
-    import time as _time
     t0 = _time.perf_counter()
     path = codec.encode(out_path, np.asarray(out), quality=quality,
                         png_compression=png_compression)
@@ -361,7 +375,7 @@ def make_preview(image: np.ndarray, box_w: int,
     only the preview-sized result crosses back to the host; ``device=False``
     forces the float64 host (oracle) path.
     """
-    if not (_is_jax_array(image) or isinstance(image, np.ndarray)):
+    if not (is_device_array(image) or isinstance(image, np.ndarray)):
         image = np.asarray(image)
     h, w = (image.shape[0], image.shape[1])
     pw, ph = preview_size(w, h, box_w, min_height)
@@ -375,10 +389,6 @@ def make_preview(image: np.ndarray, box_w: int,
     rows = _o.resample_axis(image.astype(np.float64), 0, 0, ph, 0.0, float(ph))
     full = _o.resample_axis(rows, 1, 0, pw, 0.0, float(pw))
     return _oracle.to_uint8(full)
-
-
-def _is_jax_array(x) -> bool:
-    return type(x).__module__.startswith("jax")
 
 
 _resize_jit = None
@@ -408,6 +418,6 @@ def _device_resize(image, ph: int, pw: int):
     h, w = image.shape[0], image.shape[1]
     ri0, rw = geometry.filter_taps(0, ph, 0.0, float(ph), h, "bilinear")
     ci0, cw = geometry.filter_taps(0, pw, 0.0, float(pw), w, "bilinear")
-    return _resize_jit(image if _is_jax_array(image) else jnp.asarray(image),
+    return _resize_jit(image if is_device_array(image) else jnp.asarray(image),
                        jnp.asarray(ri0), jnp.asarray(rw.astype(np.float32)),
                        jnp.asarray(ci0), jnp.asarray(cw.astype(np.float32)))

@@ -18,13 +18,13 @@ whole canvas.
 from __future__ import annotations
 
 import os
-import queue
 import threading
 import time
 from typing import Callable, Optional
 
 import numpy as np
 
+from .jaxcfg import is_device_array
 from .logger import get_logger
 
 ProgressFn = Callable[[str, float], None]
@@ -37,10 +37,6 @@ _BAND_BYTES = 24 << 20
 
 def _noop(phase: str, fraction: float) -> None:
     del phase, fraction
-
-
-def _is_device_array(x) -> bool:
-    return type(x).__module__.startswith("jax")
 
 
 def band_rows_for(width: int, channels: int = 3,
@@ -91,13 +87,13 @@ def _stream_to_file(canvas, path: str, fmt: str, param: int,
     band = min(h, band_rows or band_rows_for(w))
     t_wall = time.perf_counter()
     phases = {"readback_s": 0.0, "encode_s": 0.0,
-              "overlapped": _is_device_array(canvas)}
+              "overlapped": is_device_array(canvas)}
 
     cls = (native.PngStreamWriter if fmt == "png"
            else native.JpegStreamWriter)
     writer = cls(path, w, h, param)
     try:
-        if not _is_device_array(canvas):
+        if not is_device_array(canvas):
             arr = np.asarray(canvas)
             for r in range(0, h, band):
                 t0 = time.perf_counter()
@@ -133,8 +129,10 @@ def _stream_device(canvas, writer, h: int, w: int, channels: int, band: int,
     device->host link sustains ~1.7x the single-stream throughput with two
     transfers in flight (measured on the v5e relay; >2 adds nothing) — and a
     reorder buffer hands bands to the encoder strictly top-to-bottom.
-    ``readback_s`` reports the fetch pipeline's WALL time (busy-sums would
-    double-count concurrent transfers).
+    ``readback_s`` reports the UNION of fetch in-flight intervals: it
+    excludes producer stalls from encoder backpressure (a wall figure would
+    misattribute encoder CPU to the link) and never double-counts
+    concurrent transfers (a busy-sum would).
     """
     import jax
 
@@ -151,8 +149,8 @@ def _stream_device(canvas, writer, h: int, w: int, channels: int, band: int,
     results: dict = {}
     consumed = [0]
     errs: list = []
-    t_start = time.perf_counter()
-    t_last_fetch = [t_start]
+    active = [0]                       # fetches in flight (interval union)
+    t_open = [0.0]
 
     def producer(tid: int):
         try:
@@ -162,11 +160,20 @@ def _stream_device(canvas, writer, h: int, w: int, channels: int, band: int,
                         lock.wait()
                     if errs:
                         return
+                    if active[0] == 0:
+                        t_open[0] = time.perf_counter()
+                    active[0] += 1
                 r = bi * band
                 n = min(band, h - r)
-                arr = np.asarray(fetch(canvas, r))
+                try:
+                    arr = np.asarray(fetch(canvas, r))
+                finally:
+                    with lock:
+                        active[0] -= 1
+                        if active[0] == 0:
+                            phases["readback_s"] += (time.perf_counter()
+                                                     - t_open[0])
                 with lock:
-                    t_last_fetch[0] = time.perf_counter()
                     results[bi] = arr[band - n:] if n < band else arr
                     lock.notify_all()
         except BaseException as e:  # noqa: BLE001 — re-raised by consumer
@@ -201,5 +208,4 @@ def _stream_device(canvas, writer, h: int, w: int, channels: int, band: int,
     finally:
         for t in threads:
             t.join()
-    phases["readback_s"] = t_last_fetch[0] - t_start
     writer.close()

@@ -38,3 +38,12 @@ def ensure_compile_cache(path: str | None = None) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass  # cache is an optimization; never fail a job over it
+
+
+def is_device_array(x) -> bool:
+    """True for jax arrays (device-resident canvases), False for numpy.
+
+    The one shared implementation — keep_on_device/export/preview behavior
+    must agree on what counts as "on device".
+    """
+    return type(x).__module__.startswith("jax")

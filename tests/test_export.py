@@ -174,6 +174,22 @@ def test_stitch_to_file_stream_rejects_unstreamable_format(tmp_path):
         api.stitch_to_file(paths, str(tmp_path / "x.webp"), stream=True)
 
 
+def test_stitch_to_file_validates_arguments(tmp_path):
+    _, paths = _sources(tmp_path, 2)
+    with pytest.raises(ValueError, match="stream must be"):
+        api.stitch_to_file(paths, str(tmp_path / "x.png"), stream="Auto")
+    with pytest.raises(TypeError, match="keep_on_device"):
+        api.stitch_to_file(paths, str(tmp_path / "x.png"),
+                           keep_on_device=True)
+
+
+@needs_native
+def test_stitch_to_file_stream_true_rejects_grayscale(tmp_path):
+    gray = [(rng.integers(0, 256, (40, 30), np.uint8), 1) for _ in range(2)]
+    with pytest.raises(ValueError, match="RGB"):
+        api.stitch_to_file(gray, str(tmp_path / "g.png"), stream=True)
+
+
 @needs_native
 def test_jpeg_stream_matches_monolithic(tmp_path):
     arr = _canvas(200, 160)

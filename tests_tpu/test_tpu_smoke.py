@@ -88,3 +88,21 @@ def test_tpu_lanczos3_parity():
                             RuntimeConfig(engine="pallas"))
     want = oracle.stitch(plan, imgs)
     assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_tpu_streaming_export_parity(tmp_path):
+    """Device canvas -> concurrent banded readback -> incremental PNG, on
+    real hardware; decoded file must match the fully-fetched canvas."""
+    from imagestitching_tpu.imgio import codec, native
+    if not native.available():
+        pytest.skip("native codec unavailable")
+
+    specs, imgs, options, plan = _job(
+        [(300, 200, 1), (257, 311, 6), (280, 280, 1)], gap=2)
+    p, m = api.stitch_to_file(
+        [(a, s.orientation) for a, s in zip(imgs, specs)],
+        str(tmp_path / "o.png"), options=options, return_metrics=True)
+    assert m.export_s > 0
+    got, _ = codec.decode(open(p, "rb").read())
+    want = api.stitch_arrays(imgs, specs, options)
+    np.testing.assert_array_equal(got, want)
