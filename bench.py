@@ -31,7 +31,24 @@ def log(*a):
 
 def _slope_time(fn_impl, dev_imgs, k_lo: int = 2, k_hi: int = 52,
                 rounds: int = 5):
-    """Median per-call device time via scan-chained slope timing."""
+    """Median per-call device time via scan-chained slope timing.
+
+    Chaining mode matters (each defeats hoisting/DCE differently, with a
+    different artifact):
+
+    * carried-bump (this function): images ride the scan carry and get an
+      in-place 1-element bump per step.  Near-zero overhead for BLIT-bound
+      jobs — but carry-dependent kernel inputs serialize/deoptimize the
+      Pallas resample path (config 3 measured 4.9 ms here vs 1.25 ms with
+      distinct inputs; identical kernels).
+    * distinct-inputs (:func:`_slope_time_distinct`): every step consumes
+      its own pre-staged input set via scan-over-xs — matches steady-state
+      serving, accurate for KERNEL-bound jobs, but each step pays one HBM
+      pass of xs slicing, which would ~2x a pure-blit job.
+
+    :func:`_slope_auto` picks per job: distinct when any placement runs the
+    resample kernel, carried when the job is all blits.
+    """
     import functools
     import jax
     import jax.numpy as jnp
@@ -63,6 +80,10 @@ def _slope_time(fn_impl, dev_imgs, k_lo: int = 2, k_hi: int = 52,
                                  length=k)
         return c
 
+    return _slope_run(run_chain, dev_imgs, k_lo, k_hi, rounds)
+
+
+def _slope_run(run_chain, dev_imgs, k_lo, k_hi, rounds):
     int(run_chain(k_lo, dev_imgs))       # compile + warm
     int(run_chain(k_hi, dev_imgs))
     samples = []
@@ -75,6 +96,69 @@ def _slope_time(fn_impl, dev_imgs, k_lo: int = 2, k_hi: int = 52,
         t_hi = time.perf_counter() - t0
         samples.append((t_hi - t_lo) / (k_hi - k_lo) * 1000.0)
     return statistics.median(samples), [round(s, 2) for s in samples]
+
+
+def _probe_of(carry, out):
+    """O(1) carry-dependent read: XLA must materialize the whole output
+    (the position is unknown at compile time) but fetches one element."""
+    import jax
+    import jax.numpy as jnp
+
+    c32 = carry.astype(jnp.int32)
+    mults = (40503, 48271, 12007, 9973)
+    starts = tuple(jax.lax.rem(c32 * mults[d % 4] + d + 1, out.shape[d])
+                   for d in range(out.ndim))
+    probe = jax.lax.dynamic_slice(out, starts, (1,) * out.ndim)
+    return probe.reshape(()).astype(jnp.uint8)
+
+
+def _slope_time_distinct(fn_impl, dev_imgs, k_hi: int = 16,
+                         rounds: int = 3, max_stack_bytes: int = 6 << 30):
+    """Slope timing over DISTINCT pre-staged input sets (scan-over-xs).
+
+    See :func:`_slope_time` for when to use which.  Device memory holds
+    ``k_hi`` copies of the inputs; ``k_hi`` is clamped so the stack stays
+    under ``max_stack_bytes``.
+    """
+    import functools
+    import jax
+    import jax.numpy as jnp
+
+    in_bytes = sum(int(np.prod(x.shape)) for x in dev_imgs)
+    k_hi = max(4, min(k_hi, max_stack_bytes // max(1, in_bytes)))
+    k_lo = max(2, k_hi // 4)
+
+    # K copies of each input, stacked on device (values opaque to XLA, so
+    # replication is as hoist-proof as distinct data)
+    stack = jax.jit(lambda xs: [jnp.stack([x] * k_hi) for x in xs])
+    stacks = stack(dev_imgs)
+    jax.block_until_ready(stacks)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def run_chain(k, stks):
+        xs = tuple(s[:k] for s in stks)
+        def step(carry, ims):
+            return _probe_of(carry, fn_impl(list(ims))), None
+        c, _ = jax.lax.scan(step, jnp.uint8(0), xs)
+        return c
+
+    return _slope_run(run_chain, stacks, k_lo, k_hi, rounds)
+
+
+def _job_is_all_blits(plan) -> bool:
+    from imagestitching_tpu.ops import pallas_resize
+    return all(
+        pallas_resize.placement_is_copy(p, plan.filter) is not None
+        for p in plan.placements
+        if p.row_span[1] > p.row_span[0] and p.col_span[1] > p.col_span[0])
+
+
+def _slope_auto(plan, fn_impl, dev_imgs, **kw):
+    """Pick the chaining mode by job kind (see _slope_time docstring)."""
+    if _job_is_all_blits(plan):
+        return _slope_time(fn_impl, dev_imgs, **kw)
+    kw.pop("k_lo", None)
+    return _slope_time_distinct(fn_impl, dev_imgs, **kw)
 
 
 def main() -> None:
@@ -133,7 +217,7 @@ def main() -> None:
     # closure would serialize 324 MB of constants into the remote compile).
     import jax.numpy as jnp
 
-    p50, samples = _slope_time(fn_impl, dev_imgs)
+    p50, samples = _slope_auto(plan, fn_impl, dev_imgs)
     log(f"per-job device time (slope): {p50:.2f} ms  "
         f"samples={['%.2f' % s for s in samples]}")
     log(f"({out_mp / (p50 / 1000):.0f} MP/s output, "
@@ -158,7 +242,7 @@ def main() -> None:
                    for x, p in zip(imgs2, plan2.placements)]
         dev2 = [jax.device_put(x) for x in staged2]
         jax.block_until_ready(dev2)
-        p50_2, s2 = _slope_time(fn2_impl, dev2, rounds=3)
+        p50_2, s2 = _slope_auto(plan2, fn2_impl, dev2, rounds=3)
         mp2 = plan2.canvas_w * plan2.canvas_h / 1e6
         log(f"resize-heavy 9-image job ({mp2:.0f} MP out): {p50_2:.2f} ms "
             f"({mp2 / (p50_2 / 1000):.0f} MP/s)  samples={s2}")

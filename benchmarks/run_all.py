@@ -2,8 +2,9 @@
 
 Usage: python benchmarks/run_all.py  (run from the repo root; real TPU)
 
-Timing uses bench._slope_time (scan-chained, dispatch-independent) for
-single-job configs and chained dispatch timing for the large batched config.
+Timing uses bench._slope_auto (scan-chained, dispatch-independent; chaining
+mode picked per job kind — see bench._slope_time) for single-job configs and
+chained dispatch timing for the large batched config.
 Each config is parity-checked against the float64 oracle.
 """
 
@@ -26,7 +27,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     sys.path.insert(0, ".")
-    from bench import _slope_time
+    from bench import _slope_auto, _slope_time
     from imagestitching_tpu.config import StitchOptions
     from imagestitching_tpu.core import oracle
     from imagestitching_tpu.core.layout import ImageSpec, solve
@@ -52,7 +53,7 @@ def main() -> None:
         jax.block_until_ready(dev)
         out = jax.jit(fn_impl)(dev)
         out.block_until_ready()
-        p50, samples = _slope_time(fn_impl, dev, k_lo=4, k_hi=104, rounds=3)
+        p50, samples = _slope_auto(plan, fn_impl, dev, k_hi=104, rounds=3)
         want = oracle.stitch(plan, imgs)
         if parity_full and want.nbytes < 80_000_000:
             got = np.asarray(out)
@@ -163,10 +164,14 @@ def main() -> None:
     lines = [
         "# BENCHMARKS — measured on one TPU v5e chip",
         "",
-        f"Backend: `{backend}`. Device-compute timing (scan-chained slope "
+        f"Backend: `{backend}`. Device-compute timing: scan-chained slope "
         "with a carry-dependent output probe so XLA cannot dead-code-"
         "eliminate any placement; sources staged on device as the serving "
-        "pipeline holds them). "
+        "pipeline holds them. Jobs are chained via distinct pre-staged "
+        "input sets (scan-over-xs — matches steady-state serving) for "
+        "resample-kernel configs, and via in-place input bumps for "
+        "all-blit configs where xs slicing itself would ~2x the job "
+        "(see bench._slope_time for the measured cross-check of both). "
         "Parity = max |diff| vs the float64 NumPy oracle "
         "(0 = bit-exact, 1 = f32-vs-f64 rounding).",
         "",
