@@ -234,6 +234,23 @@ def test_keep_on_device_returns_jax_array(tmp_path):
 
 
 @needs_native
+def test_stream_to_png_fuzz_geometry(tmp_path):
+    """Random canvas sizes x band sizes, host and device: always lossless."""
+    import jax.numpy as jnp
+
+    for trial in range(8):
+        h = int(rng.integers(1, 400))
+        w = int(rng.integers(1, 300))
+        band = int(rng.integers(1, h + 32))
+        arr = rng.integers(0, 256, (h, w, 3), np.uint8)
+        p = str(tmp_path / f"f{trial}.png")
+        canvas = jnp.asarray(arr) if trial % 2 else arr
+        export.stream_to_png(canvas, p, band_rows=band)
+        back, _ = codec.decode(open(p, "rb").read())
+        assert np.array_equal(back, arr), (h, w, band, trial)
+
+
+@needs_native
 def test_stitch_to_file_grayscale_falls_back(tmp_path):
     imgs = [rng.integers(0, 256, (40, 30), np.uint8) for _ in range(2)]
     p = api.stitch_to_file([(a, 1) for a in imgs], str(tmp_path / "g.png"))
