@@ -44,7 +44,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
     with _lib_lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO_PATH) and not _build():
+        # always run make: it is a no-op when fresh and rebuilds a stale
+        # .so after codec.cpp changes (first call per process only)
+        if not _build() and not os.path.exists(_SO_PATH):
             _build_failed = True
             return None
         try:
@@ -75,6 +77,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
             ctypes.POINTER(ctypes.c_size_t)]
         lib.isx_free.argtypes = [ctypes.c_void_p]
+        try:        # older .so builds predate the libdeflate fast path
+            lib.isx_png_fast_available.restype = ctypes.c_int
+        except AttributeError:
+            pass
         for fmt in ("png", "jpeg"):
             getattr(lib, f"isx_{fmt}_stream_open").restype = ctypes.c_void_p
             getattr(lib, f"isx_{fmt}_stream_open").argtypes = [
@@ -150,17 +156,32 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 95) -> Optional[bytes]:
     return bytes(_take(lib, out, n.value))
 
 
+def png_fast_available() -> bool:
+    """True when the loaded codec has the libdeflate fast PNG path enabled."""
+    lib = get_lib()
+    try:
+        return lib is not None and bool(lib.isx_png_fast_available())
+    except AttributeError:
+        return False
+
+
 def encode_png(rgb: np.ndarray, compression: int = 6,
                threads: Optional[int] = None) -> Optional[bytes]:
-    """PNG-encode RGB8; multi-threaded (pigz-style parallel deflate strips)
-    whenever the image is big enough to amortize thread startup."""
+    """PNG-encode RGB8.
+
+    Prefers the single-shot libdeflate path (SIMD deflate, ~10-20x zlib
+    single-core) when available; otherwise multi-threaded pigz-style
+    parallel deflate strips whenever the image is big enough to amortize
+    thread startup.  Pass ``threads`` explicitly to force the MT encoder.
+    """
     lib = get_lib()
     if lib is None:
         return None
     rgb = np.ascontiguousarray(rgb, np.uint8)
     h, w = rgb.shape[:2]
     if threads is None:
-        threads = min(os.cpu_count() or 1, 16) if w * h >= 1 << 20 else 1
+        threads = 1 if png_fast_available() else (
+            min(os.cpu_count() or 1, 16) if w * h >= 1 << 20 else 1)
     out = ctypes.POINTER(ctypes.c_uint8)()
     n = ctypes.c_size_t()
     if threads > 1:

@@ -39,9 +39,46 @@ def test_stream_writer_roundtrip_arbitrary_bands(tmp_path):
         w.write(arr[128:300])
     back, _ = codec.decode(open(p, "rb").read())
     np.testing.assert_array_equal(back, arr)
-    # byte-identical to the monolithic single-thread encoder
-    assert open(p, "rb").read() == native.encode_png(arr, compression=6,
-                                                     threads=1)
+    # pixel-identical to the monolithic single-thread encoder (deflate bytes
+    # may differ: the stream uses the adaptive zlib path, the monolithic one
+    # libdeflate — both are ordinary zlib streams to any reader)
+    mono, _ = codec.decode(native.encode_png(arr, compression=6, threads=1))
+    np.testing.assert_array_equal(back, mono)
+
+
+@needs_native
+def test_stream_writer_matches_monolith_bytes_zlib_mode(tmp_path):
+    """With the fast paths disabled both forms run libpng with the fixed Up
+    filter and must agree byte-for-byte."""
+    arr = _canvas()
+    p = str(tmp_path / "z.png")
+    os.environ["ISX_PNG_FAST"] = "0"
+    try:
+        with native.PngStreamWriter(p, 217, 300, compression=6) as w:
+            w.write(arr[:100])
+            w.write(arr[100:300])
+        assert open(p, "rb").read() == native.encode_png(
+            arr, compression=6, threads=1)
+    finally:
+        del os.environ["ISX_PNG_FAST"]
+
+
+@needs_native
+def test_stream_writer_adapts_per_band(tmp_path):
+    """Incompressible bands go out as stored blocks (ratio ~1), compressible
+    bands keep real compression — within one valid zlib stream."""
+    noise = rng.integers(0, 256, (256, 400, 3), np.uint8)
+    flat = np.full((256, 400, 3), 37, np.uint8)
+    arr = np.concatenate([noise, flat], axis=0)
+    p = str(tmp_path / "a.png")
+    with native.PngStreamWriter(p, 400, 512, compression=6) as w:
+        w.write(arr[:256])
+        w.write(arr[256:])
+    size = os.path.getsize(p)
+    # noise half stays ~its raw size; flat half nearly vanishes
+    assert noise.nbytes * 0.95 < size < noise.nbytes * 1.1
+    back, _ = codec.decode(open(p, "rb").read())
+    np.testing.assert_array_equal(back, arr)
 
 
 @needs_native
