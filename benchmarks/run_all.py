@@ -209,11 +209,14 @@ def main() -> None:
         "`api.stitch_to_file(stream=\"auto\")`; also emitted as `e2e_*` "
         "keys in its JSON line). The export wall is ~max(readback, encode) "
         "instead of their sum: the banded readback is IO-bound on the "
-        "device link while libpng deflate is CPU-bound, so they hide under "
-        "each other even on this sandbox's ONE host core. The ~15 MB/s "
-        "device->host relay makes readback dominate here in ways "
-        "production hosts do not; the per-phase split keeps the numbers "
-        "honest:",
+        "device link while the encoder is CPU-bound, so they hide under "
+        "each other even on this sandbox's ONE host core. The encoder is "
+        "the content-adaptive native writer (per-band trial probe; "
+        "incompressible photographic bands go out as deflate stored blocks "
+        "at ~20-30x match-finder throughput, identical size), which takes "
+        "PNG encode off the critical path. The ~15 MB/s device->host relay "
+        "makes readback dominate here in ways production hosts do not; the "
+        "per-phase split keeps the numbers honest:",
         "",
         "| total (p50) | decode wall | device drain | export wall "
         "(overlapped) | readback busy (relay) | PNG encode busy |",

@@ -164,10 +164,262 @@ static void png_read_fn(png_structp png, png_bytep out, png_size_t n) {
     ctx->pos += n;
 }
 
+// composite one pixel on opaque white with round-half-up — matches
+// core/oracle.to_uint8 (the reference always draws onto the white canvas,
+// index.js:1423-1424)
+static inline void composite_white(const uint8_t* px, unsigned a,
+                                   uint8_t* dst) {
+    if (a == 255) {
+        dst[0] = px[0]; dst[1] = px[1]; dst[2] = px[2];
+    } else {
+        const unsigned ia = 255 - a;
+        for (int c = 0; c < 3; ++c) {
+            const unsigned v = px[c] * a + 255u * ia;
+            dst[c] = static_cast<uint8_t>((2 * v + 255) / (2 * 255));
+        }
+    }
+}
+
+#ifdef ISX_HAVE_LIBDEFLATE
+
+// ------------------------------------------- PNG (fast decode path)
+//
+// libpng inflates row-by-row through a callback pipeline; for big images
+// the per-row bookkeeping and the zlib inflate dominate.  This path parses
+// the container directly, inflates ALL the IDAT bytes in one libdeflate
+// call (SIMD match copy), defilters in place, and converts to
+// white-composited RGB8.  Handles the common shapes (8-bit gray / gray+A /
+// RGB / RGBA / palette, non-interlaced); anything else returns -1 and the
+// caller falls back to libpng.  Output is pixel-identical to the libpng
+// path (same expand + composite math).
+
+static inline uint8_t paeth(int a, int b, int c) {
+    const int p = a + b - c;
+    const int pa = p > a ? p - a : a - p;
+    const int pb = p > b ? p - b : b - p;
+    const int pc = p > c ? p - c : c - p;
+    if (pa <= pb && pa <= pc) return static_cast<uint8_t>(a);
+    if (pb <= pc) return static_cast<uint8_t>(b);
+    return static_cast<uint8_t>(c);
+}
+
+// Reverse the per-row filters in place.  `buf` holds h rows of
+// (1 filter byte + stride); returns false on an invalid filter id.
+static bool png_defilter(uint8_t* buf, int h, size_t stride, int bpp) {
+    const uint8_t* prev = nullptr;
+    for (int y = 0; y < h; ++y) {
+        uint8_t* row = buf + y * (stride + 1);
+        const int f = row[0];
+        uint8_t* p = row + 1;
+        switch (f) {
+        case 0:
+            break;
+        case 1:
+            for (size_t i = bpp; i < stride; ++i)
+                p[i] = static_cast<uint8_t>(p[i] + p[i - bpp]);
+            break;
+        case 2:
+            if (prev)
+                for (size_t i = 0; i < stride; ++i)
+                    p[i] = static_cast<uint8_t>(p[i] + prev[i]);
+            break;
+        case 3:
+            for (size_t i = 0; i < stride; ++i) {
+                const int left = i >= static_cast<size_t>(bpp) ? p[i - bpp]
+                                                               : 0;
+                const int up = prev ? prev[i] : 0;
+                p[i] = static_cast<uint8_t>(p[i] + ((left + up) >> 1));
+            }
+            break;
+        case 4:
+            for (size_t i = 0; i < stride; ++i) {
+                const int left = i >= static_cast<size_t>(bpp) ? p[i - bpp]
+                                                               : 0;
+                const int up = prev ? prev[i] : 0;
+                const int ul = (prev && i >= static_cast<size_t>(bpp))
+                               ? prev[i - bpp] : 0;
+                p[i] = static_cast<uint8_t>(p[i] + paeth(left, up, ul));
+            }
+            break;
+        default:
+            return false;
+        }
+        prev = p;
+    }
+    return true;
+}
+
+static uint32_t get_be32(const uint8_t* p) {
+    return (uint32_t(p[0]) << 24) | (uint32_t(p[1]) << 16) |
+           (uint32_t(p[2]) << 8) | uint32_t(p[3]);
+}
+
+// Returns 0 on success, -1 when the file shape needs the libpng path
+// (caller falls back silently), 1 on hard error (isx_last_error set).
+static int decode_png_fast(const uint8_t* data, size_t len,
+                           uint8_t** out, int* out_w, int* out_h) {
+    static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+    if (len < 45 || std::memcmp(data, sig, 8) != 0) return -1;
+    // IHDR must be first
+    if (get_be32(data + 8) != 13 || std::memcmp(data + 12, "IHDR", 4) != 0)
+        return -1;
+    const uint32_t w = get_be32(data + 16);
+    const uint32_t h = get_be32(data + 20);
+    const int depth = data[24], ctype = data[25], interlace = data[28];
+    if (depth != 8 || interlace != 0) return -1;
+    int channels;
+    switch (ctype) {
+    case 0: channels = 1; break;       // gray
+    case 2: channels = 3; break;       // rgb
+    case 3: channels = 1; break;       // palette index
+    case 4: channels = 2; break;       // gray+alpha
+    case 6: channels = 4; break;       // rgba
+    default: return -1;
+    }
+    if (w == 0 || h == 0 || w > (1u << 24) || h > (1u << 24)) return -1;
+
+    // walk chunks: total IDAT size, palette, transparency
+    uint8_t pal[256][3];
+    uint8_t pal_a[256];
+    int pal_n = 0;
+    bool have_trns = false;
+    std::memset(pal_a, 0xFF, sizeof(pal_a));
+    size_t idat_total = 0;
+    size_t pos = 33;
+    while (pos + 12 <= len) {
+        const uint32_t clen = get_be32(data + pos);
+        const uint8_t* ctag = data + pos + 4;
+        if (pos + 12 + clen > len) return -1;
+        const uint8_t* cdat = data + pos + 8;
+        if (std::memcmp(ctag, "IDAT", 4) == 0) {
+            idat_total += clen;
+        } else if (std::memcmp(ctag, "PLTE", 4) == 0) {
+            if (clen % 3 || clen > 768) return -1;
+            pal_n = static_cast<int>(clen / 3);
+            for (int i = 0; i < pal_n; ++i) {
+                pal[i][0] = cdat[3 * i];
+                pal[i][1] = cdat[3 * i + 1];
+                pal[i][2] = cdat[3 * i + 2];
+            }
+        } else if (std::memcmp(ctag, "tRNS", 4) == 0) {
+            if (ctype == 3) {
+                if (clen > 256) return -1;
+                std::memcpy(pal_a, cdat, clen);
+                have_trns = true;
+            } else {
+                return -1;             // color-key transparency: libpng path
+            }
+        } else if (std::memcmp(ctag, "IEND", 4) == 0) {
+            break;
+        }
+        pos += 12 + clen;
+    }
+    if (idat_total == 0) return -1;
+    if (ctype == 3 && pal_n == 0) return -1;
+
+    // gather IDAT payloads into one contiguous zlib stream
+    uint8_t* zdat = static_cast<uint8_t*>(std::malloc(idat_total));
+    if (!zdat) { set_err("oom"); return 1; }
+    size_t zpos = 0;
+    pos = 33;
+    while (pos + 12 <= len) {
+        const uint32_t clen = get_be32(data + pos);
+        if (std::memcmp(data + pos + 4, "IDAT", 4) == 0) {
+            std::memcpy(zdat + zpos, data + pos + 8, clen);
+            zpos += clen;
+        } else if (std::memcmp(data + pos + 4, "IEND", 4) == 0) {
+            break;
+        }
+        pos += 12 + clen;
+    }
+
+    const size_t stride = static_cast<size_t>(w) * channels;
+    const size_t rlen = (stride + 1) * h;
+    uint8_t* raw = static_cast<uint8_t*>(std::malloc(rlen));
+    if (!raw) { std::free(zdat); set_err("oom"); return 1; }
+    libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+    if (!d) { std::free(zdat); std::free(raw); set_err("oom"); return 1; }
+    size_t got = 0;
+    const libdeflate_result zrc =
+        libdeflate_zlib_decompress(d, zdat, zpos, raw, rlen, &got);
+    libdeflate_free_decompressor(d);
+    std::free(zdat);
+    if (zrc != LIBDEFLATE_SUCCESS || got != rlen) {
+        std::free(raw);
+        return -1;                     // odd stream: let libpng diagnose
+    }
+    if (!png_defilter(raw, static_cast<int>(h), stride, channels)) {
+        std::free(raw);
+        return -1;
+    }
+
+    // convert to white-composited RGB8
+    const size_t stride3 = static_cast<size_t>(w) * 3;
+    uint8_t* buf = static_cast<uint8_t*>(std::malloc(stride3 * h));
+    if (!buf) { std::free(raw); set_err("oom"); return 1; }
+    // palette: pre-composite the LUT once
+    uint8_t lut[256][3];
+    if (ctype == 3) {
+        for (int i = 0; i < pal_n; ++i)
+            composite_white(pal[i], have_trns ? pal_a[i] : 255, lut[i]);
+        for (int i = pal_n; i < 256; ++i)
+            lut[i][0] = lut[i][1] = lut[i][2] = 0;
+    }
+    for (uint32_t y = 0; y < h; ++y) {
+        const uint8_t* src = raw + y * (stride + 1) + 1;
+        uint8_t* dst = buf + y * stride3;
+        switch (ctype) {
+        case 0:
+            for (uint32_t x = 0; x < w; ++x) {
+                const uint8_t g = src[x];
+                dst[3 * x] = dst[3 * x + 1] = dst[3 * x + 2] = g;
+            }
+            break;
+        case 2:
+            std::memcpy(dst, src, stride3);
+            break;
+        case 3:
+            for (uint32_t x = 0; x < w; ++x) {
+                const uint8_t* c = lut[src[x]];
+                dst[3 * x] = c[0]; dst[3 * x + 1] = c[1];
+                dst[3 * x + 2] = c[2];
+            }
+            break;
+        case 4:
+            for (uint32_t x = 0; x < w; ++x) {
+                const uint8_t g3[3] = {src[2 * x], src[2 * x],
+                                       src[2 * x]};
+                composite_white(g3, src[2 * x + 1], dst + 3 * x);
+            }
+            break;
+        case 6:
+            for (uint32_t x = 0; x < w; ++x)
+                composite_white(src + 4 * x, src[4 * x + 3], dst + 3 * x);
+            break;
+        }
+    }
+    std::free(raw);
+    *out = buf;
+    *out_w = static_cast<int>(w);
+    *out_h = static_cast<int>(h);
+    return 0;
+}
+
+#endif  // ISX_HAVE_LIBDEFLATE
+
 // Decode PNG bytes to RGB8 (alpha composited on white, round-half-up).
 int isx_decode_png(const uint8_t* data, size_t len,
                    uint8_t** out, int* out_w, int* out_h) {
     *out = nullptr;
+#ifdef ISX_HAVE_LIBDEFLATE
+    {
+        const char* e = std::getenv("ISX_PNG_FAST");
+        if (!(e && e[0] == '0')) {
+            const int rc = decode_png_fast(data, len, out, out_w, out_h);
+            if (rc >= 0) return rc;    // handled (ok or hard error)
+        }
+    }
+#endif
     if (len < 8 || png_sig_cmp(data, 0, 8)) {
         set_err("png: bad signature");
         return 1;
@@ -215,18 +467,7 @@ int isx_decode_png(const uint8_t* data, size_t len,
     const size_t n = static_cast<size_t>(w) * h;
     for (size_t i = 0; i < n; ++i) {
         const uint8_t* px = rgba + i * 4;
-        uint8_t* dst = buf + i * 3;
-        const unsigned a = px[3];
-        if (a == 255) {
-            dst[0] = px[0]; dst[1] = px[1]; dst[2] = px[2];
-        } else {
-            const unsigned ia = 255 - a;
-            for (int c = 0; c < 3; ++c) {
-                // (px*a + 255*ia) / 255 with round-half-up
-                const unsigned v = px[c] * a + 255u * ia;
-                dst[c] = static_cast<uint8_t>((2 * v + 255) / (2 * 255));
-            }
-        }
+        composite_white(px, px[3], buf + i * 3);
     }
     std::free(rgba);
     *out = buf;

@@ -54,6 +54,50 @@ def test_png_palette_and_gray():
     np.testing.assert_array_equal(out, want)
 
 
+def _white_composite(im: Image.Image) -> np.ndarray:
+    rgba = np.asarray(im.convert("RGBA")).astype(np.uint32)
+    a = rgba[..., 3:4]
+    return ((2 * (rgba[..., :3] * a + 255 * (255 - a)) + 255)
+            // 510).astype(np.uint8)
+
+
+@pytest.mark.parametrize("mode", ["RGB", "RGBA", "L", "LA"])
+def test_png_fast_decode_color_types(mode):
+    """The libdeflate fast decode path is pixel-identical to the libpng
+    path (and to Pillow+white-composite) for every 8-bit color type."""
+    shape = {"RGB": (41, 29, 3), "RGBA": (41, 29, 4),
+             "L": (41, 29), "LA": (41, 29, 2)}[mode]
+    arr = rng.integers(0, 256, shape, np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr, mode).save(buf, "PNG")
+    data = buf.getvalue()
+    got = native.decode_png(data)
+    want = _white_composite(Image.open(io.BytesIO(data)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_png_fast_decode_palette_trns():
+    pal = Image.fromarray(rng.integers(0, 256, (16, 11, 3),
+                                       np.uint8)).quantize(64)
+    buf = io.BytesIO()
+    pal.save(buf, "PNG", transparency=bytes(range(64)))
+    data = buf.getvalue()
+    got = native.decode_png(data)
+    want = _white_composite(Image.open(io.BytesIO(data)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_png_fast_decode_matches_libpng_path(monkeypatch):
+    """Force the libpng path via ISX_PNG_FAST=0 and compare."""
+    arr = rng.integers(0, 256, (64, 51, 4), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr, "RGBA").save(buf, "PNG")
+    fast = native.decode_png(buf.getvalue())
+    monkeypatch.setenv("ISX_PNG_FAST", "0")
+    slow = native.decode_png(buf.getvalue())
+    np.testing.assert_array_equal(fast, slow)
+
+
 def test_jpeg_decode_matches_pil():
     arr = rng.integers(0, 256, (64, 48, 3), np.uint8)
     buf = io.BytesIO()
