@@ -280,21 +280,35 @@ def main() -> None:
 
 def _bench_end_to_end(n_images: int, w: int, h: int,
                       runs: int = 3, budget_s: float = 240.0) -> dict:
-    """Config-4 wall clock, disk to disk: 9 JPEGs -> decode pool -> H2D ->
-    device composite -> streamed D2H || PNG encode -> file (VERDICT r1 #2).
+    """Disk-to-disk wall clock for config 4, in two variants (VERDICT r1 #2).
 
-    Uses the streaming export (`api.stitch_to_file(stream="auto")`): the
-    banded canvas readback overlaps the incremental native PNG encode, so
-    the export wall is ~max(readback, encode) instead of their sum.  Honest
-    per-phase breakdown: busy times per phase plus the overlapped export
-    wall.  In this sandbox the device-to-host relay runs at ~11-20 MB/s, so
-    readback of the 324 MB canvas dominates; `e2e_excl_readback_ms` is the
-    same pipeline minus that environment artifact (on production PCIe/DMA
-    links readback of 324 MB is ~50-100 ms).
+    * ``e2e_*`` — the literal config 4 (9 equal 12 MP JPEGs).  Equal-size
+      concat is a pure-blit plan, so `api.stitch_to_file(stream="auto")`
+      takes the zero-device-round-trip path: decode pool -> host band
+      assembly -> content-adaptive native PNG encode.  The canvas never
+      exists on either side of the link (the reference's own hot path
+      degenerates to drawImage blits there too, index.js:1423-1431).
+    * ``e2e_resample_*`` — the same bytes-scale job with mixed sizes, which
+      forces real resampling: decode pool -> H2D -> fused-kernel composite
+      -> streamed D2H overlapped with the incremental encode -> file.  In
+      this sandbox the device->host relay (~45 MB/s with 4 streams) makes
+      readback dominate; `e2e_resample_excl_readback_ms` is the same
+      pipeline minus that environment artifact (production PCIe readback of
+      a 126 MB canvas is ~30-100 ms).
 
-    Time-bounded: stops after ``budget_s`` once >=2 runs landed (run 0
-    warms compiles), so a slow sandbox never starves the headline metric.
+    Time-bounded: each variant stops after its budget once >=2 runs landed
+    (run 0 warms compiles), so a slow sandbox never starves the headline.
     """
+    out = _e2e_variant([(w, h)] * n_images, runs, budget_s, "e2e_")
+    mixed = [(4000, 3000), (3600, 2700), (3200, 2400), (2800, 2100),
+             (4000, 2250), (3000, 3000), (3840, 2160), (2400, 3200),
+             (3500, 2625)]
+    out.update(_e2e_variant(mixed[:n_images], min(runs, 2), budget_s / 2,
+                            "e2e_resample_"))
+    return out
+
+
+def _e2e_variant(sizes, runs: int, budget_s: float, prefix: str) -> dict:
     import os
     import shutil
     import statistics as _stats
@@ -308,17 +322,18 @@ def _bench_end_to_end(n_images: int, w: int, h: int,
     d = tempfile.mkdtemp(prefix="stitch_e2e_")
     try:
         paths = []
-        for i in range(n_images):
+        for i, (w, h) in enumerate(sizes):
             arr = rng.integers(0, 256, (h, w, 3), np.uint8)
             paths.append(codec.encode(os.path.join(d, f"{i}.jpg"), arr,
                                       quality=90))
         src_mb = sum(os.path.getsize(p) for p in paths) / 1e6
-        log(f"e2e: {n_images} JPEGs on disk, {src_mb:.0f} MB")
+        log(f"{prefix}: {len(sizes)} JPEGs on disk, {src_mb:.0f} MB")
         # no RAM bitmap cache: every run pays real decodes
         cfg = RuntimeConfig(overlap="always", budget=MemoryBudget(
             host_cache_pixels=0, host_cache_entries=0))
 
         results = []
+        strategy = None
         t_all = time.perf_counter()
         canvas_shape = None
         for r in range(runs):               # run 0 warms compiles
@@ -330,20 +345,22 @@ def _bench_end_to_end(n_images: int, w: int, h: int,
                                       config=cfg, return_metrics=True)
             t1 = time.perf_counter()
             canvas_shape = (m.canvas_h, m.canvas_w)
+            strategy = m.strategy
             results.append({"total_ms": (t1 - t0) * 1000,
                             "decode_wall_ms": m.prepare_s * 1000,
                             "device_drain_ms": m.compute_s * 1000,
                             "export_wall_ms": m.export_s * 1000,
                             "readback_busy_ms": m.readback_s * 1000,
                             "encode_busy_ms": m.encode_s * 1000})
-            log(f"e2e run {r}: total {results[-1]['total_ms']:.0f} ms  "
+            log(f"{prefix}run {r} [{strategy}]: "
+                f"total {results[-1]['total_ms']:.0f} ms  "
                 f"(decode {results[-1]['decode_wall_ms']:.0f}, "
                 f"drain {results[-1]['device_drain_ms']:.0f}, "
                 f"export {results[-1]['export_wall_ms']:.0f} = "
                 f"readback {results[-1]['readback_busy_ms']:.0f} || "
                 f"encode {results[-1]['encode_busy_ms']:.0f})")
             if len(results) >= 2 and time.perf_counter() - t_all > budget_s:
-                log(f"e2e: time budget {budget_s:.0f}s reached after "
+                log(f"{prefix}: time budget {budget_s:.0f}s reached after "
                     f"{len(results)} runs")
                 break
         warm = results[1:] if len(results) > 1 else results
@@ -357,16 +374,17 @@ def _bench_end_to_end(n_images: int, w: int, h: int,
         excl = (phases["decode_wall_ms"] + phases["device_drain_ms"]
                 + phases["encode_busy_ms"])
         return {
-            "e2e_ms": round(p50, 1),
-            "e2e_mp_per_sec": round(mp / (p50 / 1000), 1),
-            "e2e_excl_readback_ms": round(excl, 1),
-            "e2e_phases": phases,
-            "e2e_png_level": 3,
-            "host_cores": os.cpu_count(),
+            prefix + "ms": round(p50, 1),
+            prefix + "mp_per_sec": round(mp / (p50 / 1000), 1),
+            prefix + "excl_readback_ms": round(excl, 1),
+            prefix + "phases": phases,
+            prefix + "strategy": strategy,
+            prefix + "png_level": 3,
+            prefix + "host_cores": os.cpu_count(),
         }
     except Exception as e:  # noqa: BLE001 — e2e must not kill the headline
-        log(f"e2e bench failed: {e!r}")
-        return {"e2e_ms": None, "e2e_error": repr(e)}
+        log(f"{prefix} bench failed: {e!r}")
+        return {prefix + "ms": None, prefix + "error": repr(e)}
     finally:
         shutil.rmtree(d, ignore_errors=True)
 

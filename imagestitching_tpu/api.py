@@ -310,6 +310,12 @@ def stitch_to_file(items: Sequence[ImageInput], out_path: Union[str, os.PathLike
     streamable = ext in ("png", "jpg", "jpeg", "")
     want_stream = stream is True or (stream == "auto" and streamable
                                      and _native_available())
+    if want_stream and streamable and _native_available():
+        blit = _blit_stream_attempt(items, out_path, ext, quality,
+                                    png_compression, kwargs)
+        if blit is not None:
+            path, metrics = blit
+            return (path, metrics) if return_metrics else path
     if want_stream:
         if not streamable:
             raise ValueError(
@@ -348,6 +354,61 @@ def stitch_to_file(items: Sequence[ImageInput], out_path: Union[str, os.PathLike
     metrics.export_s = metrics.readback_s + metrics.encode_s
     metrics.total_s += _time.perf_counter() - t0
     return (path, metrics) if return_metrics else path
+
+
+def _blit_stream_attempt(items, out_path: str, ext: str, quality: int,
+                         png_compression: int, kwargs: dict):
+    """Zero-device-round-trip streamed export for pure-blit plans.
+
+    When header probing succeeds and every drawn placement is an identity
+    copy (:func:`core.geometry.plan_copy_offsets` — equal-size concat, the
+    reference's own hot path, index.js:1423-1431), the canvas never needs
+    to exist on either side of the PCIe link: bands are assembled from the
+    decoded sources and streamed to the encoder.  Returns
+    ``(path, StitchMetrics)`` or None when the conditions don't hold (the
+    caller then runs the device pipeline).
+    """
+    from .core import geometry
+    from .runtime import export
+    from .runtime.pipeline import StitchMetrics
+
+    if kwargs.get("on_error", "raise") != "raise":
+        return None
+    config = (kwargs.get("config") or RuntimeConfig()).validate()
+    if config.engine != "auto":
+        return None                     # explicit engine pins the device path
+    for it in items:                    # array inputs must already be RGB
+        arr = it[0] if isinstance(it, tuple) else it
+        if isinstance(arr, np.ndarray) and not (
+                arr.ndim == 3 and arr.shape[2] == 3):
+            return None
+    options = kwargs.get("options") or StitchOptions(
+        direction=kwargs.get("direction", "vertical"),
+        mode=kwargs.get("mode", "min"),
+        gap=kwargs.get("gap", 0.0))
+    specs = [_probe_item(it) for it in items]
+    if any(s is None for s in specs):
+        return None
+    plan = solve(specs, options, kwargs.get("limits"))
+    copies = geometry.plan_copy_offsets(plan)
+    if copies is None:
+        return None
+    loaders = [(lambda it=it: _load_one(it, config)[0]) for it in items]
+    path = out_path if ext else out_path + ".png"
+    fmt = "jpeg" if ext in ("jpg", "jpeg") else "png"
+    param = quality if fmt == "jpeg" else png_compression
+    progress = kwargs.get("progress", _noop_progress)
+    get_logger().event("stitch.blit_stream", n=len(items),
+                       canvas=(plan.canvas_w, plan.canvas_h), fmt=fmt)
+    phases = export.stream_blit_to_file(
+        plan, loaders, path, fmt, param, copies,
+        config.decode_threads, config.decode_timeout_s, progress)
+    metrics = StitchMetrics(
+        strategy="host-blit-stream",
+        canvas_w=plan.canvas_w, canvas_h=plan.canvas_h,
+        prepare_s=phases["decode_s"], encode_s=phases["encode_s"],
+        export_s=phases["wall_s"], total_s=phases["wall_s"])
+    return path, metrics
 
 
 def _native_available() -> bool:

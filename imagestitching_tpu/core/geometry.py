@@ -323,3 +323,57 @@ def filter_support(kind: str, scale: float) -> float:
     if base is None:
         raise ValueError(f"unknown filter kind {kind!r}")
     return base * max(1.0, 1.0 / scale)
+
+
+# ---------------------------------------------------------------------------
+# Pure-copy (blit) detection
+# ---------------------------------------------------------------------------
+
+def identity_axis(i0: np.ndarray, w1: np.ndarray) -> bool:
+    """True when resampling this axis is a pure integer-offset copy."""
+    if len(i0) == 0:
+        return False
+    return bool(np.all(w1 == 0.0) and np.all(np.diff(i0) == 1))
+
+
+def placement_copy_offsets(p, filter_kind: str):
+    """If this placement is a pure copy (identity taps both axes), return the
+    (src_row0, src_col0) offsets into the *oriented* source; else None.
+
+    The common case: equal-size images concatenated in min/max mode — the
+    reference's own hot path degenerates to a blit there too
+    (pages/index/index.js:1423-1431).  A copy needs no kernel at all; the
+    caller places the oriented source directly.
+    """
+    if filter_kind != "bilinear":
+        return None
+    disp_w, disp_h = display_size(p.raw_w, p.raw_h, p.orientation)
+    r0, r1 = p.row_span
+    c0, c1 = p.col_span
+    if r1 <= r0 or c1 <= c0:
+        return None
+    ri0, _, rw1 = bilinear_taps(r0, r1, p.y0, p.h, disp_h)
+    ci0, _, cw1 = bilinear_taps(c0, c1, p.x0, p.w, disp_w)
+    if not (identity_axis(ri0, rw1) and identity_axis(ci0, cw1)):
+        return None
+    if r1 - r0 > disp_h or c1 - c0 > disp_w:
+        return None
+    return int(ri0[0]), int(ci0[0])
+
+
+def plan_copy_offsets(plan):
+    """``{placement index: (src_row0, src_col0)}`` when EVERY drawn placement
+    is a pure blit, else None.  Zero-area placements draw nothing and are
+    skipped.  A pure-blit plan needs no resampling anywhere — the canvas is
+    sources + background, and export can stream straight from the decoded
+    arrays (no device round-trip)."""
+    offs = {}
+    for p in plan.placements:
+        if (p.row_span[1] <= p.row_span[0]
+                or p.col_span[1] <= p.col_span[0]):
+            continue
+        o = placement_copy_offsets(p, plan.filter)
+        if o is None:
+            return None
+        offs[p.index] = o
+    return offs

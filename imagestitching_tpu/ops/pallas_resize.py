@@ -82,35 +82,10 @@ class Infeasible(NotImplementedError):
 # Per-placement static schedule
 # ---------------------------------------------------------------------------
 
-def identity_axis(i0: np.ndarray, w1: np.ndarray) -> bool:
-    """True when resampling this axis is a pure integer-offset copy."""
-    if len(i0) == 0:
-        return False
-    return bool(np.all(w1 == 0.0) and np.all(np.diff(i0) == 1))
-
-
-def placement_is_copy(p: Placement, filter_kind: str) -> Optional[Tuple[int, int]]:
-    """If this placement is a pure copy (identity taps both axes), return the
-    (src_row0, src_col0) offsets; else None.
-
-    The common case: equal-size images concatenated in min/max mode — the
-    reference's own hot path degenerates to a blit there too.  A copy needs
-    no kernel at all; the caller places the oriented source directly.
-    """
-    if filter_kind != "bilinear":
-        return None
-    disp_w, disp_h = geometry.display_size(p.raw_w, p.raw_h, p.orientation)
-    r0, r1 = p.row_span
-    c0, c1 = p.col_span
-    if r1 <= r0 or c1 <= c0:
-        return None
-    ri0, _, rw1 = geometry.bilinear_taps(r0, r1, p.y0, p.h, disp_h)
-    ci0, _, cw1 = geometry.bilinear_taps(c0, c1, p.x0, p.w, disp_w)
-    if not (identity_axis(ri0, rw1) and identity_axis(ci0, cw1)):
-        return None
-    if r1 - r0 > disp_h or c1 - c0 > disp_w:
-        return None
-    return int(ri0[0]), int(ci0[0])
+# Copy/blit detection lives in core.geometry (numpy-only, usable without
+# importing this jax-heavy module); re-exported here for the engine callers.
+identity_axis = geometry.identity_axis
+placement_is_copy = geometry.placement_copy_offsets
 
 
 _MAX_TAPS = 64       # K cap; heavier downscales fall back to the XLA engine

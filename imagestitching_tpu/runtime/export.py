@@ -122,12 +122,14 @@ def _stream_to_file(canvas, path: str, fmt: str, param: int,
 
 def _stream_device(canvas, writer, h: int, w: int, channels: int, band: int,
                    phases: dict, progress: ProgressFn,
-                   fetch_threads: int = 2) -> None:
+                   fetch_threads: int = 4) -> None:
     """Producer (device fetch) / consumer (PNG encode) pipeline.
 
     ``fetch_threads`` producers fetch interleaved bands concurrently — the
-    device->host link sustains ~1.7x the single-stream throughput with two
-    transfers in flight (measured on the v5e relay; >2 adds nothing) — and a
+    device->host relay scales to ~3x the single-stream throughput with four
+    transfers in flight (measured 15/19/32/45/49 MB/s for 1/2/3/4/6 streams
+    on the v5e relay once the encoder stopped monopolizing the host core;
+    beyond 4 the gain is <10% for 50% more band RAM in flight) — and a
     reorder buffer hands bands to the encoder strictly top-to-bottom.
     ``readback_s`` reports the UNION of fetch in-flight intervals: it
     excludes producer stalls from encoder backpressure (a wall figure would
@@ -209,3 +211,118 @@ def _stream_device(canvas, writer, h: int, w: int, channels: int, band: int,
         for t in threads:
             t.join()
     writer.close()
+
+
+def stream_blit_to_file(plan, loaders, path: str, fmt: str, param: int,
+                        copies: dict, decode_threads: int,
+                        decode_timeout_s: Optional[float] = None,
+                        progress: ProgressFn = _noop) -> dict:
+    """Pure-blit export: decode pool -> host band assembly -> native encode.
+
+    When every drawn placement is an identity copy (equal-size concat —
+    the reference's own hot path degenerates to drawImage blits there too,
+    pages/index/index.js:1423-1431), the canvas never needs to exist on
+    *either* side: bands are assembled straight from the decoded sources
+    and fed to the streaming encoder, skipping H2D, device compositing and
+    the D2H readback entirely.  ``copies`` is
+    :func:`..core.geometry.plan_copy_offsets` for ``plan``.
+
+    Decode runs on the watchdogged pool (completion order); bands consume
+    sources in placement order and release each source once its rows are
+    fully written, so peak RAM for a vertical strip is ~one source + the
+    decode pool's look-ahead.  Returns
+    ``{"decode_s", "encode_s", "wall_s", "overlapped": True}`` where
+    ``decode_s`` is the decode time *exposed* in the band loop (decodes
+    that land while earlier bands encode are genuinely overlapped).
+
+    On any error the partial output file is removed and the error re-raised
+    (decode failures abort the job — by stitch time geometry is committed,
+    the reference aborts there too, index.js:1507-1509).
+    """
+    from ..core import geometry
+    from ..imgio import native
+    from . import decoding
+
+    H, W = int(plan.canvas_h), int(plan.canvas_w)
+    t_wall = time.perf_counter()
+    phases = {"decode_s": 0.0, "encode_s": 0.0, "overlapped": True}
+    band = min(H, band_rows_for(W))
+
+    cls = (native.PngStreamWriter if fmt == "png"
+           else native.JpegStreamWriter)
+    writer = cls(path, W, H, param)
+    gen = decoding.iter_decoded(loaders, decode_threads, decode_timeout_s)
+    ready: dict = {}
+    oriented: dict = {}
+
+    def _get_oriented(p) -> np.ndarray:
+        img = oriented.get(p.index)
+        if img is not None:
+            return img
+        t0 = time.perf_counter()
+        while p.index not in ready:
+            i, raw, err = next(gen)
+            if err is not None:
+                raise err
+            ready[i] = np.asarray(raw)
+        phases["decode_s"] += time.perf_counter() - t0
+        raw = ready.pop(p.index)
+        if raw.shape[:2] != (p.raw_h, p.raw_w):
+            raise ValueError(
+                f"image {p.index}: decoded {raw.shape[1]}x{raw.shape[0]} "
+                f"but header said {p.raw_w}x{p.raw_h}")
+        if raw.ndim == 2:
+            raw = raw[:, :, None]
+        if raw.shape[2] == 1:
+            raw = np.repeat(raw, 3, axis=2)
+        if raw.shape[2] != 3:
+            raise ValueError(
+                f"image {p.index}: blit export needs RGB, got "
+                f"{raw.shape[2]} channels")
+        img = geometry.orient_array(raw, p.orientation)
+        oriented[p.index] = img
+        return img
+
+    bg = np.asarray(plan.background[:3], np.uint8)
+    buf = np.empty((band, W, 3), np.uint8)
+    try:
+        for r0 in range(0, H, band):
+            r1 = min(H, r0 + band)
+            b = buf[: r1 - r0]
+            b[:] = bg
+            for p in plan.placements:
+                pr0, pr1 = p.row_span
+                pc0, pc1 = p.col_span
+                if (pr1 <= pr0 or pc1 <= pc0
+                        or pr1 <= r0 or pr0 >= r1):
+                    continue
+                img = _get_oriented(p)
+                sr0, sc0 = copies[p.index]
+                a0, a1 = max(pr0, r0), min(pr1, r1)
+                b[a0 - r0: a1 - r0, pc0:pc1] = img[
+                    sr0 + (a0 - pr0): sr0 + (a1 - pr0),
+                    sc0: sc0 + (pc1 - pc0)]
+            t0 = time.perf_counter()
+            writer.write(b)
+            phases["encode_s"] += time.perf_counter() - t0
+            progress("export", r1 / H)
+            for p in plan.placements:   # release fully-written sources
+                if p.row_span[1] <= r1:
+                    oriented.pop(p.index, None)
+        writer.close()
+    except BaseException:
+        writer.abort()
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+        raise
+    finally:
+        gen.close()
+    phases["wall_s"] = time.perf_counter() - t_wall
+    get_logger().event(
+        f"export.stream_blit_{fmt}", canvas=(W, H), band_rows=band,
+        n=len(copies), wall_s=round(phases["wall_s"], 3),
+        decode_s=round(phases["decode_s"], 3),
+        encode_s=round(phases["encode_s"], 3))
+    return phases

@@ -293,3 +293,137 @@ def test_stitch_to_file_grayscale_falls_back(tmp_path):
     p = api.stitch_to_file([(a, 1) for a in imgs], str(tmp_path / "g.png"))
     back = np.asarray(__import__("PIL.Image", fromlist=["open"]).open(p))
     assert back.shape[0] > 40
+
+
+# ------------------------------------------------------- pure-blit export
+
+def _oracle_file_check(paths_or_items, out_png, specs, opts, atol=0):
+    from imagestitching_tpu.core import oracle
+    from imagestitching_tpu.core.layout import solve
+    plan = solve(specs, opts)
+    imgs = []
+    for it in paths_or_items:
+        if isinstance(it, tuple):
+            imgs.append(np.asarray(it[0]))
+        elif isinstance(it, np.ndarray):
+            imgs.append(it)
+        else:
+            imgs.append(codec.decode(open(it, "rb").read())[0])
+    want = oracle.stitch(plan, imgs)
+    got, _ = codec.decode(open(out_png, "rb").read())
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= atol
+    return want
+
+
+@needs_native
+def test_blit_stream_equal_sizes_vertical(tmp_path):
+    """Equal-size concat takes the zero-device-round-trip path, bit-exact."""
+    from imagestitching_tpu.config import StitchOptions
+    from imagestitching_tpu.core.layout import ImageSpec
+    imgs = [rng.integers(0, 256, (120, 200, 3), np.uint8) for _ in range(4)]
+    paths = [codec.encode(str(tmp_path / f"{i}.png"), a)
+             for i, a in enumerate(imgs)]
+    p, m = api.stitch_to_file(paths, str(tmp_path / "v.png"), gap=7,
+                              return_metrics=True)
+    assert m.strategy == "host-blit-stream"
+    assert m.compute_s == 0 and m.readback_s == 0
+    _oracle_file_check(paths, p, [ImageSpec(200, 120) for _ in imgs],
+                       StitchOptions(gap=7), atol=0)
+
+
+@needs_native
+def test_blit_stream_original_mode_offsets_background(tmp_path):
+    """mode=original centers narrower images: col offsets + background
+    margins, still a pure blit."""
+    from imagestitching_tpu.config import StitchOptions
+    from imagestitching_tpu.core.layout import ImageSpec
+    imgs = [rng.integers(0, 256, (60, 200, 3), np.uint8),
+            rng.integers(0, 256, (80, 120, 3), np.uint8)]
+    paths = [codec.encode(str(tmp_path / f"{i}.png"), a)
+             for i, a in enumerate(imgs)]
+    opts = StitchOptions(mode="original", gap=3,
+                         background=(10, 200, 30))
+    p, m = api.stitch_to_file(paths, str(tmp_path / "o.png"),
+                              options=opts, return_metrics=True)
+    assert m.strategy == "host-blit-stream"
+    specs = [ImageSpec(a.shape[1], a.shape[0]) for a in imgs]
+    _oracle_file_check(paths, p, specs, opts, atol=0)
+
+
+@needs_native
+def test_blit_stream_exif_orientation(tmp_path):
+    """EXIF-rotated equal-display-size images still blit (orient_array on
+    host), matching the oracle exactly."""
+    from imagestitching_tpu.config import StitchOptions
+    from imagestitching_tpu.core.layout import ImageSpec
+    a = rng.integers(0, 256, (90, 140, 3), np.uint8)   # displays as 90x140
+    b = rng.integers(0, 256, (140, 90, 3), np.uint8)   # rot90 -> 90x140
+    items = [(a, 1), (b, 6)]
+    opts = StitchOptions(mode="original", gap=2)
+    p, m = api.stitch_to_file(items, str(tmp_path / "e.png"),
+                              options=opts, return_metrics=True)
+    assert m.strategy == "host-blit-stream"
+    specs = [ImageSpec(140, 90, 1), ImageSpec(90, 140, 6)]
+    _oracle_file_check(items, p, specs, opts, atol=0)
+
+
+@needs_native
+def test_blit_stream_horizontal(tmp_path):
+    from imagestitching_tpu.config import StitchOptions
+    from imagestitching_tpu.core.layout import ImageSpec
+    imgs = [rng.integers(0, 256, (150, 90, 3), np.uint8) for _ in range(3)]
+    paths = [codec.encode(str(tmp_path / f"{i}.png"), a)
+             for i, a in enumerate(imgs)]
+    opts = StitchOptions(direction="horizontal", gap=4)
+    p, m = api.stitch_to_file(paths, str(tmp_path / "h.png"),
+                              options=opts, return_metrics=True)
+    assert m.strategy == "host-blit-stream"
+    specs = [ImageSpec(90, 150) for _ in imgs]
+    _oracle_file_check(paths, p, specs, opts, atol=0)
+
+
+@needs_native
+def test_blit_stream_jpeg_extension(tmp_path):
+    imgs = [rng.integers(0, 256, (64, 64, 3), np.uint8) for _ in range(2)]
+    paths = [codec.encode(str(tmp_path / f"{i}.png"), a)
+             for i, a in enumerate(imgs)]
+    p, m = api.stitch_to_file(paths, str(tmp_path / "j.jpg"), gap=2,
+                              return_metrics=True)
+    assert m.strategy == "host-blit-stream"
+    got, _ = codec.decode(open(p, "rb").read())
+    assert got.shape == (m.canvas_h, m.canvas_w, 3)
+
+
+@needs_native
+def test_blit_stream_skipped_for_resample_jobs(tmp_path):
+    """Mixed sizes (mode=min rescales) must run the device pipeline."""
+    _, paths = _sources(tmp_path)
+    _, m = api.stitch_to_file(paths, str(tmp_path / "r.png"), gap=4,
+                              return_metrics=True)
+    assert m.strategy != "host-blit-stream"
+
+
+@needs_native
+def test_blit_stream_skipped_for_on_error_skip(tmp_path):
+    imgs = [rng.integers(0, 256, (50, 80, 3), np.uint8) for _ in range(2)]
+    paths = [codec.encode(str(tmp_path / f"{i}.png"), a)
+             for i, a in enumerate(imgs)]
+    _, m = api.stitch_to_file(paths, str(tmp_path / "s.png"),
+                              on_error="skip", return_metrics=True)
+    assert m.strategy != "host-blit-stream"
+
+
+@needs_native
+def test_blit_stream_decode_failure_cleans_up(tmp_path):
+    imgs = [rng.integers(0, 256, (50, 80, 3), np.uint8) for _ in range(2)]
+    paths = [codec.encode(str(tmp_path / f"{i}.png"), a)
+             for i, a in enumerate(imgs)]
+    # corrupt the SECOND file's pixel data after its header: probing (header
+    # read) succeeds, decode fails mid-export
+    raw = bytearray(open(paths[1], "rb").read())
+    raw[40:] = b"\0" * (len(raw) - 40)
+    open(paths[1], "wb").write(bytes(raw))
+    out = str(tmp_path / "fail.png")
+    with pytest.raises(Exception):
+        api.stitch_to_file(paths, out)
+    assert not os.path.exists(out)
