@@ -66,3 +66,52 @@ def test_full_api_fuzz(seed, tmp_path):
     assert np.abs(out.astype(int) - want.astype(int)).max() <= 1, \
         (seed, options.direction, options.mode, options.filter, engine,
          budget_scale, cfg.overlap)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_blit_stream_fuzz(seed, tmp_path):
+    """Random pure-blit jobs (equal display sizes per axis) through
+    stitch_to_file must take the host-blit-stream path and match the
+    oracle bit-exactly."""
+    from imagestitching_tpu import api
+    from imagestitching_tpu.core import geometry
+    from imagestitching_tpu.imgio import codec, native
+
+    if not native.available():
+        pytest.skip("native codec unavailable")
+
+    rng = np.random.default_rng(1000 + seed)
+    direction = str(rng.choice(["vertical", "horizontal"]))
+    mode = str(rng.choice(["min", "original"]))
+    n = int(rng.integers(2, 6))
+    if mode == "min":
+        # equal display widths (vertical) / heights (horizontal) -> blits
+        common = int(rng.integers(20, 90))
+        dims = [(common, int(rng.integers(20, 90))) if direction == "vertical"
+                else (int(rng.integers(20, 90)), common) for _ in range(n)]
+    else:
+        dims = [(int(rng.integers(20, 90)), int(rng.integers(20, 90)))
+                for _ in range(n)]
+    specs, imgs, items = [], [], []
+    for i, (dw, dh) in enumerate(dims):
+        o = int(rng.integers(1, 9))
+        # raw dims so that the oriented display size is (dw, dh)
+        rw, rh = (dw, dh) if o <= 4 else (dh, dw)
+        a = rng.integers(0, 256, (rh, rw, 3), np.uint8)
+        specs.append(ImageSpec(rw, rh, o))
+        imgs.append(a)
+        items.append((a, o))
+    options = StitchOptions(
+        direction=direction, mode=mode, gap=float(rng.integers(0, 7)),
+        background=tuple(int(x) for x in rng.integers(0, 256, 3)),
+        supersample=False)
+    plan = solve(specs, options)
+    if geometry.plan_copy_offsets(plan) is None:
+        pytest.skip("random geometry produced a resample plan")
+    out = tmp_path / f"blit_{seed}.png"
+    p, m = api.stitch_to_file(items, out, options=options,
+                              return_metrics=True)
+    assert m.strategy == "host-blit-stream", (seed, direction, mode)
+    got, _ = codec.decode(open(p, "rb").read())
+    want = oracle.stitch(plan, imgs)
+    assert np.array_equal(got, want), (seed, direction, mode)
