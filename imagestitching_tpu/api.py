@@ -356,6 +356,12 @@ def stitch_to_file(items: Sequence[ImageInput], out_path: Union[str, os.PathLike
     return (path, metrics) if return_metrics else path
 
 
+# Worst-case resident decoded bytes on the blit path (see the backpressure
+# note in _blit_stream_attempt).  4 GB covers ~37 x 12 MP sources; bigger
+# jobs use the device pipeline, whose HBM budget governor takes over.
+_BLIT_MAX_SRC_BYTES = 4 << 30
+
+
 def _blit_stream_attempt(items, out_path: str, ext: str, quality: int,
                          png_compression: int, kwargs: dict):
     """Zero-device-round-trip streamed export for pure-blit plans.
@@ -372,11 +378,13 @@ def _blit_stream_attempt(items, out_path: str, ext: str, quality: int,
     from .runtime import export
     from .runtime.pipeline import StitchMetrics
 
-    if kwargs.get("on_error", "raise") != "raise":
-        return None
+    if not items or kwargs.get("on_error", "raise") != "raise":
+        return None                     # empty input: canonical error path
     config = (kwargs.get("config") or RuntimeConfig()).validate()
     if config.engine != "auto":
         return None                     # explicit engine pins the device path
+    if config.overlap == "never":
+        return None                     # user disabled pipelined execution
     for it in items:                    # array inputs must already be RGB
         arr = it[0] if isinstance(it, tuple) else it
         if isinstance(arr, np.ndarray) and not (
@@ -392,6 +400,13 @@ def _blit_stream_attempt(items, out_path: str, ext: str, quality: int,
     plan = solve(specs, options, kwargs.get("limits"))
     copies = geometry.plan_copy_offsets(plan)
     if copies is None:
+        return None
+    # the decode pool has no backpressure: if the first-consumed image
+    # decodes last, every decoded source is briefly resident at once —
+    # route jobs whose raw bytes could exceed the cap through the device
+    # pipeline, which ships each decode to HBM as it lands
+    raw_bytes = sum(3 * s.raw_w * s.raw_h for s in specs)
+    if raw_bytes > _BLIT_MAX_SRC_BYTES:
         return None
     loaders = [(lambda it=it: _load_one(it, config)[0]) for it in items]
     path = out_path if ext else out_path + ".png"

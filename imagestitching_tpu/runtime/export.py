@@ -229,8 +229,10 @@ def stream_blit_to_file(plan, loaders, path: str, fmt: str, param: int,
 
     Decode runs on the watchdogged pool (completion order); bands consume
     sources in placement order and release each source once its rows are
-    fully written, so peak RAM for a vertical strip is ~one source + the
-    decode pool's look-ahead.  Returns
+    fully written.  The pool has no backpressure, so the worst case (the
+    first-consumed image decoding last) briefly holds every decoded source
+    — the caller bounds that by routing oversized jobs to the device
+    pipeline (``api._BLIT_MAX_SRC_BYTES``).  Returns
     ``{"decode_s", "encode_s", "wall_s", "overlapped": True}`` where
     ``decode_s`` is the decode time *exposed* in the band loop (decodes
     that land while earlier bands encode are genuinely overlapped).
@@ -309,6 +311,13 @@ def stream_blit_to_file(plan, loaders, path: str, fmt: str, param: int,
             for p in plan.placements:   # release fully-written sources
                 if p.row_span[1] <= r1:
                     oriented.pop(p.index, None)
+        # drain the pool before finalizing: images whose placements drew
+        # nothing (zero-area spans) were still submitted — a corrupt or
+        # hung one must fail the job exactly as the device path's prepare
+        # would, not silently succeed
+        for _, _, err in gen:
+            if err is not None:
+                raise err
         writer.close()
     except BaseException:
         writer.abort()

@@ -266,6 +266,9 @@ static int decode_png_fast(const uint8_t* data, size_t len,
     const uint32_t w = get_be32(data + 16);
     const uint32_t h = get_be32(data + 20);
     const int depth = data[24], ctype = data[25], interlace = data[28];
+    // IHDR CRC: a corrupt header must fall to libpng's hard error, not
+    // silently decode garbage geometry
+    if (libdeflate_crc32(0, data + 12, 17) != get_be32(data + 29)) return -1;
     if (depth != 8 || interlace != 0) return -1;
     int channels;
     switch (ctype) {
@@ -291,6 +294,15 @@ static int decode_png_fast(const uint8_t* data, size_t len,
         const uint8_t* ctag = data + pos + 4;
         if (pos + 12 + clen > len) return -1;
         const uint8_t* cdat = data + pos + 8;
+        // validate the CRC of every chunk this path consumes — libpng
+        // treats a bad CRC as fatal, and "pixel-identical to the libpng
+        // path" includes failing on the same corrupt inputs
+        if ((std::memcmp(ctag, "IDAT", 4) == 0
+             || std::memcmp(ctag, "PLTE", 4) == 0
+             || std::memcmp(ctag, "tRNS", 4) == 0)
+            && libdeflate_crc32(libdeflate_crc32(0, ctag, 4), cdat, clen)
+               != get_be32(data + pos + 8 + clen))
+            return -1;
         if (std::memcmp(ctag, "IDAT", 4) == 0) {
             idat_total += clen;
         } else if (std::memcmp(ctag, "PLTE", 4) == 0) {
@@ -592,25 +604,40 @@ static bool write_png_container(ByteSink* s, int w, int h,
     return sink_put(s, iend, 12);
 }
 
-// Compress pre-filtered scanlines and emit the container into `s`.
+// Probe verdict for a filtered buffer: sample up to 8 spread 32 KB spots.
+// 0 = every sample incompressible (stored blocks lose nothing),
+// 1 = every sample compressible (one whole-buffer SIMD pass at `level`),
+// 2 = mixed content (per-band adaptation needed to not bloat the file).
+static int probe_filtered(const uint8_t* filt, size_t flen) {
+    const size_t plen = size_t{32} << 10;
+    if (flen < 2 * plen) return 1;
+    libdeflate_compressor* pc = libdeflate_alloc_compressor(1);
+    if (!pc) return 1;
+    const int k = flen >= (size_t{2} << 20) ? 8 : 3;
+    static thread_local uint8_t pbuf[40 << 10];
+    int n_inc = 0, n_done = 0;
+    size_t prev_off = static_cast<size_t>(-1);
+    for (int i = 0; i < k; ++i) {
+        const size_t off = (flen - plen) * i / (k - 1);
+        if (off == prev_off) continue;
+        prev_off = off;
+        const size_t zn = libdeflate_deflate_compress(
+            pc, filt + off, plen, pbuf, sizeof(pbuf));
+        ++n_done;
+        if (zn == 0 || zn + (zn >> 6) >= plen) ++n_inc;
+    }
+    libdeflate_free_compressor(pc);
+    if (n_inc == 0) return 1;
+    if (n_inc == n_done) return 0;
+    return 2;
+}
+
+// Compress pre-filtered scanlines at the decided `level` and emit the
+// container into `s` (probing is the caller's job).
 static int fast_png_finish(ByteSink* s, int w, int h, int level,
                            const uint8_t* filt, size_t flen) {
     if (level < 0) level = 0;
     if (level > 12) level = 12;
-    if (level > 0 && flen > (size_t{64} << 10)) {
-        // content probe: trial-compress a 64 KB sample; if matching cannot
-        // pay (photographic noise), stored blocks (level 0) give identical
-        // size at ~20-30x the throughput
-        libdeflate_compressor* pc = libdeflate_alloc_compressor(1);
-        if (pc) {
-            const size_t plen = size_t{64} << 10;
-            static thread_local uint8_t pbuf[80 << 10];
-            const size_t zn = libdeflate_deflate_compress(
-                pc, filt + (flen - plen) / 2, plen, pbuf, sizeof(pbuf));
-            libdeflate_free_compressor(pc);
-            if (zn == 0 || zn + (zn >> 6) >= plen) level = 0;
-        }
-    }
     libdeflate_compressor* c = libdeflate_alloc_compressor(level);
     if (!c) { set_err("png-fast: compressor alloc"); return 1; }
     const size_t bound = libdeflate_zlib_compress_bound(c, flen);
@@ -632,6 +659,10 @@ static int fast_png_finish(ByteSink* s, int w, int h, int level,
     return 0;
 }
 
+static int encode_png_adaptive_mem(const uint8_t* rgb, int w, int h,
+                                   int level, uint8_t** out,
+                                   size_t* out_len);   // fwd (below)
+
 static int encode_png_fast(const uint8_t* rgb, int w, int h, int level,
                            uint8_t** out, size_t* out_len) {
     const size_t stride = static_cast<size_t>(w) * 3;
@@ -639,8 +670,18 @@ static int encode_png_fast(const uint8_t* rgb, int w, int h, int level,
     uint8_t* filt = static_cast<uint8_t*>(std::malloc(flen));
     if (!filt) { set_err("oom"); return 1; }
     png_filter_rows(rgb, nullptr, stride, h, filt);
+    int use_level = level;
+    if (level > 0) {
+        switch (probe_filtered(filt, flen)) {
+        case 0: use_level = 0; break;     // stored: identical size, ~30x
+        case 2:                            // mixed: band-adaptive zlib path
+            std::free(filt);
+            return encode_png_adaptive_mem(rgb, w, h, level, out, out_len);
+        default: break;                    // compressible: one SIMD pass
+        }
+    }
     ByteSink s{nullptr, nullptr, 0, 0};
-    const int rc = fast_png_finish(&s, w, h, level, filt, flen);
+    const int rc = fast_png_finish(&s, w, h, use_level, filt, flen);
     std::free(filt);
     if (rc != 0) { std::free(s.mem); return rc; }
     *out = s.mem;
@@ -797,8 +838,64 @@ static bool set_stream_level(PngStream* s, int want) {
     return true;
 }
 
+// Open an adaptive stream over an already-open FILE* (file or memstream).
+// Returns nullptr on failure with isx_last_error set; the FILE* is left
+// open for the caller either way (on success the stream owns it).
+static PngStream* png_stream_open_f(FILE* f, int w, int h, int compression) {
+    PngStream* s =
+        static_cast<PngStream*>(std::calloc(1, sizeof(PngStream)));
+    if (!s) { set_err("oom"); return nullptr; }
+    s->f = f;
+    const size_t stride = static_cast<size_t>(w) * 3;
+    const int lvl = compression < 0 ? 0 : (compression > 9 ? 9
+                                                           : compression);
+    s->prevrow = static_cast<uint8_t*>(std::malloc(stride));
+    s->chunk_cap = size_t{4} << 20;
+    s->chunk = static_cast<uint8_t*>(std::malloc(s->chunk_cap));
+    bool ok = s->prevrow && s->chunk &&
+              deflateInit2(&s->zs, lvl, Z_DEFLATED, 15, 8,
+                           Z_DEFAULT_STRATEGY) == Z_OK;
+    if (ok && deflateInit2(&s->ps, 1, Z_DEFLATED, -15, 8,
+                           Z_DEFAULT_STRATEGY) != Z_OK) {
+        deflateEnd(&s->zs);
+        ok = false;
+    }
+    if (ok) {
+        uint8_t hdr[33];
+        static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+        std::memcpy(hdr, sig, 8);
+        put_be32(hdr + 8, 13);
+        std::memcpy(hdr + 12, "IHDR", 4);
+        put_be32(hdr + 16, static_cast<uint32_t>(w));
+        put_be32(hdr + 20, static_cast<uint32_t>(h));
+        hdr[24] = 8; hdr[25] = 2; hdr[26] = 0; hdr[27] = 0; hdr[28] = 0;
+        put_be32(hdr + 29, static_cast<uint32_t>(
+            crc32(0L, hdr + 12, 17)));
+        if (std::fwrite(hdr, 1, 33, s->f) == 33) {
+            s->fast = 1;
+            s->level = s->cur_level = lvl;
+            s->w = w; s->h = h;
+            return s;
+        }
+        deflateEnd(&s->zs);
+        deflateEnd(&s->ps);
+    }
+    std::free(s->prevrow);
+    std::free(s->chunk);
+    if (!g_err[0]) set_err("png-stream: adaptive init failed");
+    std::free(s);
+    return nullptr;
+}
+
 // Returns an opaque handle, or nullptr (isx_last_error set).
 void* isx_png_stream_open(const char* path, int w, int h, int compression) {
+    if (adaptive_png_enabled()) {
+        FILE* f = std::fopen(path, "wb");
+        if (!f) { set_err("png-stream: fopen failed"); return nullptr; }
+        PngStream* s = png_stream_open_f(f, w, h, compression);
+        if (!s) std::fclose(f);
+        return s;
+    }
     // volatile: `s` must survive the longjmp back to the setjmp below
     PngStream* volatile s =
         static_cast<PngStream*>(std::calloc(1, sizeof(PngStream)));
@@ -806,48 +903,6 @@ void* isx_png_stream_open(const char* path, int w, int h, int compression) {
     s->f = std::fopen(path, "wb");
     if (!s->f) { set_err("png-stream: fopen failed"); std::free(s);
                  return nullptr; }
-    if (adaptive_png_enabled()) {
-        const size_t stride = static_cast<size_t>(w) * 3;
-        const int lvl = compression < 0 ? 0 : (compression > 9 ? 9
-                                                               : compression);
-        s->prevrow = static_cast<uint8_t*>(std::malloc(stride));
-        s->chunk_cap = size_t{4} << 20;
-        s->chunk = static_cast<uint8_t*>(std::malloc(s->chunk_cap));
-        bool ok = s->prevrow && s->chunk &&
-                  deflateInit2(&s->zs, lvl, Z_DEFLATED, 15, 8,
-                               Z_DEFAULT_STRATEGY) == Z_OK;
-        if (ok && deflateInit2(&s->ps, 1, Z_DEFLATED, -15, 8,
-                               Z_DEFAULT_STRATEGY) != Z_OK) {
-            deflateEnd(&s->zs);
-            ok = false;
-        }
-        if (ok) {
-            uint8_t hdr[33];
-            static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
-            std::memcpy(hdr, sig, 8);
-            put_be32(hdr + 8, 13);
-            std::memcpy(hdr + 12, "IHDR", 4);
-            put_be32(hdr + 16, static_cast<uint32_t>(w));
-            put_be32(hdr + 20, static_cast<uint32_t>(h));
-            hdr[24] = 8; hdr[25] = 2; hdr[26] = 0; hdr[27] = 0; hdr[28] = 0;
-            put_be32(hdr + 29, static_cast<uint32_t>(
-                crc32(0L, hdr + 12, 17)));
-            if (std::fwrite(hdr, 1, 33, s->f) == 33) {
-                s->fast = 1;
-                s->level = s->cur_level = lvl;
-                s->w = w; s->h = h;
-                return s;
-            }
-            deflateEnd(&s->zs);
-            deflateEnd(&s->ps);
-        }
-        std::free(s->prevrow);  s->prevrow = nullptr;
-        std::free(s->chunk);    s->chunk = nullptr;
-        if (!g_err[0]) set_err("png-stream: adaptive init failed");
-        std::fclose(s->f);
-        std::free(s);
-        return nullptr;
-    }
     s->png = png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr,
                                      nullptr);
     s->info = s->png ? png_create_info_struct(s->png) : nullptr;
@@ -896,24 +951,30 @@ int isx_png_stream_write(void* handle, const uint8_t* rgb, int nrows) {
                         nrows, s->filt);
         std::memcpy(s->prevrow, rgb + stride * (nrows - 1), stride);
         s->has_prev = 1;
-        // probe this band's compressibility: trial-deflate a 64 KB sample
-        // from the band's middle; if it stays >=64/65 of its size, matching
-        // cannot pay — emit the band as stored blocks (level 0) instead
+        // probe this band's compressibility: trial-deflate 32 KB samples at
+        // the band's start, middle and end; only when ALL of them stay
+        // >=64/65 of their size (matching cannot pay anywhere) is the band
+        // emitted as stored blocks (level 0) — a single sample would let
+        // one flat region misclassify a mixed band (or vice versa)
         int want = s->level;
         if (s->level > 0) {
-            const size_t plen = flen < (size_t{64} << 10) ? flen
-                                                          : (size_t{64} << 10);
-            static thread_local uint8_t pbuf[80 << 10];
-            deflateReset(&s->ps);
-            s->ps.next_in = s->filt + (flen - plen) / 2;
-            s->ps.avail_in = static_cast<uInt>(plen);
-            s->ps.next_out = pbuf;
-            s->ps.avail_out = sizeof(pbuf);
-            if (deflate(&s->ps, Z_FINISH) == Z_STREAM_END) {
+            const size_t plen = flen < (size_t{32} << 10) ? flen
+                                                          : (size_t{32} << 10);
+            static thread_local uint8_t pbuf[40 << 10];
+            const size_t offs[3] = {0, (flen - plen) / 2, flen - plen};
+            bool all_incompressible = true;
+            for (int k = 0; k < 3 && all_incompressible; ++k) {
+                if (k > 0 && offs[k] == offs[k - 1]) continue;
+                deflateReset(&s->ps);
+                s->ps.next_in = s->filt + offs[k];
+                s->ps.avail_in = static_cast<uInt>(plen);
+                s->ps.next_out = pbuf;
+                s->ps.avail_out = sizeof(pbuf);
+                if (deflate(&s->ps, Z_FINISH) != Z_STREAM_END) break;
                 const size_t zn = sizeof(pbuf) - s->ps.avail_out;
-                if (zn + (zn >> 6) < plen) want = s->level;
-                else want = 0;
+                if (zn + (zn >> 6) < plen) all_incompressible = false;
             }
+            if (all_incompressible) want = 0;
         }
         if (want != s->cur_level && !set_stream_level(s, want)) return 1;
         s->zs.next_in = s->filt;
@@ -1008,6 +1069,49 @@ int isx_png_stream_close(void* handle) {
     std::free(s);
     return rc;
 }
+
+#ifdef ISX_HAVE_LIBDEFLATE
+
+// Monolithic encode via the band-adaptive stream writer into a memstream:
+// the mixed-content case (flat margins + photographic regions) where one
+// whole-buffer level choice would either bloat the file (stored) or waste
+// the speed win (full match-finding everywhere).
+static int encode_png_adaptive_mem(const uint8_t* rgb, int w, int h,
+                                   int level, uint8_t** out,
+                                   size_t* out_len) {
+    char* mem = nullptr;
+    size_t mlen = 0;
+    FILE* f = open_memstream(&mem, &mlen);
+    if (!f) { set_err("oom"); return 1; }
+    PngStream* s = png_stream_open_f(f, w, h, level);
+    if (!s) {
+        std::fclose(f);
+        std::free(mem);
+        return 1;
+    }
+    const size_t stride = static_cast<size_t>(w) * 3;
+    int band = static_cast<int>((size_t{4} << 20) / (stride ? stride : 1));
+    if (band < 1) band = 1;
+    int rc = 0;
+    for (int r = 0; r < h && rc == 0; r += band) {
+        const int n = r + band < h ? band : h - r;
+        rc = isx_png_stream_write(s, rgb + stride * r, n);
+    }
+    // close always finalizes and fcloses the memstream (flushing mem/mlen);
+    // a write failure is the root cause — keep its message over close's
+    char saved[sizeof(g_err)];
+    if (rc != 0) std::memcpy(saved, g_err, sizeof(saved));
+    if (isx_png_stream_close(s) != 0 || rc != 0) {
+        if (rc != 0) std::memcpy(g_err, saved, sizeof(g_err));
+        std::free(mem);
+        return 1;
+    }
+    *out = reinterpret_cast<uint8_t*>(mem);
+    *out_len = mlen;
+    return 0;
+}
+
+#endif  // ISX_HAVE_LIBDEFLATE
 
 // -------------------------------------------------- JPEG (streaming writer)
 //

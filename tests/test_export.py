@@ -427,3 +427,31 @@ def test_blit_stream_decode_failure_cleans_up(tmp_path):
     with pytest.raises(Exception):
         api.stitch_to_file(paths, out)
     assert not os.path.exists(out)
+
+
+@needs_native
+def test_blit_stream_skipped_for_overlap_never(tmp_path):
+    imgs = [rng.integers(0, 256, (50, 80, 3), np.uint8) for _ in range(2)]
+    paths = [codec.encode(str(tmp_path / f"{i}.png"), a)
+             for i, a in enumerate(imgs)]
+    cfg = RuntimeConfig(overlap="never")
+    _, m = api.stitch_to_file(paths, str(tmp_path / "n.png"), config=cfg,
+                              return_metrics=True)
+    assert m.strategy != "host-blit-stream"
+
+
+@needs_native
+def test_blit_stream_zero_area_corrupt_image_still_raises(tmp_path):
+    """An image whose placement scales to zero area is never drawn, but a
+    corrupt file there must still fail the job (device-path contract)."""
+    wide = rng.integers(0, 256, (1, 1000, 3), np.uint8)   # scales to 0 rows
+    tall = rng.integers(0, 256, (50, 50, 3), np.uint8)
+    p_wide = codec.encode(str(tmp_path / "w.png"), wide)
+    p_tall = codec.encode(str(tmp_path / "t.png"), tall)
+    raw = bytearray(open(p_wide, "rb").read())
+    raw[40:] = b"\0" * (len(raw) - 40)   # header probe ok, decode fails
+    open(p_wide, "wb").write(bytes(raw))
+    out = str(tmp_path / "z.png")
+    with pytest.raises(Exception):
+        api.stitch_to_file([p_tall, p_wide], out, mode="min")
+    assert not os.path.exists(out)

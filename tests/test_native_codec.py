@@ -177,3 +177,27 @@ def test_png_mt_encoder_lossless_and_pil_readable():
     for d in (d1, d4):
         np.testing.assert_array_equal(
             np.asarray(Image.open(io.BytesIO(d)).convert("RGB")), arr)
+
+
+def test_png_fast_encode_mixed_content_size(monkeypatch):
+    """Mixed flat+noise canvases must not bloat vs libpng (the stored-block
+    decision is per-region, not one whole-buffer sample)."""
+    flat = np.full((150, 800, 3), 200, np.uint8)
+    noisy = rng.integers(0, 256, (60, 800, 3), np.uint8)
+    arr = np.concatenate([flat, noisy, flat], axis=0)
+    fast = native.encode_png(arr, compression=6)
+    monkeypatch.setenv("ISX_PNG_FAST", "0")
+    slow = native.encode_png(arr, compression=6)
+    assert len(fast) <= len(slow) * 1.15, (len(fast), len(slow))
+    back = native.decode_png(fast)
+    np.testing.assert_array_equal(back, arr)
+
+
+def test_png_fast_decode_rejects_corrupt_crc():
+    """Bit flips inside IDAT must raise like libpng, never decode garbage."""
+    good = native.encode_png(rng.integers(0, 256, (64, 64, 3), np.uint8),
+                             compression=3)
+    bad = bytearray(good)
+    bad[80] ^= 0xFF
+    with pytest.raises(ValueError):
+        native.decode_png(bytes(bad))
