@@ -259,6 +259,18 @@ def stitch(items: Sequence[ImageInput],
             plan = solve(specs, options, limits)
             loaders = [(lambda it=it: _load_one(it, config)[0])
                        for it in items]
+            copies = None
+            if config.engine == "auto" and config.mesh is None \
+                    and not keep_on_device:
+                from .core import geometry
+                copies = geometry.plan_copy_offsets(plan)
+                raw_bytes = sum(3 * s.raw_w * s.raw_h for s in specs)
+                if raw_bytes > _BLIT_MAX_SRC_BYTES:
+                    copies = None
+            if copies is not None:
+                out, metrics = _stitch_blit_overlapped(
+                    plan, loaders, config, progress, copies)
+                return (out, metrics) if return_metrics else out
             out, metrics = pipeline.run_overlapped(
                 plan, loaders, config, progress,
                 keep_on_device=keep_on_device)
@@ -360,6 +372,57 @@ def stitch_to_file(items: Sequence[ImageInput], out_path: Union[str, os.PathLike
 # note in _blit_stream_attempt).  4 GB covers ~37 x 12 MP sources; bigger
 # jobs use the device pipeline, whose HBM budget governor takes over.
 _BLIT_MAX_SRC_BYTES = 4 << 30
+
+
+def _stitch_blit_overlapped(plan, loaders, config, progress, copies):
+    """Overlapped stitch for pure-blit plans: paste each source into the
+    host canvas the moment its decode lands.  No device round trip — the
+    decode pool IS the pipeline (placement row spans are disjoint, so
+    completion-order pasting is race-free)."""
+    import time as _time
+
+    from .core import geometry
+    from .runtime.pipeline import StitchMetrics
+
+    t0 = _time.perf_counter()
+    m = StitchMetrics(strategy="host-blit", canvas_w=plan.canvas_w,
+                      canvas_h=plan.canvas_h)
+    canvas = np.empty((plan.canvas_h, plan.canvas_w, 3), np.uint8)
+    geometry.fill_uncovered(canvas, plan, copies, plan.background[:3])
+    n = len(loaders)
+    done = 0
+    for i, raw, err in decoding.iter_decoded(
+            loaders, config.decode_threads, config.decode_timeout_s):
+        if err is not None:
+            get_logger().event("pipeline.overlapped_decode_fail", index=i,
+                               error=repr(err))
+            raise err
+        p = plan.placements[i]
+        raw = np.asarray(raw)
+        if raw.ndim == 2:
+            raw = raw[:, :, None]
+        if raw.shape[2] == 1:
+            raw = np.repeat(raw, 3, axis=2)
+        if raw.shape[:2] != (p.raw_h, p.raw_w) or raw.shape[2] != 3:
+            raise ValueError(
+                f"image {i}: decoded {raw.shape} but header said "
+                f"{p.raw_w}x{p.raw_h}x3")
+        if i in copies:
+            img = geometry.orient_array(raw, p.orientation)
+            sr0, sc0 = copies[i]
+            r0, r1 = p.row_span
+            c0, c1 = p.col_span
+            canvas[r0:r1, c0:c1] = img[sr0: sr0 + (r1 - r0),
+                                       sc0: sc0 + (c1 - c0)]
+        done += 1
+        progress("composite", 0.30 + 0.60 * done / n)
+    m.prepare_s = _time.perf_counter() - t0
+    m.total_s = _time.perf_counter() - t0
+    get_logger().event("pipeline.done", strategy=m.strategy,
+                       total_s=round(m.total_s, 4),
+                       mp_per_sec=round(m.mp_per_sec, 1))
+    progress("composite", 1.0)
+    return canvas, m
 
 
 def _blit_stream_attempt(items, out_path: str, ext: str, quality: int,

@@ -377,3 +377,43 @@ def plan_copy_offsets(plan):
             return None
         offs[p.index] = o
     return offs
+
+
+def fill_background(arr: np.ndarray, bg) -> None:
+    """Fill an HWC uint8 view with a background color, fast.
+
+    Uniform colors (r==g==b — including the default white) go through
+    ndarray.fill (memset, ~7x the broadcast assignment's throughput on
+    big canvases); others broadcast the 3-vector.
+    """
+    bg = np.asarray(bg, np.uint8)
+    if int(bg[0]) == int(bg[1]) == int(bg[2]):
+        arr.fill(int(bg[0]))
+    else:
+        arr[:] = bg
+
+
+def fill_uncovered(canvas: np.ndarray, plan, copies, bg) -> None:
+    """Background-fill exactly the canvas regions no placement covers.
+
+    Pure-blit assembly overwrites every covered pixel with a paste, so
+    prefilling them is wasted bandwidth — on a gapless equal-size strip
+    that is the WHOLE canvas.  Sweeps the elementary row bands between
+    placement row boundaries and fills the column gaps in each.
+    """
+    h, w = canvas.shape[:2]
+    drawn = [p for p in plan.placements if p.index in copies]
+    breaks = sorted({0, h} | {p.row_span[0] for p in drawn}
+                    | {p.row_span[1] for p in drawn})
+    for rs, re in zip(breaks, breaks[1:]):
+        if re <= rs:
+            continue
+        spans = sorted(p.col_span for p in drawn
+                       if p.row_span[0] <= rs and re <= p.row_span[1])
+        c = 0
+        for c0, c1 in spans:
+            if c0 > c:
+                fill_background(canvas[rs:re, c:c0], bg)
+            c = max(c, c1)
+        if c < w:
+            fill_background(canvas[rs:re, c:w], bg)

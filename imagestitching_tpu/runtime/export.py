@@ -291,7 +291,7 @@ def stream_blit_to_file(plan, loaders, path: str, fmt: str, param: int,
         for r0 in range(0, H, band):
             r1 = min(H, r0 + band)
             b = buf[: r1 - r0]
-            b[:] = bg
+            geometry.fill_background(b, bg)
             for p in plan.placements:
                 pr0, pr1 = p.row_span
                 pc0, pc1 = p.col_span

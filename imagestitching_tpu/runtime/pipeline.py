@@ -684,6 +684,29 @@ def run(plan: LayoutPlan, images: Sequence[np.ndarray],
         a0 = np.asarray(images[0])
         channels = a0.shape[2] if a0.ndim == 3 else 1
 
+    # Pure-blit fast path: when every drawn placement is an identity copy
+    # (equal-size concat — the reference's own hot path, index.js:1423-1431)
+    # and the caller wants a host array, the canvas is sources + background;
+    # assembling it with memcpys beats any H2D -> compose -> D2H round trip
+    # on every link.  Explicit engine choices, meshes and keep_on_device
+    # keep the device pipeline.
+    if (config.engine == "auto" and config.mesh is None
+            and not keep_on_device and channels == 3):
+        from ..core import geometry
+        copies = geometry.plan_copy_offsets(plan)
+        out = (_host_blit(plan, images, copies)
+               if copies is not None else None)
+        if out is not None:
+            m.strategy = "host-blit"
+            m.compute_s = time.perf_counter() - t_start
+            m.total_s = time.perf_counter() - t_start
+            log.event("pipeline.done", strategy=m.strategy,
+                      compute_s=round(m.compute_s, 4),
+                      mp_per_sec=round(m.mp_per_sec, 1))
+            progress("layout", 1.0)
+            progress("composite", 1.0)
+            return out, m
+
     if config.engine == "oracle":
         ex = tiler.ExecutionPlan("oracle", 0, config.budget.hbm_bytes)
     else:
@@ -702,6 +725,34 @@ def run(plan: LayoutPlan, images: Sequence[np.ndarray],
                          t_start, channels, keep_on_device)
     finally:
         prof.stop()
+
+
+def _host_blit(plan, images, copies) -> Optional[np.ndarray]:
+    """Assemble a pure-blit canvas with memcpys (None -> caller falls back
+    to the device path, e.g. on a shape/channel surprise)."""
+    from ..core import geometry
+
+    for p in plan.placements:       # validate before touching the canvas
+        if p.index in copies:
+            raw = np.asarray(images[p.index])
+            if raw.shape[:2] != (p.raw_h, p.raw_w) or raw.ndim != 3 \
+                    or raw.shape[2] != 3:
+                return None
+    canvas = np.empty((plan.canvas_h, plan.canvas_w, 3), np.uint8)
+    # fill only what the pastes won't overwrite — on a gapless equal-size
+    # strip that is nothing at all
+    geometry.fill_uncovered(canvas, plan, copies, plan.background[:3])
+    for p in plan.placements:
+        if p.index not in copies:
+            continue
+        img = geometry.orient_array(np.asarray(images[p.index]),
+                                    p.orientation)
+        sr0, sc0 = copies[p.index]
+        r0, r1 = p.row_span
+        c0, c1 = p.col_span
+        canvas[r0:r1, c0:c1] = img[sr0: sr0 + (r1 - r0),
+                                   sc0: sc0 + (c1 - c0)]
+    return canvas
 
 
 def _run_body(plan, images, config, progress, m, ex, log, t_start,

@@ -358,3 +358,41 @@ def test_cli_hbm_budget_auto(tmp_path):
     r = run_cli(a, "-o", out, "--engine", "xla", "--hbm-budget", "auto",
                 "--json")
     assert r.returncode == 0, r.stderr
+
+
+def test_stitch_host_blit_fast_path(tmp_path):
+    """Equal-size concat with engine=auto never touches the device: the
+    canvas is assembled with memcpys, bit-exact vs the oracle."""
+    imgs = [rng.integers(0, 256, (40, 64, 3), np.uint8) for _ in range(3)]
+    out, m = ist.stitch(imgs, gap=5, return_metrics=True)
+    assert m.strategy == "host-blit"
+    from imagestitching_tpu.config import StitchOptions
+    from imagestitching_tpu.core import oracle
+    from imagestitching_tpu.core.layout import ImageSpec, solve
+    plan = solve([ImageSpec(64, 40) for _ in imgs], StitchOptions(gap=5))
+    np.testing.assert_array_equal(out, oracle.stitch(plan, imgs))
+
+
+def test_stitch_host_blit_overlapped_big_task(tmp_path):
+    """>=7 equal-size images route through the overlapped branch and still
+    take the host-blit path (paste-on-decode)."""
+    imgs = [rng.integers(0, 256, (30, 48, 3), np.uint8) for _ in range(8)]
+    paths = []
+    for i, a in enumerate(imgs):
+        p = tmp_path / f"blit{i}.png"
+        Image.fromarray(a).save(p)
+        paths.append(p)
+    out, m = ist.stitch(paths, gap=2, return_metrics=True)
+    assert m.strategy == "host-blit"
+    from imagestitching_tpu.config import StitchOptions
+    from imagestitching_tpu.core import oracle
+    from imagestitching_tpu.core.layout import ImageSpec, solve
+    plan = solve([ImageSpec(48, 30) for _ in imgs], StitchOptions(gap=2))
+    np.testing.assert_array_equal(out, oracle.stitch(plan, imgs))
+
+
+def test_stitch_host_blit_respects_engine_pin():
+    imgs = [rng.integers(0, 256, (16, 16, 3), np.uint8) for _ in range(2)]
+    _, m = ist.stitch(imgs, config=RuntimeConfig(engine="xla"),
+                      return_metrics=True)
+    assert m.strategy != "host-blit"
