@@ -259,14 +259,8 @@ def stitch(items: Sequence[ImageInput],
             plan = solve(specs, options, limits)
             loaders = [(lambda it=it: _load_one(it, config)[0])
                        for it in items]
-            copies = None
-            if config.engine == "auto" and config.mesh is None \
-                    and not keep_on_device:
-                from .core import geometry
-                copies = geometry.plan_copy_offsets(plan)
-                raw_bytes = sum(3 * s.raw_w * s.raw_h for s in specs)
-                if raw_bytes > _BLIT_MAX_SRC_BYTES:
-                    copies = None
+            copies = (None if keep_on_device
+                      else _blit_copies(plan, specs, config))
             if copies is not None:
                 out, metrics = _stitch_blit_overlapped(
                     plan, loaders, config, progress, copies)
@@ -374,6 +368,21 @@ def stitch_to_file(items: Sequence[ImageInput], out_path: Union[str, os.PathLike
 _BLIT_MAX_SRC_BYTES = 4 << 30
 
 
+def _blit_copies(plan, specs, config):
+    """plan_copy_offsets gated by the shared blit-eligibility rules:
+    engine=auto only (explicit engines pin the device path), no mesh, and
+    raw bytes under the resident cap.  None -> use the device pipeline."""
+    if config.engine != "auto" or config.mesh is not None:
+        return None
+    from .core import geometry
+    copies = geometry.plan_copy_offsets(plan)
+    if copies is None:
+        return None
+    if sum(3 * s.raw_w * s.raw_h for s in specs) > _BLIT_MAX_SRC_BYTES:
+        return None
+    return copies
+
+
 def _stitch_blit_overlapped(plan, loaders, config, progress, copies):
     """Overlapped stitch for pure-blit plans: paste each source into the
     host canvas the moment its decode lands.  No device round trip — the
@@ -398,22 +407,16 @@ def _stitch_blit_overlapped(plan, loaders, config, progress, copies):
                                error=repr(err))
             raise err
         p = plan.placements[i]
-        raw = np.asarray(raw)
-        if raw.ndim == 2:
-            raw = raw[:, :, None]
-        if raw.shape[2] == 1:
-            raw = np.repeat(raw, 3, axis=2)
-        if raw.shape[:2] != (p.raw_h, p.raw_w) or raw.shape[2] != 3:
+        raw = geometry.normalize_rgb(raw)
+        if raw is None or raw.shape[:2] != (p.raw_h, p.raw_w):
             raise ValueError(
-                f"image {i}: decoded {raw.shape} but header said "
+                f"image {i}: decoded "
+                f"{None if raw is None else raw.shape} but header said "
                 f"{p.raw_w}x{p.raw_h}x3")
         if i in copies:
-            img = geometry.orient_array(raw, p.orientation)
-            sr0, sc0 = copies[i]
-            r0, r1 = p.row_span
-            c0, c1 = p.col_span
-            canvas[r0:r1, c0:c1] = img[sr0: sr0 + (r1 - r0),
-                                       sc0: sc0 + (c1 - c0)]
+            geometry.paste_blit(
+                canvas, p, geometry.orient_array(raw, p.orientation),
+                copies[i])
         done += 1
         progress("composite", 0.30 + 0.60 * done / n)
     m.prepare_s = _time.perf_counter() - t0
@@ -437,15 +440,12 @@ def _blit_stream_attempt(items, out_path: str, ext: str, quality: int,
     ``(path, StitchMetrics)`` or None when the conditions don't hold (the
     caller then runs the device pipeline).
     """
-    from .core import geometry
     from .runtime import export
     from .runtime.pipeline import StitchMetrics
 
     if not items or kwargs.get("on_error", "raise") != "raise":
         return None                     # empty input: canonical error path
     config = (kwargs.get("config") or RuntimeConfig()).validate()
-    if config.engine != "auto":
-        return None                     # explicit engine pins the device path
     if config.overlap == "never":
         return None                     # user disabled pipelined execution
     for it in items:                    # array inputs must already be RGB
@@ -461,15 +461,8 @@ def _blit_stream_attempt(items, out_path: str, ext: str, quality: int,
     if any(s is None for s in specs):
         return None
     plan = solve(specs, options, kwargs.get("limits"))
-    copies = geometry.plan_copy_offsets(plan)
+    copies = _blit_copies(plan, specs, config)
     if copies is None:
-        return None
-    # the decode pool has no backpressure: if the first-consumed image
-    # decodes last, every decoded source is briefly resident at once —
-    # route jobs whose raw bytes could exceed the cap through the device
-    # pipeline, which ships each decode to HBM as it lands
-    raw_bytes = sum(3 * s.raw_w * s.raw_h for s in specs)
-    if raw_bytes > _BLIT_MAX_SRC_BYTES:
         return None
     loaders = [(lambda it=it: _load_one(it, config)[0]) for it in items]
     path = out_path if ext else out_path + ".png"

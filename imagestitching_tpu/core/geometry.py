@@ -417,3 +417,25 @@ def fill_uncovered(canvas: np.ndarray, plan, copies, bg) -> None:
             c = max(c, c1)
         if c < w:
             fill_background(canvas[rs:re, c:w], bg)
+
+
+def normalize_rgb(raw: np.ndarray):
+    """uint8 HWC with exactly 3 channels, or None if not representable
+    (grayscale is replicated; RGBA callers must composite first)."""
+    raw = np.asarray(raw)
+    if raw.ndim == 2:
+        raw = raw[:, :, None]
+    if raw.ndim == 3 and raw.shape[2] == 1:
+        raw = np.repeat(raw, 3, axis=2)
+    if raw.ndim != 3 or raw.shape[2] != 3:
+        return None
+    return raw
+
+
+def paste_blit(canvas: np.ndarray, p, img: np.ndarray, offs) -> None:
+    """Copy the oriented source into its placement rect (identity taps)."""
+    sr0, sc0 = offs
+    r0, r1 = p.row_span
+    c0, c1 = p.col_span
+    canvas[r0:r1, c0:c1] = img[sr0: sr0 + (r1 - r0),
+                               sc0: sc0 + (c1 - c0)]

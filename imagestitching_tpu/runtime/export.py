@@ -268,19 +268,12 @@ def stream_blit_to_file(plan, loaders, path: str, fmt: str, param: int,
                 raise err
             ready[i] = np.asarray(raw)
         phases["decode_s"] += time.perf_counter() - t0
-        raw = ready.pop(p.index)
-        if raw.shape[:2] != (p.raw_h, p.raw_w):
+        raw = geometry.normalize_rgb(ready.pop(p.index))
+        if raw is None or raw.shape[:2] != (p.raw_h, p.raw_w):
             raise ValueError(
-                f"image {p.index}: decoded {raw.shape[1]}x{raw.shape[0]} "
-                f"but header said {p.raw_w}x{p.raw_h}")
-        if raw.ndim == 2:
-            raw = raw[:, :, None]
-        if raw.shape[2] == 1:
-            raw = np.repeat(raw, 3, axis=2)
-        if raw.shape[2] != 3:
-            raise ValueError(
-                f"image {p.index}: blit export needs RGB, got "
-                f"{raw.shape[2]} channels")
+                f"image {p.index}: decoded "
+                f"{None if raw is None else raw.shape} but header said "
+                f"{p.raw_w}x{p.raw_h}x3")
         img = geometry.orient_array(raw, p.orientation)
         oriented[p.index] = img
         return img

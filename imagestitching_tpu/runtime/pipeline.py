@@ -732,26 +732,23 @@ def _host_blit(plan, images, copies) -> Optional[np.ndarray]:
     to the device path, e.g. on a shape/channel surprise)."""
     from ..core import geometry
 
+    srcs = {}
     for p in plan.placements:       # validate before touching the canvas
         if p.index in copies:
-            raw = np.asarray(images[p.index])
-            if raw.shape[:2] != (p.raw_h, p.raw_w) or raw.ndim != 3 \
-                    or raw.shape[2] != 3:
+            raw = geometry.normalize_rgb(images[p.index])
+            if raw is None or raw.shape[:2] != (p.raw_h, p.raw_w):
                 return None
+            srcs[p.index] = raw
     canvas = np.empty((plan.canvas_h, plan.canvas_w, 3), np.uint8)
     # fill only what the pastes won't overwrite — on a gapless equal-size
     # strip that is nothing at all
     geometry.fill_uncovered(canvas, plan, copies, plan.background[:3])
     for p in plan.placements:
-        if p.index not in copies:
-            continue
-        img = geometry.orient_array(np.asarray(images[p.index]),
-                                    p.orientation)
-        sr0, sc0 = copies[p.index]
-        r0, r1 = p.row_span
-        c0, c1 = p.col_span
-        canvas[r0:r1, c0:c1] = img[sr0: sr0 + (r1 - r0),
-                                   sc0: sc0 + (c1 - c0)]
+        if p.index in copies:
+            geometry.paste_blit(
+                canvas, p, geometry.orient_array(srcs[p.index],
+                                                 p.orientation),
+                copies[p.index])
     return canvas
 
 

@@ -501,22 +501,22 @@ static void put_be32(uint8_t* p, uint32_t v) {
     p[0] = v >> 24; p[1] = v >> 16; p[2] = v >> 8; p[3] = v;
 }
 
-static bool fast_png_enabled() {
-#ifdef ISX_HAVE_LIBDEFLATE
+// The adaptive streaming encoder needs only zlib; ISX_PNG_FAST=0 is the
+// shared kill switch for all the fast paths.
+static bool adaptive_png_enabled() {
     const char* e = std::getenv("ISX_PNG_FAST");
     return !(e && e[0] == '0');
+}
+
+static bool fast_png_enabled() {
+#ifdef ISX_HAVE_LIBDEFLATE
+    return adaptive_png_enabled();
 #else
     return false;
 #endif
 }
 
 int isx_png_fast_available() { return fast_png_enabled() ? 1 : 0; }
-
-// The adaptive streaming encoder needs only zlib; same kill switch.
-static bool adaptive_png_enabled() {
-    const char* e = std::getenv("ISX_PNG_FAST");
-    return !(e && e[0] == '0');
-}
 
 // Filter `nrows` packed RGB8 rows into dst ((1 filter byte + w*3) per row):
 // Up against the previous raw row; Sub when there is none (first canvas
