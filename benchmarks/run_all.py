@@ -204,8 +204,11 @@ def main() -> None:
         "measures ~2.4x slower than the kernel on this exact batch). "
         "Per-batch: ~280 GFLOP of split-bf16 passes ≈ 1.4 ms/slot MXU-bound "
         "+ ~0.9 us/step overhead over ~1,280 steps/slot — measured 65.7 ms "
-        "for 64 jobs x 9 slots. Remaining headroom: int8 MXU passes "
-        "(~1.7x fewer equivalent passes) and deeper step fusion.",
+        "for 64 jobs x 9 slots. int8 passes were tried and measured SLOWER "
+        "(direct microbenchmark: Mosaic int8 matmul is only 1.32x bf16 on "
+        "this chip — 183.6 vs 138.7 TFLOP/s on a 2048^3 tile — so the "
+        "2-pass int8 scheme's ceiling cannot pay for its VPU prep); "
+        "remaining headroom is deeper step fusion.",
         "",
         "## End-to-end (disk to disk)",
         "",
