@@ -106,3 +106,24 @@ def test_tpu_streaming_export_parity(tmp_path):
     got, _ = codec.decode(open(p, "rb").read())
     want = api.stitch_arrays(imgs, specs, options)
     np.testing.assert_array_equal(got, want)
+
+
+def test_tpu_server_batched_serving_parity():
+    """StitchServer on the real chip: concurrent jobs, batched Pallas grid,
+    every strip within 1 step of the oracle (the serving-path analog of
+    BASELINE config 5, here at smoke scale)."""
+    from imagestitching_tpu.serve.server import StitchServer
+
+    options = StitchOptions(gap=2, supersample=False)
+    shapes = [(192, 128), (160, 144)]
+    specs = [ImageSpec(w, h) for (w, h) in shapes]
+    plan = solve(specs, options)
+    jobs = [[rng.integers(0, 256, (h, w, 3), np.uint8)
+             for (w, h) in shapes] for _ in range(8)]
+    with StitchServer(max_batch=8, max_wait_s=0.05) as server:
+        futs = [server.submit(imgs, options) for imgs in jobs]
+        outs = [f.result(timeout=300) for f in futs]
+    for imgs, out in zip(jobs, outs):
+        want = oracle.stitch(plan, imgs)
+        assert out.shape == want.shape
+        assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
