@@ -300,7 +300,8 @@ def _pad_to(arr: np.ndarray, n: int) -> np.ndarray:
 # Kernel
 # ---------------------------------------------------------------------------
 
-def _make_kernel(s: _SchedStatic, batched: bool, channels: int, batch: int):
+def _make_kernel(s: _SchedStatic, batched: bool, channels: int, batch: int,
+                 exact_f32: bool = False):
     bh, bw = s.bh, s.bw
     grid_r, grid_c = s.grid_r, s.grid_c
     total = max(1, batch) * grid_r * grid_c
@@ -377,6 +378,33 @@ def _make_kernel(s: _SchedStatic, batched: bool, channels: int, batch: int):
         # in bf16, and hi+lo carries ~16 mantissa bits of the weights, so the
         # residual error is ~255 * 2^-17 << the 0.5 quantization step — at
         # 2 + 3 native-speed passes instead of 12.
+        if exact_f32:
+            # interpret mode: XLA:CPU's default-precision f32 matmul is
+            # bf16-grade (measured 0.25% relative error -> up to +-2 uint8
+            # levels where real hardware stays within 1, because the MXU's
+            # split-bf16 scheme accumulates in exact f32).  HIGHEST forces
+            # a true f32 contraction, making interpret a faithful parity
+            # proxy for the hardware path (residual ~255*2^-17).
+            hi = jax.lax.Precision.HIGHEST
+            outs = []
+            for c in range(channels):
+                bandf = band[slot, c].astype(jnp.int32).astype(jnp.float32)
+                if s.col_first:
+                    outs.append(jnp.matmul(
+                        wr, jnp.matmul(bandf, wc, precision=hi),
+                        precision=hi))
+                else:
+                    outs.append(jnp.matmul(
+                        jnp.matmul(wr, bandf, precision=hi), wc,
+                        precision=hi))
+            res = outs[0] if channels == 1 else jnp.concatenate(outs, axis=0)
+            q = jnp.clip(jnp.floor(res + 0.5), 0.0, 255.0).astype(jnp.int32)
+            q = q.astype(jnp.uint8).reshape(channels, s.th, s.tw)
+            if batched:
+                out[0] = q
+            else:
+                out[...] = q
+            return
         wr_hi = wr.astype(jnp.bfloat16)
         wr_lo = (wr - wr_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         wc_hi = wc.astype(jnp.bfloat16)
@@ -498,7 +526,7 @@ def _build_call_static(s: _SchedStatic, channels: int, interpret: bool,
     )
     nb = max(1, batch)
     call = pl.pallas_call(
-        _make_kernel(s, batched, channels, batch),
+        _make_kernel(s, batched, channels, batch, exact_f32=interpret),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(

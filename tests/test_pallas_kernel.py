@@ -147,3 +147,28 @@ def test_api_pallas_engine_e2e():
     want = api.stitch_arrays(arrs, options=StitchOptions(gap=4),
                              config=RuntimeConfig(engine="oracle"))
     assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_upscale_parity_interpret_exact_f32():
+    """Upscale (mode=max) parity in interpret mode.
+
+    Regression: XLA:CPU's default-precision f32 matmul is bf16-grade
+    (~0.25% relative error), which pushed the kernel's contraction to +-2
+    uint8 levels on upscale jobs where real hardware stays within 1; the
+    interpret path now forces Precision.HIGHEST (soak seeds 10001/10003/
+    10008 found this)."""
+    from imagestitching_tpu import api
+    from imagestitching_tpu.config import RuntimeConfig
+    rng2 = np.random.default_rng(0)
+    w, h = int(rng2.integers(4, 30)), int(rng2.integers(4, 30))
+    target = int(rng2.integers(h + 1, 90))
+    arrs = [rng2.integers(0, 256, (h, w, 3), np.uint8),
+            rng2.integers(0, 256, (target, target, 3), np.uint8)]
+    opts = StitchOptions(direction="vertical", mode="max", gap=0,
+                         supersample=False)
+    out = api.stitch_arrays(arrs, options=opts,
+                            config=RuntimeConfig(engine="pallas",
+                                                 interpret=True))
+    want = api.stitch_arrays(arrs, options=opts,
+                             config=RuntimeConfig(engine="oracle"))
+    assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
