@@ -575,7 +575,9 @@ def _run_overlapped_body(plan, loaders, config, progress, m, ex, log,
         # demotion ladder: banded compositing from the retained host arrays
         band = ex.band_rows or min(plan.canvas_h, 2048)
         out = None
-        while band >= 8:
+        # same sub-8-row canvas floor as _strategy_ladder
+        floor = max(1, min(8, plan.canvas_h))
+        while band >= floor:
             try:
                 out = _run_banded(plan, decoded, channels, band, progress,
                                   config)
@@ -627,7 +629,11 @@ def _strategy_ladder(ex: "tiler.ExecutionPlan", plan: LayoutPlan):
             continue
         if s == "banded":
             band = ex.band_rows or min(plan.canvas_h, 2048)
-            while band >= 8:
+            # floor at the canvas height: a 6-row canvas must still get its
+            # banded attempt (an empty ladder here used to surface as a
+            # bogus "out of memory on every strategy")
+            floor = max(1, min(8, plan.canvas_h))
+            while band >= floor:
                 ladder.append(("banded", band))
                 band //= 4
         else:

@@ -257,3 +257,25 @@ def test_banded_xla_wide_filter_band_alignment():
         got = _BandedExecutor(plan, 128, 3).run(oriented)
         want = oracle.stitch(plan, imgs)
         assert np.abs(got.astype(int) - want.astype(int)).max() <= 1, kind
+
+
+def test_banded_ladder_short_canvas():
+    """Canvases shorter than 8 rows must still get a banded attempt
+    (regression: the ladder's band floor produced an empty ladder and a
+    bogus 'out of memory on every strategy' MemoryError)."""
+    from imagestitching_tpu import api
+    from imagestitching_tpu.core import oracle as _oracle
+    from imagestitching_tpu.core.layout import solve as _solve
+
+    rng2 = np.random.default_rng(5)
+    imgs = [rng2.integers(0, 256, (6, 45, 3), np.uint8),
+            rng2.integers(0, 256, (39, 42, 3), np.uint8)]
+    specs = [ImageSpec(45, 6, 3), ImageSpec(42, 39, 5)]
+    opts = StitchOptions(direction="horizontal", mode="min", gap=2,
+                         supersample=False)
+    cfg = RuntimeConfig(budget=MemoryBudget(hbm_bytes=300_000),
+                        interpret=True)
+    out, m = api.stitch_arrays(imgs, specs, opts, cfg, return_metrics=True)
+    assert m.strategy == "banded"
+    want = _oracle.stitch(_solve(specs, opts), imgs)
+    assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
