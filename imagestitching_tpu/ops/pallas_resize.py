@@ -398,12 +398,7 @@ def _make_kernel(s: _SchedStatic, batched: bool, channels: int, batch: int,
                         jnp.matmul(wr, bandf, precision=hi), wc,
                         precision=hi))
             res = outs[0] if channels == 1 else jnp.concatenate(outs, axis=0)
-            q = jnp.clip(jnp.floor(res + 0.5), 0.0, 255.0).astype(jnp.int32)
-            q = q.astype(jnp.uint8).reshape(channels, s.th, s.tw)
-            if batched:
-                out[0] = q
-            else:
-                out[...] = q
+            _store(res, out)
             return
         wr_hi = wr.astype(jnp.bfloat16)
         wr_lo = (wr - wr_hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -451,6 +446,11 @@ def _make_kernel(s: _SchedStatic, batched: bool, channels: int, batch: int,
                              preferred_element_type=jnp.float32)
                    + jnp.dot(tmp_lo, wc_hi,
                              preferred_element_type=jnp.float32))
+        _store(res, out)
+
+    def _store(res, out):
+        # one quantize/store tail for both precision paths: clip/round is
+        # the framework-wide uint8 contract (oracle.to_uint8 twin)
         q = jnp.clip(jnp.floor(res + 0.5), 0.0, 255.0).astype(jnp.int32)
         q = q.astype(jnp.uint8).reshape(channels, s.th, s.tw)
         if batched:

@@ -573,11 +573,8 @@ def _run_overlapped_body(plan, loaders, config, progress, m, ex, log,
                 decoded[missing[k]] = _checked(missing[k],
                                                np.asarray(raw2))
         # demotion ladder: banded compositing from the retained host arrays
-        band = ex.band_rows or min(plan.canvas_h, 2048)
         out = None
-        # same sub-8-row canvas floor as _strategy_ladder
-        floor = max(1, min(8, plan.canvas_h))
-        while band >= floor:
+        for band in _banded_bands(ex, plan):
             try:
                 out = _run_banded(plan, decoded, channels, band, progress,
                                   config)
@@ -587,7 +584,6 @@ def _run_overlapped_body(plan, loaders, config, progress, m, ex, log,
                     raise
                 oom = e
                 log.event("pipeline.oom_retry", failed="banded", band=band)
-                band //= 4
         if out is None:
             raise MemoryError(
                 "overlapped stitch ran out of device memory on every "
@@ -615,6 +611,23 @@ def _is_oom(e: Exception) -> bool:
             or "out of memory" in msg)
 
 
+def _banded_bands(ex: "tiler.ExecutionPlan", plan: LayoutPlan):
+    """Band heights for the banded demotion attempts, largest first.
+
+    Floored at the canvas height: a 6-row canvas must still get its banded
+    attempt (an empty ladder here used to surface as a bogus "out of memory
+    on every strategy").  Shared by the front-door and overlapped ladders
+    so the floors can't drift apart again.
+    """
+    band = ex.band_rows or min(plan.canvas_h, 2048)
+    floor = max(1, min(8, plan.canvas_h))
+    bands = []
+    while band >= floor:
+        bands.append(band)
+        band //= 4
+    return bands
+
+
 def _strategy_ladder(ex: "tiler.ExecutionPlan", plan: LayoutPlan):
     """(strategy, band_rows) attempts, leanest-last, starting at the plan's."""
     order = ["resident", "streamed", "banded"]
@@ -628,14 +641,8 @@ def _strategy_ladder(ex: "tiler.ExecutionPlan", plan: LayoutPlan):
         if not started:
             continue
         if s == "banded":
-            band = ex.band_rows or min(plan.canvas_h, 2048)
-            # floor at the canvas height: a 6-row canvas must still get its
-            # banded attempt (an empty ladder here used to surface as a
-            # bogus "out of memory on every strategy")
-            floor = max(1, min(8, plan.canvas_h))
-            while band >= floor:
-                ladder.append(("banded", band))
-                band //= 4
+            ladder.extend(("banded", band)
+                          for band in _banded_bands(ex, plan))
         else:
             ladder.append((s, None))
     return ladder
