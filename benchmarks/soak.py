@@ -1,7 +1,7 @@
 """Randomized parity soak: hundreds of random jobs through every public
 entry point, each checked against the float64 oracle.
 
-Usage:  python benchmarks/soak.py [N]        (default 200 cases)
+Usage:  python benchmarks/soak.py [N] [SEED_BASE]   (default 200 cases, base 10000)
 
 Runs on the 8-device virtual CPU mesh (same forcing as tests/conftest.py —
 the environment may auto-register a real-TPU plugin that overrides the env
@@ -46,10 +46,10 @@ from imagestitching_tpu.core import oracle  # noqa: E402
 from imagestitching_tpu.core.layout import ImageSpec, solve  # noqa: E402
 
 
-def run(n_cases: int) -> int:
+def run(n_cases: int, base: int = 10_000) -> int:
     fails = 0
     for seed in range(n_cases):
-        rng = np.random.default_rng(10_000 + seed)
+        rng = np.random.default_rng(base + seed)
         try:
             n = int(rng.integers(1, 7))
             equalize = rng.random() < 0.4      # bias toward blit plans
@@ -99,7 +99,7 @@ def run(n_cases: int) -> int:
                 print(f"seed {seed}: ok (mode={mode})", flush=True)
         except Exception:
             fails += 1
-            print(f"FAIL seed={10_000 + seed}", flush=True)
+            print(f"FAIL seed={base + seed}", flush=True)
             traceback.print_exc()
             if fails >= 3:
                 break
@@ -109,4 +109,6 @@ def run(n_cases: int) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(1 if run(int(sys.argv[1]) if len(sys.argv) > 1 else 200) else 0)
+    sys.exit(1 if run(int(sys.argv[1]) if len(sys.argv) > 1 else 200,
+                      int(sys.argv[2]) if len(sys.argv) > 2 else 10_000)
+             else 0)
