@@ -163,3 +163,37 @@ def test_overload_maps_to_503():
             urllib.request.urlopen(req, timeout=30)
         assert ei.value.code == 503
         assert ei.value.headers.get("Retry-After")
+
+
+def test_concurrent_mixed_requests(srv):
+    """16 concurrent clients with differing geometries: every response is
+    the right strip (batching buckets by plan signature; no cross-job pixel
+    bleed), and the stats counters add up."""
+    import io
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(k):
+        r = np.random.default_rng(500 + k)
+        imgs = [r.integers(0, 256, (20 + (k % 3) * 8, 30, 3), np.uint8)
+                for _ in range(2)]
+        payload = {
+            "images": [base64.b64encode(_png_bytes(a)).decode()
+                       for a in imgs],
+            "direction": "vertical", "mode": "min", "gap": k % 5,
+        }
+        req = urllib.request.Request(
+            _url(srv, "/stitch"), data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            out = np.asarray(Image.open(io.BytesIO(resp.read())))
+        plan = solve([ImageSpec(a.shape[1], a.shape[0]) for a in imgs],
+                     StitchOptions(gap=k % 5))
+        want = oracle.stitch(plan, imgs)
+        assert out.shape == want.shape, k
+        assert np.abs(out.astype(int) - want.astype(int)).max() <= 1, k
+        return True
+
+    with ThreadPoolExecutor(16) as ex:
+        assert all(ex.map(one, range(16)))
+    st = _get_json(srv, "/stats")
+    assert st["server"]["jobs"] >= 16
