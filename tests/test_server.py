@@ -138,3 +138,31 @@ def test_server_queue_backpressure():
         s.close()
         for f in jobs:
             assert f.result(timeout=60).shape == (8, 8, 3)
+
+
+def test_server_randomized_stress():
+    """40 random jobs with ~8 distinct signatures submitted concurrently:
+    bucketing, padding, deadline flushes and result routing all hold — every
+    strip matches its own oracle (no cross-job bleed)."""
+    r = np.random.default_rng(77)
+    sig_shapes = [tuple((int(r.integers(12, 50)), int(r.integers(12, 50)))
+                        for _ in range(int(r.integers(1, 4))))
+                  for _ in range(8)]
+    jobs = []
+    for k in range(40):
+        shapes = sig_shapes[int(r.integers(0, len(sig_shapes)))]
+        gap = int(r.integers(0, 4))
+        imgs = [r.integers(0, 256, (h, w, 3), np.uint8)
+                for (w, h) in shapes]
+        jobs.append((imgs, shapes, gap))
+    with StitchServer(max_batch=8, max_wait_s=0.01, engine="xla") as s:
+        futs = [s.submit(imgs, StitchOptions(gap=gap))
+                for imgs, _, gap in jobs]
+        outs = [f.result(timeout=300) for f in futs]
+    for (imgs, shapes, gap), out in zip(jobs, outs):
+        plan = solve([ImageSpec(w, h) for (w, h) in shapes],
+                     StitchOptions(gap=gap))
+        want = oracle.stitch(plan, imgs)
+        assert out.shape == want.shape
+        assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
+    assert s.stats()["jobs"] >= 40
