@@ -258,6 +258,40 @@ static void paeth_row_simd(uint8_t* p, const uint8_t* prev, size_t stride,
         a = out;
     }
 }
+
+// Per-pixel SIMD Average defilter, same lane layout as paeth_row_simd.
+static void avg_row_simd(uint8_t* p, const uint8_t* prev, size_t stride,
+                         int bpp) {
+    __m128i a = _mm_setzero_si128();       // left, reconstructed
+    const __m128i m255 = _mm_set1_epi16(255);
+    for (size_t i = 0; i < stride; i += bpp) {
+        uint32_t braw = 0, xraw;
+        if (bpp == 4) {
+            if (prev) std::memcpy(&braw, prev + i, 4);
+            std::memcpy(&xraw, p + i, 4);
+        } else {
+            if (prev)
+                braw = prev[i] | (prev[i + 1] << 8) | (prev[i + 2] << 16);
+            xraw = p[i] | (p[i + 1] << 8) | (p[i + 2] << 16);
+        }
+        const __m128i b = _mm_cvtepu8_epi16(_mm_cvtsi32_si128(
+            static_cast<int>(braw)));
+        const __m128i x = _mm_cvtepu8_epi16(_mm_cvtsi32_si128(
+            static_cast<int>(xraw)));
+        const __m128i out = _mm_and_si128(
+            _mm_add_epi16(x, _mm_srli_epi16(_mm_add_epi16(a, b), 1)), m255);
+        const uint32_t packed = static_cast<uint32_t>(
+            _mm_cvtsi128_si32(_mm_packus_epi16(out, out)));
+        if (bpp == 4) {
+            std::memcpy(p + i, &packed, 4);
+        } else {
+            p[i] = static_cast<uint8_t>(packed);
+            p[i + 1] = static_cast<uint8_t>(packed >> 8);
+            p[i + 2] = static_cast<uint8_t>(packed >> 16);
+        }
+        a = out;
+    }
+}
 #endif  // __SSE4_1__
 
 // Reverse the per-row filters in place.  `buf` holds h rows of
@@ -281,6 +315,12 @@ static bool png_defilter(uint8_t* buf, int h, size_t stride, int bpp) {
                     p[i] = static_cast<uint8_t>(p[i] + prev[i]);
             break;
         case 3:
+#ifdef __SSE4_1__
+            if (bpp == 3 || bpp == 4) {
+                avg_row_simd(p, prev, stride, bpp);
+                break;
+            }
+#endif
             for (size_t i = 0; i < stride; ++i) {
                 const int left = i >= static_cast<size_t>(bpp) ? p[i - bpp]
                                                                : 0;

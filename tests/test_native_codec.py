@@ -201,3 +201,37 @@ def test_png_fast_decode_rejects_corrupt_crc():
     bad[80] ^= 0xFF
     with pytest.raises(ValueError):
         native.decode_png(bytes(bad))
+
+
+@pytest.mark.parametrize("channels", [3, 4])
+def test_png_fast_decode_avg_filter(channels):
+    """Hand-built all-Average-filter PNG (no common encoder emits avg
+    reliably): the SIMD defilter must match libpng exactly."""
+    import struct
+    import zlib
+
+    h, w = 97, 61
+    img = rng.integers(0, 256, (h, w, channels), np.uint8)
+    stride = w * channels
+    raw = bytearray()
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        row = img[y].reshape(-1).astype(np.int32)
+        left = np.concatenate([np.zeros(channels, np.int32), row[:-channels]])
+        filt = ((row - ((left + prev) >> 1)) & 0xFF).astype(np.uint8)
+        raw.append(3)
+        raw.extend(filt.tobytes())
+        prev = row
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ctype = 2 if channels == 3 else 6
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+           + chunk(b"IEND", b""))
+    got = native.decode_png(png)
+    want = _white_composite(Image.open(io.BytesIO(png)))
+    np.testing.assert_array_equal(got, want)
