@@ -209,6 +209,31 @@ static inline uint8_t paeth(int a, int b, int c) {
 #ifdef __SSE4_1__
 #include <smmintrin.h>
 
+// One pixel (bpp 3 or 4) loaded into the low i16 lanes of a vector.
+static inline __m128i pixel_load_epi16(const uint8_t* p, size_t i, int bpp) {
+    uint32_t raw;
+    if (bpp == 4) {
+        std::memcpy(&raw, p + i, 4);
+    } else {
+        raw = p[i] | (p[i + 1] << 8) | (p[i + 2] << 16);
+    }
+    return _mm_cvtepu8_epi16(_mm_cvtsi32_si128(static_cast<int>(raw)));
+}
+
+// Store the low i16 lanes (already masked to 0..255) back as bytes.
+static inline void pixel_store_epi16(uint8_t* p, size_t i, int bpp,
+                                     __m128i v) {
+    const uint32_t packed = static_cast<uint32_t>(
+        _mm_cvtsi128_si32(_mm_packus_epi16(v, v)));
+    if (bpp == 4) {
+        std::memcpy(p + i, &packed, 4);
+    } else {
+        p[i] = static_cast<uint8_t>(packed);
+        p[i + 1] = static_cast<uint8_t>(packed >> 8);
+        p[i + 2] = static_cast<uint8_t>(packed >> 16);
+    }
+}
+
 // Per-pixel SIMD Paeth for bpp 3/4: the pixel's channels ride the vector
 // lanes (widened to i16) while the left-neighbor dependency stays serial —
 // measured 450 MB/s vs 120 branchy / 275 branchless scalar on this host.
@@ -220,19 +245,9 @@ static void paeth_row_simd(uint8_t* p, const uint8_t* prev, size_t stride,
     const __m128i one = _mm_set1_epi16(1);
     const __m128i m255 = _mm_set1_epi16(255);
     for (size_t i = 0; i < stride; i += bpp) {
-        uint32_t braw = 0, xraw;
-        if (bpp == 4) {
-            if (prev) std::memcpy(&braw, prev + i, 4);
-            std::memcpy(&xraw, p + i, 4);
-        } else {
-            if (prev)
-                braw = prev[i] | (prev[i + 1] << 8) | (prev[i + 2] << 16);
-            xraw = p[i] | (p[i + 1] << 8) | (p[i + 2] << 16);
-        }
-        const __m128i b = _mm_cvtepu8_epi16(_mm_cvtsi32_si128(
-            static_cast<int>(braw)));
-        const __m128i x = _mm_cvtepu8_epi16(_mm_cvtsi32_si128(
-            static_cast<int>(xraw)));
+        const __m128i b = prev ? pixel_load_epi16(prev, i, bpp)
+                               : _mm_setzero_si128();
+        const __m128i x = pixel_load_epi16(p, i, bpp);
         const __m128i pv = _mm_sub_epi16(_mm_add_epi16(a, b), c);
         const __m128i pa = _mm_abs_epi16(_mm_sub_epi16(pv, a));
         const __m128i pb = _mm_abs_epi16(_mm_sub_epi16(pv, b));
@@ -245,15 +260,7 @@ static void paeth_row_simd(uint8_t* p, const uint8_t* prev, size_t stride,
         const __m128i pred = _mm_blendv_epi8(
             _mm_blendv_epi8(c, b, use_b), a, use_a);
         const __m128i out = _mm_and_si128(_mm_add_epi16(x, pred), m255);
-        const uint32_t packed = static_cast<uint32_t>(
-            _mm_cvtsi128_si32(_mm_packus_epi16(out, out)));
-        if (bpp == 4) {
-            std::memcpy(p + i, &packed, 4);
-        } else {
-            p[i] = static_cast<uint8_t>(packed);
-            p[i + 1] = static_cast<uint8_t>(packed >> 8);
-            p[i + 2] = static_cast<uint8_t>(packed >> 16);
-        }
+        pixel_store_epi16(p, i, bpp, out);
         c = b;
         a = out;
     }
@@ -265,30 +272,12 @@ static void avg_row_simd(uint8_t* p, const uint8_t* prev, size_t stride,
     __m128i a = _mm_setzero_si128();       // left, reconstructed
     const __m128i m255 = _mm_set1_epi16(255);
     for (size_t i = 0; i < stride; i += bpp) {
-        uint32_t braw = 0, xraw;
-        if (bpp == 4) {
-            if (prev) std::memcpy(&braw, prev + i, 4);
-            std::memcpy(&xraw, p + i, 4);
-        } else {
-            if (prev)
-                braw = prev[i] | (prev[i + 1] << 8) | (prev[i + 2] << 16);
-            xraw = p[i] | (p[i + 1] << 8) | (p[i + 2] << 16);
-        }
-        const __m128i b = _mm_cvtepu8_epi16(_mm_cvtsi32_si128(
-            static_cast<int>(braw)));
-        const __m128i x = _mm_cvtepu8_epi16(_mm_cvtsi32_si128(
-            static_cast<int>(xraw)));
+        const __m128i b = prev ? pixel_load_epi16(prev, i, bpp)
+                               : _mm_setzero_si128();
+        const __m128i x = pixel_load_epi16(p, i, bpp);
         const __m128i out = _mm_and_si128(
             _mm_add_epi16(x, _mm_srli_epi16(_mm_add_epi16(a, b), 1)), m255);
-        const uint32_t packed = static_cast<uint32_t>(
-            _mm_cvtsi128_si32(_mm_packus_epi16(out, out)));
-        if (bpp == 4) {
-            std::memcpy(p + i, &packed, 4);
-        } else {
-            p[i] = static_cast<uint8_t>(packed);
-            p[i + 1] = static_cast<uint8_t>(packed >> 8);
-            p[i + 2] = static_cast<uint8_t>(packed >> 16);
-        }
+        pixel_store_epi16(p, i, bpp, out);
         a = out;
     }
 }

@@ -203,10 +203,11 @@ def test_png_fast_decode_rejects_corrupt_crc():
         native.decode_png(bytes(bad))
 
 
-@pytest.mark.parametrize("channels", [3, 4])
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
 def test_png_fast_decode_avg_filter(channels):
     """Hand-built all-Average-filter PNG (no common encoder emits avg
-    reliably): the SIMD defilter must match libpng exactly."""
+    reliably): SIMD (bpp 3/4) and scalar (bpp 1/2) defilters must match
+    libpng exactly."""
     import struct
     import zlib
 
@@ -227,7 +228,7 @@ def test_png_fast_decode_avg_filter(channels):
         return (struct.pack(">I", len(data)) + tag + data
                 + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
 
-    ctype = 2 if channels == 3 else 6
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
     png = (b"\x89PNG\r\n\x1a\n"
            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
            + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
