@@ -23,6 +23,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.layout import LayoutPlan
@@ -129,7 +130,25 @@ class BatchedStitch:
         else:
             fn = functools.partial(_batched_xla, plan, channels)
 
-        if mesh is not None:
+        if mesh is not None and engine == "pallas":
+            # XLA's SPMD partitioner cannot partition a pallas_call (an
+            # opaque custom call): under plain jit+in_shardings it inserts
+            # an all-gather of the full batch and every device computes all
+            # B jobs redundantly (verified in the compiled HLO).  shard_map
+            # makes the partitioning manual and exact: each device runs the
+            # kernel on its local batch shard, zero collectives.
+            njobs = mesh.shape["jobs"]
+            if batch_size % njobs != 0:
+                raise ValueError(
+                    f"pallas batch under a mesh needs batch_size "
+                    f"({batch_size}) divisible by the jobs axis ({njobs}); "
+                    "pad the batch (serve.server rounds to jobs multiples)")
+            n_img = len(plan.placements)
+            self._jitted = jax.jit(shard_map(
+                lambda imgs: fn(list(imgs)), mesh=mesh,
+                in_specs=([P("jobs")] * n_img,),
+                out_specs=P("jobs"), check_vma=False))
+        elif mesh is not None:
             in_shard = NamedSharding(mesh, P("jobs"))
             out_shard = NamedSharding(mesh, P("jobs"))
             n_img = len(plan.placements)

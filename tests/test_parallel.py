@@ -79,6 +79,42 @@ def test_batched_sharded_over_jobs_mesh():
     assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
 
 
+def test_batched_pallas_sharded_over_jobs_mesh():
+    """The fused kernel under a mesh: shard_map partitions for real —
+    per-device shards, no collectives, oracle parity (VERDICT r2 #2)."""
+    import re
+
+    import jax.numpy as jnp
+
+    mesh = pmesh.make_mesh()           # 8 devices on jobs axis
+    # mixed sizes -> real resample: the kernel path, not the blit path
+    specs = [ImageSpec(48, 32), ImageSpec(32, 40)]
+    plan = plan_for(specs, gap=2)
+    stacks = [rand_stack(16, 48, 32), rand_stack(16, 32, 40)]
+    bs = pbatch.BatchedStitch(plan, 16, engine="pallas", mesh=mesh,
+                              interpret=True)
+    dev = [jnp.asarray(s) for s in stacks]
+    out_dev = bs._jitted(dev)
+    # genuinely partitioned: each device holds 16/8 = 2 jobs of the output
+    shapes = {tuple(s.data.shape) for s in out_dev.addressable_shards}
+    assert shapes == {(2, plan.canvas_h, plan.canvas_w, 3)}, shapes
+    # zero collectives: jobs are independent; an all-gather would mean XLA
+    # fell back to replicated compute around the opaque pallas_call
+    hlo = bs._jitted.lower(dev).compile().as_text()
+    assert not re.search(r"all-gather|all-reduce|all-to-all", hlo)
+    want = oracle_batch(plan, stacks)
+    assert np.abs(np.asarray(out_dev).astype(int)
+                  - want.astype(int)).max() <= 1
+
+
+def test_batched_pallas_mesh_requires_divisible_batch():
+    mesh = pmesh.make_mesh()
+    plan = plan_for([ImageSpec(48, 32), ImageSpec(32, 40)], gap=2)
+    with pytest.raises(ValueError, match="divisible"):
+        pbatch.BatchedStitch(plan, 12, engine="pallas", mesh=mesh,
+                             interpret=True)
+
+
 def test_batched_validates_shapes():
     plan = plan_for([ImageSpec(16, 16)])
     b = pbatch.BatchedStitch(plan, batch_size=2, engine="xla")

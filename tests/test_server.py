@@ -92,6 +92,26 @@ def test_server_pallas_engine_interpret():
             assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
 
 
+def test_server_mesh_with_default_engine():
+    """StitchServer(use_mesh=True) with its DEFAULT engine (pallas) on the
+    8-device CPU mesh: the shard_map path must serve real jobs with parity
+    (VERDICT r2 #8 — this combination previously appeared in no test)."""
+    with StitchServer(max_batch=8, max_wait_s=0.01, engine="pallas",
+                      use_mesh=True, interpret=True) as s:
+        # mixed sizes -> the resample kernel, not the blit fast path
+        jobs = []
+        for _ in range(9):              # not a jobs-axis multiple: pad path
+            imgs = [rand_img(48, 32), rand_img(32, 40)]
+            jobs.append((imgs, s.submit(imgs, StitchOptions(gap=2))))
+        plan = solve([ImageSpec(48, 32), ImageSpec(32, 40)],
+                     StitchOptions(gap=2))
+        for imgs, fut in jobs:
+            got = fut.result(timeout=180)
+            want = oracle.stitch(plan, imgs)
+            assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+        assert s.stats()["jobs"] == 9
+
+
 def test_server_budget_caps_batch_proactively():
     """VERDICT r1 #7: a large batch of big canvases splits under the HBM
     budget BEFORE launch (no OOM-driven bisection involved)."""
