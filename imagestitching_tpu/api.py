@@ -260,7 +260,7 @@ def stitch(items: Sequence[ImageInput],
             loaders = [(lambda it=it: _load_one(it, config)[0])
                        for it in items]
             copies = (None if keep_on_device
-                      else _blit_copies(plan, specs, config))
+                      else _blit_copies(plan, config))
             if copies is not None:
                 out, metrics = _stitch_blit_overlapped(
                     plan, loaders, config, progress, copies)
@@ -362,25 +362,16 @@ def stitch_to_file(items: Sequence[ImageInput], out_path: Union[str, os.PathLike
     return (path, metrics) if return_metrics else path
 
 
-# Worst-case resident decoded bytes on the blit path (see the backpressure
-# note in _blit_stream_attempt).  4 GB covers ~37 x 12 MP sources; bigger
-# jobs use the device pipeline, whose HBM budget governor takes over.
-_BLIT_MAX_SRC_BYTES = 4 << 30
-
-
-def _blit_copies(plan, specs, config):
+def _blit_copies(plan, config):
     """plan_copy_offsets gated by the shared blit-eligibility rules:
-    engine=auto only (explicit engines pin the device path), no mesh, and
-    raw bytes under the resident cap.  None -> use the device pipeline."""
+    engine=auto only (explicit engines pin the device path), no mesh.
+    None -> use the device pipeline.  There is no total-source-bytes cap:
+    the decode pool's ack window bounds resident decoded bytes at
+    O(window) regardless of job size (runtime/decoding.DecodePool)."""
     if config.engine != "auto" or config.mesh is not None:
         return None
     from .core import geometry
-    copies = geometry.plan_copy_offsets(plan)
-    if copies is None:
-        return None
-    if sum(3 * s.raw_w * s.raw_h for s in specs) > _BLIT_MAX_SRC_BYTES:
-        return None
-    return copies
+    return geometry.plan_copy_offsets(plan)
 
 
 def _stitch_blit_overlapped(plan, loaders, config, progress, copies):
@@ -400,8 +391,14 @@ def _stitch_blit_overlapped(plan, loaders, config, progress, copies):
     geometry.fill_uncovered(canvas, plan, copies, plan.background[:3])
     n = len(loaders)
     done = 0
-    for i, raw, err in decoding.iter_decoded(
-            loaders, config.decode_threads, config.decode_timeout_s):
+    # paste-on-arrival consumes in ANY order, so the ack window (acked
+    # right after each paste) only bounds decode pile-up ahead of the
+    # pasting loop — ordering is irrelevant here, unlike the band streamer
+    gen = decoding.iter_decoded(
+        loaders, config.decode_threads, config.decode_timeout_s,
+        window=config.decode_window
+        or decoding.default_window(config.decode_threads, n))
+    for i, raw, err in gen:
         if err is not None:
             get_logger().event("pipeline.overlapped_decode_fail", index=i,
                                error=repr(err))
@@ -417,6 +414,7 @@ def _stitch_blit_overlapped(plan, loaders, config, progress, copies):
             geometry.paste_blit(
                 canvas, p, geometry.orient_array(raw, p.orientation),
                 copies[i])
+        gen.ack()                       # pasted (or skipped): slot freed
         done += 1
         progress("composite", 0.30 + 0.60 * done / n)
     m.prepare_s = _time.perf_counter() - t0
@@ -461,7 +459,7 @@ def _blit_stream_attempt(items, out_path: str, ext: str, quality: int,
     if any(s is None for s in specs):
         return None
     plan = solve(specs, options, kwargs.get("limits"))
-    copies = _blit_copies(plan, specs, config)
+    copies = _blit_copies(plan, config)
     if copies is None:
         return None
     loaders = [(lambda it=it: _load_one(it, config)[0]) for it in items]
@@ -473,7 +471,8 @@ def _blit_stream_attempt(items, out_path: str, ext: str, quality: int,
                        canvas=(plan.canvas_w, plan.canvas_h), fmt=fmt)
     phases = export.stream_blit_to_file(
         plan, loaders, path, fmt, param, copies,
-        config.decode_threads, config.decode_timeout_s, progress)
+        config.decode_threads, config.decode_timeout_s, progress,
+        window=config.decode_window)
     metrics = StitchMetrics(
         strategy="host-blit-stream",
         canvas_w=plan.canvas_w, canvas_h=plan.canvas_h,

@@ -75,6 +75,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decode-timeout", type=float, default=None, metavar="S",
                    help="per-image decode watchdog seconds (default 30; "
                         "0 disables)")
+    p.add_argument("--decode-window", type=int, default=None, metavar="N",
+                   help="max decoded sources resident at once on the "
+                        "host-blit paths (ack-window backpressure; "
+                        "default: 2x decode threads)")
     p.add_argument("--overlap", choices=("auto", "always", "never"),
                    default="auto",
                    help="overlap decode/H2D with device compositing "
@@ -150,6 +154,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.decode_timeout is not None:
         cfg_kw["decode_timeout_s"] = (args.decode_timeout
                                       if args.decode_timeout > 0 else None)
+    if args.decode_window is not None:
+        cfg_kw["decode_window"] = args.decode_window
     config = RuntimeConfig(**cfg_kw)
 
     last = {"phase": None}

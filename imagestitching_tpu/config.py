@@ -147,6 +147,11 @@ class RuntimeConfig:
     # running after this many seconds is isolated as a TimeoutError for that
     # image.  None disables the watchdog.
     decode_timeout_s: Optional[float] = 30.0
+    # Ack-window backpressure for the host-blit paths: max decoded sources
+    # in flight or held-unconsumed at once (the parallel-pool analog of the
+    # reference's serialized ingest, index.js:1125-1157).  None -> auto
+    # (2x effective decode workers, floor 4; runtime/decoding.default_window).
+    decode_window: Optional[int] = None
     # decode||H2D||compute overlap: "auto" enables it for big jobs (the
     # reference's big-task thresholds: >=7 images or >=25 MB total,
     # index.js:1211-1212), "always"/"never" force it.
@@ -165,4 +170,7 @@ class RuntimeConfig:
         if self.decode_timeout_s is not None and self.decode_timeout_s <= 0:
             raise ValueError("decode_timeout_s must be positive or None, "
                              f"got {self.decode_timeout_s}")
+        if self.decode_window is not None and self.decode_window < 1:
+            raise ValueError("decode_window must be >= 1 or None, "
+                             f"got {self.decode_window}")
         return self

@@ -1,24 +1,43 @@
-"""Host decode pool with a per-image watchdog.
+"""Host decode pool with a per-image watchdog and ack-window backpressure.
 
 The reference wraps every image load in a per-attempt timeout that nulls the
 handlers and retries via another creator (utils/canvas.js:68-81); its prepare
-loop additionally isolates per-image failures (pages/index/index.js:1133-1149).
-The TPU framework decodes on a thread pool instead of serially, so the
-watchdog works against in-flight jobs: a decode that blocks forever (FIFO,
-dead NFS mount, adversarial stream) must not hang the whole job — or the
-interpreter at exit.
+loop additionally isolates per-image failures (pages/index/index.js:1133-1149)
+— and, crucially, its whole ingest design bounds decoder memory by strictly
+serializing decodes with per-item waits (index.js:1125-1157,201-242).  The
+TPU framework decodes on a thread pool instead, so both properties are
+reimplemented against in-flight jobs:
 
-Python cannot kill a blocked thread, so an expired decode is *isolated*: a
-``TimeoutError`` is reported for that image, the stuck worker is abandoned
-(threads are daemonic, so process exit never blocks on it) and a replacement
-worker is spawned so queued images behind the stuck one still run — the
-"retry via another creator" ladder, minus the retry.
+* **watchdog** — a decode that blocks forever (FIFO, dead NFS mount,
+  adversarial stream) must not hang the whole job, or the interpreter at
+  exit.  Python cannot kill a blocked thread, so an expired decode is
+  *isolated*: a ``TimeoutError`` is reported for that image, the stuck
+  worker is abandoned (threads are daemonic, so process exit never blocks
+  on it) and a replacement worker is spawned so queued images behind the
+  stuck one still run — the "retry via another creator" ladder, minus the
+  retry.
+
+* **ack window** — without backpressure, a consumer slower than the pool
+  lets every decoded source pile up in the result queue (the old
+  ``api._BLIT_MAX_SRC_BYTES`` cap existed solely to bound that worst case).
+  With ``window=W``, at most W decodes are *in flight or yielded-but-
+  unacked* at once: every yielded result (success, error, or timeout)
+  occupies one slot until the consumer calls :meth:`DecodePool.ack`,
+  and workers only start a new decode when a slot is free.  Peak decoded
+  residency is O(window), independent of job size — the parallel-pool
+  equivalent of the reference's serialized ingest.
 
 The timeout budget is *per core-share*, not raw wall clock: when more
 decodes run concurrently than the host has cores, each one's deadline is
 stretched by the oversubscription factor — otherwise N slow-but-progressing
 decodes on a small host would all "time out" at once despite making steady
 progress.
+
+Progress guarantee under a window: jobs are dispatched FIFO, so a consumer
+that (a) submits jobs in its own consumption order and (b) acks each item
+when done with it can never deadlock — the next item it needs is always
+among the first ``window`` unacked submissions, hence in flight or already
+yielded (worker concurrency is capped at the window, never above it).
 """
 
 from __future__ import annotations
@@ -27,107 +46,194 @@ import os
 import queue
 import threading
 import time
+from collections import deque
 from typing import Any, Callable, Iterator, Optional, Sequence, Tuple
 
 # (index, value, error): exactly one of value/error is meaningful
 DecodeResult = Tuple[int, Any, Optional[Exception]]
 
 
-def iter_decoded(jobs: Sequence[Callable[[], Any]], workers: int,
-                 timeout_s: Optional[float] = None) -> Iterator[DecodeResult]:
-    """Run ``jobs`` on daemon worker threads, yielding in completion order.
+class DecodePool:
+    """Iterator over decode results in completion order, with optional
+    ack-window backpressure.
 
     Yields ``(index, value, None)`` for successes and ``(index, None, exc)``
     for failures — including ``TimeoutError`` for decodes still running past
     their deadline (queued jobs never time out; each timeout spawns a
     replacement worker so they still get a turn).  The caller decides
-    raise-vs-skip; closing the generator early stops workers from picking up
-    further jobs.  ``BaseException``s that are not ``Exception`` (e.g.
-    KeyboardInterrupt in a worker) are re-raised in the consumer regardless
-    of any skip policy.
+    raise-vs-skip; :meth:`close` (or exhausting the iterator) stops workers
+    from picking up further jobs.  ``BaseException``s that are not
+    ``Exception`` (e.g. KeyboardInterrupt in a worker) are re-raised in the
+    consumer regardless of any skip policy.
+
+    With ``window`` set, each yielded item holds one window slot until the
+    consumer calls :meth:`ack` — see the module docstring for the contract.
+    The effective worker count is capped at the window (workers beyond it
+    could never hold a permit concurrently).
     """
-    n = len(jobs)
-    if n == 0:
-        return
-    workers = min(max(1, workers), n)
-    # core-share stretch: 8 threads on 1 core legitimately take ~8x longer
-    oversub = max(1.0, workers / max(1, os.cpu_count() or 1))
-    budget = None if timeout_s is None else timeout_s * oversub
 
-    jobq: "queue.SimpleQueue" = queue.SimpleQueue()
-    resq: "queue.SimpleQueue" = queue.SimpleQueue()
-    for i, fn in enumerate(jobs):
-        jobq.put((i, fn))
-    cancelled = threading.Event()
-    started: dict = {}
+    def __init__(self, jobs: Sequence[Callable[[], Any]], workers: int,
+                 timeout_s: Optional[float] = None,
+                 window: Optional[int] = None):
+        n = len(jobs)
+        self._n = n
+        workers = min(max(1, workers), max(1, n))
+        if window is not None:
+            # honor the caller's residency bound exactly: extra workers
+            # beyond the window could never hold a permit concurrently
+            window = max(1, int(window))
+            workers = min(workers, window)
+        self._window = window
+        # core-share stretch: 8 threads on 1 core legitimately take ~8x
+        # longer (with a window, concurrency is also capped by the window)
+        concurrent = workers if window is None else min(workers, window)
+        self._oversub = max(1.0, concurrent / max(1, os.cpu_count() or 1))
+        self._timeout_s = timeout_s
+        self._budget = (None if timeout_s is None
+                        else timeout_s * self._oversub)
+        self._jobq: "queue.SimpleQueue" = queue.SimpleQueue()
+        self._resq: "queue.SimpleQueue" = queue.SimpleQueue()
+        for i, fn in enumerate(jobs):
+            self._jobq.put((i, fn))
+        self._cancelled = threading.Event()
+        self._started: dict = {}
+        self._permits = (None if window is None
+                         else threading.Semaphore(window))
+        if n:
+            for _ in range(workers):
+                self._spawn()
+        self._gen = self._iterate()
 
-    def _worker() -> None:
-        while not cancelled.is_set():
+    # ------------------------------------------------------------ workers
+
+    def _worker(self) -> None:
+        while not self._cancelled.is_set():
+            if self._permits is not None:
+                # bounded acquire so cancellation is honored while blocked
+                if not self._permits.acquire(timeout=0.1):
+                    continue
             try:
-                i, fn = jobq.get_nowait()
+                i, fn = self._jobq.get_nowait()
             except queue.Empty:
+                if self._permits is not None:
+                    self._permits.release()
                 return
-            started[i] = time.monotonic()
+            self._started[i] = time.monotonic()
             try:
-                resq.put((i, fn(), None))
+                self._resq.put((i, fn(), None))
             except Exception as e:  # noqa: BLE001 — isolation boundary
-                resq.put((i, None, e))
+                self._resq.put((i, None, e))
             except BaseException as e:
-                resq.put((i, None, e))
+                self._resq.put((i, None, e))
                 raise
+            # NOTE: the window slot acquired for this job is NOT released
+            # here — it transfers to the yielded result and is freed by the
+            # consumer's ack() (or by the watchdog transfer on timeout).
 
-    def _spawn() -> None:
-        t = threading.Thread(target=_worker, daemon=True,
+    def _spawn(self) -> None:
+        t = threading.Thread(target=self._worker, daemon=True,
                              name="stitch-decode")
         t.start()
 
-    for _ in range(workers):
-        _spawn()
+    # ----------------------------------------------------------- consumer
 
-    reported: set = set()
+    def ack(self, n: int = 1) -> None:
+        """Release ``n`` window slots (one per yielded item the consumer is
+        done with).  No-op without a window."""
+        if self._permits is not None:
+            for _ in range(n):
+                self._permits.release()
 
-    def _drain_ready() -> list:
+    def __iter__(self) -> Iterator[DecodeResult]:
+        return self
+
+    def __next__(self) -> DecodeResult:
+        return next(self._gen)
+
+    def close(self) -> None:
+        self._gen.close()
+
+    def __del__(self):  # pragma: no cover — best-effort leak guard
+        self._cancelled.set()
+
+    # ------------------------------------------------------------- engine
+
+    def _drain_ready(self) -> list:
         out = []
         while True:
             try:
-                out.append(resq.get_nowait())
+                out.append(self._resq.get_nowait())
             except queue.Empty:
                 return out
 
-    try:
-        while len(reported) < n:
-            items = _drain_ready()
-            if not items:
-                if budget is None:
-                    items = [resq.get()]
-                else:
+    def _iterate(self) -> Iterator[DecodeResult]:
+        if self._n == 0:
+            return
+        budget = self._budget
+        reported: set = set()
+        # deque + popleft so a yielded value is referenced ONLY by the
+        # consumer once it resumes — a plain list would pin every value of
+        # a drain wave until the next wave, breaking the O(window)
+        # residency bound the ack protocol exists to provide
+        pending: deque = deque()
+        try:
+            while len(reported) < self._n:
+                pending.extend(self._drain_ready())
+                if not pending:
+                    if budget is None:
+                        pending.append(self._resq.get())
+                    else:
+                        now = time.monotonic()
+                        deadlines = [t0 + budget for i, t0
+                                     in list(self._started.items())
+                                     if i not in reported]
+                        wait_s = (max(0.01, min(deadlines) - now)
+                                  if deadlines else 0.05)
+                        try:
+                            pending.append(self._resq.get(timeout=wait_s))
+                        except queue.Empty:
+                            pass
+                # completed results ALWAYS beat the deadline scan — a decode
+                # that finished moments before its deadline must not be
+                # misreported as a timeout
+                pending.extend(self._drain_ready())
+                while pending:
+                    item = pending.popleft()
+                    if item[0] not in reported:  # drop late results of
+                        reported.add(item[0])    # timed-out jobs (their
+                        yield item               # slot already moved)
+                    del item
+                if budget is not None:
                     now = time.monotonic()
-                    deadlines = [t0 + budget for i, t0
-                                 in list(started.items())
-                                 if i not in reported]
-                    wait_s = (max(0.01, min(deadlines) - now) if deadlines
-                              else 0.05)
-                    try:
-                        items = [resq.get(timeout=wait_s)]
-                    except queue.Empty:
-                        items = []
-            # completed results ALWAYS beat the deadline scan — a decode
-            # that finished moments before its deadline must not be
-            # misreported as a timeout
-            items.extend(_drain_ready())
-            for i, v, e in items:
-                if i not in reported:   # drop late results of timed-out jobs
-                    reported.add(i)
-                    yield i, v, e
-            if budget is not None:
-                now = time.monotonic()
-                for i, t0 in list(started.items()):
-                    if i not in reported and now - t0 > budget:
-                        reported.add(i)
-                        _spawn()        # stuck worker's replacement
-                        yield i, None, TimeoutError(
-                            f"decode of image {i} exceeded {timeout_s}s "
-                            f"(x{oversub:.0f} core-share stretch; watchdog, "
-                            "utils/canvas.js:68-81 analog)")
-    finally:
-        cancelled.set()
+                    for i, t0 in list(self._started.items()):
+                        if i not in reported and now - t0 > budget:
+                            reported.add(i)
+                            self._spawn()  # stuck worker's replacement
+                            # the stuck worker's window slot transfers to
+                            # this yielded TimeoutError; consumer acks it
+                            yield i, None, TimeoutError(
+                                f"decode of image {i} exceeded "
+                                f"{self._timeout_s}s (x{self._oversub:.0f} "
+                                "core-share stretch; watchdog, "
+                                "utils/canvas.js:68-81 analog)")
+        finally:
+            self._cancelled.set()
+
+
+def default_window(workers: int, n_jobs: int) -> int:
+    """Default ack-window size: twice the effective worker count (decode
+    runs ahead of consumption without unbounded pile-up), floored at 4 so
+    tiny pools still overlap decode with encode."""
+    return max(4, 2 * min(max(1, workers), max(1, n_jobs)))
+
+
+def iter_decoded(jobs: Sequence[Callable[[], Any]], workers: int,
+                 timeout_s: Optional[float] = None,
+                 window: Optional[int] = None) -> DecodePool:
+    """Run ``jobs`` on daemon worker threads, yielding in completion order.
+
+    Returns a :class:`DecodePool` (a ``DecodeResult`` iterator with
+    ``close()``); pass ``window`` to enable ack-based backpressure — see
+    the class docstring for the slot contract.
+    """
+    return DecodePool(jobs, workers, timeout_s, window)

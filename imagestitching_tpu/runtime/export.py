@@ -216,7 +216,8 @@ def _stream_device(canvas, writer, h: int, w: int, channels: int, band: int,
 def stream_blit_to_file(plan, loaders, path: str, fmt: str, param: int,
                         copies: dict, decode_threads: int,
                         decode_timeout_s: Optional[float] = None,
-                        progress: ProgressFn = _noop) -> dict:
+                        progress: ProgressFn = _noop,
+                        window: Optional[int] = None) -> dict:
     """Pure-blit export: decode pool -> host band assembly -> native encode.
 
     When every drawn placement is an identity copy (equal-size concat —
@@ -227,12 +228,13 @@ def stream_blit_to_file(plan, loaders, path: str, fmt: str, param: int,
     the D2H readback entirely.  ``copies`` is
     :func:`..core.geometry.plan_copy_offsets` for ``plan``.
 
-    Decode runs on the watchdogged pool (completion order); bands consume
-    sources in placement order and release each source once its rows are
-    fully written.  The pool has no backpressure, so the worst case (the
-    first-consumed image decoding last) briefly holds every decoded source
-    — the caller bounds that by routing oversized jobs to the device
-    pipeline (``api._BLIT_MAX_SRC_BYTES``).  Returns
+    Decode runs on the watchdogged pool under an **ack window** (the
+    parallel analog of the reference's serialized ingest,
+    index.js:1125-1157): sources are *submitted in band-consumption order*
+    and each decoded source holds a window slot until its rows are fully
+    written, so peak decoded residency is O(window) regardless of job size
+    — jobs of unbounded total source bytes stream in bounded RAM (this
+    replaced the old ``api._BLIT_MAX_SRC_BYTES`` routing cap).  Returns
     ``{"decode_s", "encode_s", "wall_s", "overlapped": True}`` where
     ``decode_s`` is the decode time *exposed* in the band loop (decodes
     that land while earlier bands encode are genuinely overlapped).
@@ -249,11 +251,44 @@ def stream_blit_to_file(plan, loaders, path: str, fmt: str, param: int,
     t_wall = time.perf_counter()
     phases = {"decode_s": 0.0, "encode_s": 0.0, "overlapped": True}
     band = min(H, band_rows_for(W))
+    if window is None:
+        window = decoding.default_window(decode_threads, len(loaders))
+
+    # Submission order = the order bands will first need each source (first
+    # intersecting band, stable by plan order within a band; never-drawn
+    # sources last).  With FIFO dispatch this makes the windowed pool
+    # deadlock-free — PROVIDED the window covers every source a single band
+    # consumes concurrently, so the effective window is floored at the
+    # plan's max per-band source count.  Vertical strips keep that small
+    # (ceil(band/image_rows)+1); a horizontal strip needs every source in
+    # every band, so its residency is inherently O(n) — same as the device
+    # pipeline's source set, just in host RAM.
+    def _is_drawn(p) -> bool:
+        return (p.row_span[1] > p.row_span[0]
+                and p.col_span[1] > p.col_span[0])
+
+    drawn = {p.index for p in plan.placements if _is_drawn(p)}
+    n_bands = -(-H // band)
+    delta = [0] * (n_bands + 1)
+    for p in plan.placements:
+        if p.index in drawn:
+            delta[p.row_span[0] // band] += 1
+            delta[(min(p.row_span[1], H) - 1) // band + 1] -= 1
+    peak_band_sources, acc = 1, 0
+    for d in delta[:-1]:
+        acc += d
+        peak_band_sources = max(peak_band_sources, acc)
+    window = max(window, peak_band_sources)
+    order = [p.index for p in sorted(
+        (p for p in plan.placements if _is_drawn(p)),
+        key=lambda p: p.row_span[0] // band)]
+    order += [p.index for p in plan.placements if p.index not in drawn]
 
     cls = (native.PngStreamWriter if fmt == "png"
            else native.JpegStreamWriter)
     writer = cls(path, W, H, param)
-    gen = decoding.iter_decoded(loaders, decode_threads, decode_timeout_s)
+    gen = decoding.iter_decoded([loaders[i] for i in order], decode_threads,
+                                decode_timeout_s, window=window)
     ready: dict = {}
     oriented: dict = {}
 
@@ -263,9 +298,13 @@ def stream_blit_to_file(plan, loaders, path: str, fmt: str, param: int,
             return img
         t0 = time.perf_counter()
         while p.index not in ready:
-            i, raw, err = next(gen)
+            slot, raw, err = next(gen)
             if err is not None:
                 raise err
+            i = order[slot]
+            if i not in drawn:
+                gen.ack()          # no band will consume it; free the slot
+                continue
             ready[i] = np.asarray(raw)
         phases["decode_s"] += time.perf_counter() - t0
         raw = geometry.normalize_rgb(ready.pop(p.index))
@@ -302,13 +341,15 @@ def stream_blit_to_file(plan, loaders, path: str, fmt: str, param: int,
             phases["encode_s"] += time.perf_counter() - t0
             progress("export", r1 / H)
             for p in plan.placements:   # release fully-written sources
-                if p.row_span[1] <= r1:
-                    oriented.pop(p.index, None)
+                if (p.row_span[1] <= r1
+                        and oriented.pop(p.index, None) is not None):
+                    gen.ack()           # slot freed -> next decode submits
         # drain the pool before finalizing: images whose placements drew
         # nothing (zero-area spans) were still submitted — a corrupt or
         # hung one must fail the job exactly as the device path's prepare
         # would, not silently succeed
         for _, _, err in gen:
+            gen.ack()
             if err is not None:
                 raise err
         writer.close()
@@ -324,7 +365,7 @@ def stream_blit_to_file(plan, loaders, path: str, fmt: str, param: int,
     phases["wall_s"] = time.perf_counter() - t_wall
     get_logger().event(
         f"export.stream_blit_{fmt}", canvas=(W, H), band_rows=band,
-        n=len(copies), wall_s=round(phases["wall_s"], 3),
+        n=len(copies), window=window, wall_s=round(phases["wall_s"], 3),
         decode_s=round(phases["decode_s"], 3),
         encode_s=round(phases["encode_s"], 3))
     return phases
