@@ -51,46 +51,56 @@ def get_lib() -> Optional[ctypes.CDLL]:
             return None
         try:
             lib = ctypes.CDLL(_SO_PATH)
+            _register_symbols(lib)
         except OSError:
             _build_failed = True
             return None
-        lib.isx_last_error.restype = ctypes.c_char_p
-        u8p = ctypes.POINTER(ctypes.c_uint8)
-        lib.isx_decode_jpeg.argtypes = [
-            u8p, ctypes.c_size_t, ctypes.c_int,
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
-            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
-        lib.isx_decode_png.argtypes = [
-            u8p, ctypes.c_size_t,
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
-            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
-        lib.isx_encode_jpeg.argtypes = [
-            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
-            ctypes.POINTER(ctypes.c_size_t)]
-        lib.isx_encode_png.argtypes = [
-            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
-            ctypes.POINTER(ctypes.c_size_t)]
-        lib.isx_encode_png_mt.argtypes = [
-            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
-            ctypes.POINTER(ctypes.c_size_t)]
-        lib.isx_free.argtypes = [ctypes.c_void_p]
-        try:        # older .so builds predate the libdeflate fast path
-            lib.isx_png_fast_available.restype = ctypes.c_int
         except AttributeError:
-            pass
-        for fmt in ("png", "jpeg"):
-            getattr(lib, f"isx_{fmt}_stream_open").restype = ctypes.c_void_p
-            getattr(lib, f"isx_{fmt}_stream_open").argtypes = [
-                ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
-            getattr(lib, f"isx_{fmt}_stream_write").argtypes = [
-                ctypes.c_void_p, u8p, ctypes.c_int]
-            getattr(lib, f"isx_{fmt}_stream_close").argtypes = [
-                ctypes.c_void_p]
+            # stale .so predating a required symbol AND make failed (else
+            # the rebuild above would have refreshed it): degrade to the
+            # Pillow path rather than poisoning every caller (ADVICE r2)
+            _build_failed = True
+            return None
         _lib = lib
         return _lib
+
+
+def _register_symbols(lib: ctypes.CDLL) -> None:
+    lib.isx_last_error.restype = ctypes.c_char_p
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.isx_decode_jpeg.argtypes = [
+        u8p, ctypes.c_size_t, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    lib.isx_decode_png.argtypes = [
+        u8p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    lib.isx_encode_jpeg.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_size_t)]
+    lib.isx_encode_png.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_size_t)]
+    lib.isx_encode_png_mt.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_size_t)]
+    lib.isx_free.argtypes = [ctypes.c_void_p]
+    try:        # older .so builds predate the libdeflate fast path
+        lib.isx_png_fast_available.restype = ctypes.c_int
+    except AttributeError:
+        pass
+    for fmt in ("png", "jpeg"):
+        getattr(lib, f"isx_{fmt}_stream_open").restype = ctypes.c_void_p
+        getattr(lib, f"isx_{fmt}_stream_open").argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        getattr(lib, f"isx_{fmt}_stream_write").argtypes = [
+            ctypes.c_void_p, u8p, ctypes.c_int]
+        getattr(lib, f"isx_{fmt}_stream_close").argtypes = [
+            ctypes.c_void_p]
 
 
 def available() -> bool:

@@ -19,6 +19,7 @@
 //    (index.js:6-7);
 //  * buffers are malloc'd here and released with isx_free.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -378,6 +379,7 @@ static int decode_png_fast(const uint8_t* data, size_t len,
     uint8_t pal_a[256];
     int pal_n = 0;
     bool have_trns = false;
+    bool saw_iend = false;
     std::memset(pal_a, 0xFF, sizeof(pal_a));
     size_t idat_total = 0;
     size_t pos = 33;
@@ -414,12 +416,16 @@ static int decode_png_fast(const uint8_t* data, size_t len,
                 return -1;             // color-key transparency: libpng path
             }
         } else if (std::memcmp(ctag, "IEND", 4) == 0) {
+            saw_iend = true;
             break;
         }
         pos += 12 + clen;
     }
     if (idat_total == 0) return -1;
     if (ctype == 3 && pal_n == 0) return -1;
+    // a truncated file missing IEND must fail like libpng does, not
+    // silently decode (part of the "identical including failures" contract)
+    if (!saw_iend) return -1;
 
     // gather IDAT payloads into one contiguous zlib stream
     uint8_t* zdat = static_cast<uint8_t*>(std::malloc(idat_total));
@@ -455,6 +461,20 @@ static int decode_png_fast(const uint8_t* data, size_t len,
     if (!png_defilter(raw, static_cast<int>(h), stride, channels)) {
         std::free(raw);
         return -1;
+    }
+    // out-of-range palette indices hard-error in libpng; scanning them
+    // here (cheap: one pass over index bytes, rare ctype in this workload)
+    // keeps the fast path from decoding them as opaque black instead
+    if (ctype == 3 && pal_n < 256) {
+        for (uint32_t y = 0; y < h; ++y) {
+            const uint8_t* src = raw + y * (stride + 1) + 1;
+            for (uint32_t x = 0; x < w; ++x) {
+                if (src[x] >= pal_n) {
+                    std::free(raw);
+                    return -1;         // let libpng raise its own error
+                }
+            }
+        }
     }
 
     // convert to white-composited RGB8
@@ -1069,15 +1089,24 @@ int isx_png_stream_write(void* handle, const uint8_t* rgb, int nrows) {
             if (all_incompressible) want = 0;
         }
         if (want != s->cur_level && !set_stream_level(s, want)) return 1;
-        s->zs.next_in = s->filt;
-        s->zs.avail_in = static_cast<uInt>(flen);
-        while (s->zs.avail_in) {
-            if (!arm_chunk(s)) return 1;
-            if (deflate(&s->zs, Z_NO_FLUSH) == Z_STREAM_ERROR) {
-                set_err("png-stream: deflate failed");
-                return 1;
+        // feed avail_in in <UINT_MAX slices: a single write call covering
+        // >=4 GB of rows (public C API; the Python bander never does this)
+        // must not silently truncate the band into a corrupt PNG
+        size_t fed = 0;
+        while (fed < flen) {
+            const size_t take = std::min(flen - fed,
+                                         size_t{1} << 30);
+            s->zs.next_in = s->filt + fed;
+            s->zs.avail_in = static_cast<uInt>(take);
+            while (s->zs.avail_in) {
+                if (!arm_chunk(s)) return 1;
+                if (deflate(&s->zs, Z_NO_FLUSH) == Z_STREAM_ERROR) {
+                    set_err("png-stream: deflate failed");
+                    return 1;
+                }
+                s->chunk_len = s->chunk_cap - s->zs.avail_out;
             }
-            s->chunk_len = s->chunk_cap - s->zs.avail_out;
+            fed += take;
         }
         s->written += nrows;
         return 0;

@@ -203,6 +203,59 @@ def test_png_fast_decode_rejects_corrupt_crc():
         native.decode_png(bytes(bad))
 
 
+def _chunk(tag, data):
+    import struct
+    import zlib
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+
+def test_png_fast_decode_requires_iend(monkeypatch):
+    """A truncated file missing IEND must fail on the fast path exactly as
+    the libpng path does (ADVICE r2: it used to decode successfully)."""
+    import struct
+    import zlib
+
+    h, w = 8, 8
+    img = np.arange(h * w * 3, dtype=np.uint8).reshape(h, w, 3)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    base = (b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + _chunk(b"IDAT", zlib.compress(raw, 6)))
+    # sanity: WITH IEND both paths decode identically
+    ok = base + _chunk(b"IEND", b"")
+    fast = native.decode_png(ok)
+    monkeypatch.setenv("ISX_PNG_FAST", "0")
+    np.testing.assert_array_equal(fast, native.decode_png(ok))
+    with pytest.raises(ValueError):
+        native.decode_png(base)            # libpng: truncated input
+    monkeypatch.setenv("ISX_PNG_FAST", "1")
+    with pytest.raises(ValueError):
+        native.decode_png(base)            # fast path must agree
+
+
+def test_png_fast_decode_oob_palette_matches_libpng(monkeypatch):
+    """Out-of-range palette indices (pal_n=4, indices up to 9) must decode
+    identically on both paths — the fast path defers to libpng rather than
+    applying its own zero-filled LUT (ADVICE r2)."""
+    import struct
+    import zlib
+
+    h, w = 8, 8
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 0])
+    rows = b"".join(b"\x00" + bytes([(x + y) % 10 for x in range(w)])
+                    for y in range(h))
+    png = (b"\x89PNG\r\n\x1a\n"
+           + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+           + _chunk(b"PLTE", pal)
+           + _chunk(b"IDAT", zlib.compress(rows, 6))
+           + _chunk(b"IEND", b""))
+    fast = native.decode_png(png)
+    monkeypatch.setenv("ISX_PNG_FAST", "0")
+    slow = native.decode_png(png)
+    np.testing.assert_array_equal(fast, slow)
+
+
 @pytest.mark.parametrize("channels", [1, 2, 3, 4])
 def test_png_fast_decode_avg_filter(channels):
     """Hand-built all-Average-filter PNG (no common encoder emits avg
