@@ -596,7 +596,8 @@ class _WindowPlan:
     """
 
     def __init__(self, p: Placement, filter_kind: str, channels: int = 3,
-                 chunk_rows: int = _TILE_ROWS):
+                 chunk_rows: int = _TILE_ROWS,
+                 windows: Optional[Sequence[Tuple[int, int]]] = None):
         self.p = p
         self.channels = channels
         disp_w, disp_h = geometry.display_size(p.raw_w, p.raw_h,
@@ -617,14 +618,35 @@ class _WindowPlan:
         self.ri0 = ri0
         self.rw = rw.astype(np.float32)
 
-        th = min(_round_up(max(8, chunk_rows), 8),
-                 _round_up(self.n_rows, 8))
+        # ``windows``: explicit placement-relative [a0, a1) dest-row windows
+        # (may be empty) replacing the default r0-aligned equal chunking —
+        # the space-sharded compose uses canvas-band-aligned windows so one
+        # compiled schedule serves every (shard, chunk) pair.  Each window
+        # must fit the chunk height; empty windows are legal (SPMD shards
+        # whose band misses this placement).
+        if windows is None:
+            th = min(_round_up(max(8, chunk_rows), 8),
+                     _round_up(self.n_rows, 8))
+            self._explicit_windows = None
+            windows = [(a, min(self.n_rows, a + th))
+                       for a in range(0, self.n_rows, th)]
+        else:
+            windows = [(int(a), int(b)) for a, b in windows]
+            longest = max((b - a for a, b in windows), default=1)
+            if longest > max(8, chunk_rows):
+                raise ValueError(
+                    f"window of {longest} rows exceeds chunk_rows "
+                    f"{chunk_rows}")
+            th = _round_up(max(8, chunk_rows), 8)
+            self._explicit_windows = windows
+        self.windows = windows
         self.chunk = th
         # worst-case source window any chunk needs (data-driven)
         need = k_rows
-        for g0 in range(0, self.n_rows, th):
-            g1 = min(self.n_rows, g0 + th)
-            need = max(need, int(ri0[g1 - 1]) + k_rows - int(ri0[g0]))
+        for g0, g1 in windows:
+            if g1 > g0:
+                need = max(need,
+                           int(ri0[g1 - 1]) + k_rows - int(ri0[g0]))
         self.crop_rows = min(disp_h, need)
         crop_pad = _round_up(self.crop_rows, 8)
         m_w_pad = _round_up(disp_w, 128)
@@ -642,12 +664,15 @@ class _WindowPlan:
                 if best is None or total < best[0]:
                     best = (total, tw, bw, cf)
         if best is None:
-            if th > 8:
+            if th > 8 and self._explicit_windows is None:
                 # shrink the chunk: a shorter crop frees VMEM
                 self.__init__(p, filter_kind, channels, max(8, th // 2))
                 return
             raise Infeasible(
                 "crop window too large for VMEM even at 8-row chunks "
+                "(extreme downscale; use the XLA engine)"
+                if self._explicit_windows is None else
+                "crop window too large for VMEM at the given windows "
                 "(extreme downscale; use the XLA engine)")
         _, tw, bw, col_first = best
         grid_c = _cdiv(self.n_cols, tw)
@@ -664,12 +689,15 @@ class _WindowPlan:
 
     @property
     def n_chunks(self) -> int:
-        return _cdiv(self.n_rows, self.chunk)
+        return len(self.windows)
 
     def chunk_window(self, g: int) -> Tuple[int, int, int]:
-        """(dest_row_offset_in_span, valid_rows, src_crop_start) of chunk g."""
-        a = g * self.chunk
-        valid = min(self.n_rows - a, self.chunk)
+        """(dest_row_offset_in_span, valid_rows, src_crop_start) of chunk g.
+        Empty windows report 0 valid rows and a 0 crop start."""
+        a, b = self.windows[g]
+        valid = b - a
+        if valid <= 0:
+            return a, 0, 0
         win0 = int(self.ri0[a])
         s_lo = max(0, min(win0, self.disp_h - self.crop_rows))
         return a, valid, s_lo

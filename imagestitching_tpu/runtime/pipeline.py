@@ -806,7 +806,19 @@ def _run_body(plan, images, config, progress, m, ex, log, t_start,
         # temporaries must fit each chip's budget, else fall through to the
         # single-chip strategy ladder)
         from ..parallel.sharding import ShardedStitch
-        out = ShardedStitch(plan, mesh, channels)(images)
+        engine = "pallas" if _pallas_ok(plan, config) else "xla"
+        try:
+            out = ShardedStitch(plan, mesh, channels, engine=engine,
+                                interpret=config.interpret)(images)
+        except NotImplementedError:
+            # kernel infeasible at this band geometry (Infeasible subclasses
+            # NotImplementedError): the gather engine is the ladder's floor
+            if config.engine == "pallas":
+                raise
+            engine = "xla"
+            out = ShardedStitch(plan, mesh, channels)(images)
+        log.event("pipeline.space_sharded", engine=engine,
+                  shards=n_space)
         m.strategy = "space-sharded"
         m.compute_s = time.perf_counter() - t0
         m.total_s = time.perf_counter() - t_start

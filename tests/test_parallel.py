@@ -191,6 +191,73 @@ def test_sharded_triangle_filter():
     assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
 
 
+def test_sharded_pallas_engine_matches_oracle():
+    """ShardedStitch(engine='pallas'): each shard runs the fused kernel
+    over its own canvas band (VERDICT r2 #7) — resample placements through
+    the kernel, blits through the gather path, parity vs the oracle."""
+    mesh = pmesh.make_mesh((1, 8))
+    specs = [ImageSpec(64, 100), ImageSpec(80, 133),
+             ImageSpec(48, 64, orientation=6)]
+    imgs = [rand_stack(1, 64, 100)[0], rand_stack(1, 80, 133)[0],
+            rand_stack(1, 48, 64)[0]]
+    plan = plan_for(specs, mode="min", gap=3)
+    ss = ShardedStitch(plan, mesh, engine="pallas", interpret=True)
+    # the resample placement must actually be on the kernel path
+    assert 1 in ss._kern_meta and sorted(ss._xla_idx) == [0, 2]
+    got = ss(imgs)
+    want = oracle.stitch(plan, imgs)
+    assert got.shape == want.shape
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_sharded_pallas_kernel_in_middle_bands_only():
+    """A kernel placement confined to the middle of a tall canvas: shards
+    whose bands miss it must still run the SPMD program (zero-weight taps)
+    and compose pure background."""
+    mesh = pmesh.make_mesh((1, 8))
+    specs = [ImageSpec(96, 40), ImageSpec(64, 48)]
+    plan = plan_for(specs, mode="max", gap=200)   # huge gap: empty bands
+    imgs = [rand_stack(1, 96, 40)[0], rand_stack(1, 64, 48)[0]]
+    ss = ShardedStitch(plan, mesh, engine="pallas", interpret=True)
+    assert ss._kern_meta                           # max mode: upscale 64->96
+    got = ss(imgs)
+    want = oracle.stitch(plan, imgs)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_sharded_pallas_wide_k_filter():
+    """lanczos3 deep downscale: wide tap windows across shard-aligned
+    chunks (the K-tap banded-matmul shape) still match the oracle."""
+    mesh = pmesh.make_mesh((1, 8))
+    specs = [ImageSpec(400, 96), ImageSpec(100, 80)]
+    plan = plan_for(specs, mode="min", filter="lanczos3")
+    imgs = [rand_stack(1, 400, 96)[0], rand_stack(1, 100, 80)[0]]
+    ss = ShardedStitch(plan, mesh, engine="pallas", interpret=True)
+    got = ss(imgs)
+    want = oracle.stitch(plan, imgs)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_pipeline_space_mesh_uses_pallas_engine():
+    """Full pipeline with engine='pallas' + a space mesh routes through the
+    sharded kernel compose (strategy space-sharded, oracle parity)."""
+    from imagestitching_tpu import api
+    from imagestitching_tpu.config import RuntimeConfig
+
+    mesh = pmesh.make_mesh((1, 8))
+    specs = [ImageSpec(64, 100), ImageSpec(80, 133)]
+    imgs = [rand_stack(1, 64, 100)[0], rand_stack(1, 80, 133)[0]]
+    opts = StitchOptions(mode="min", gap=2, supersample=False)
+    got, m = api.stitch_arrays(
+        imgs, specs, opts,
+        config=RuntimeConfig(engine="pallas", interpret=True, mesh=mesh),
+        return_metrics=True)
+    assert m.strategy == "space-sharded"
+    plan = solve(specs, opts)
+    want = oracle.stitch(plan, imgs)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
 def test_space_sharded_budget_reject_falls_back():
     """VERDICT r1 weak #6: sharding engages only when the per-device peak
     (replicated sources + f32 band temporaries) fits the budget."""
