@@ -59,9 +59,11 @@ def main(B: int = 64) -> None:
         ("ov=2.5us cap=14MB", dict(overhead=2.5e-6, band_cap=14 << 20)),
     ]
     results = []
-    base = dict(overhead=pr._STEP_OVERHEAD_S, band_cap=pr._MAX_BAND_BYTES)
+    base = dict(overhead=pr._STEP_OVERHEAD_BATCHED_S,
+                band_cap=pr._MAX_BAND_BYTES)
     for name, cfg in variants:
-        pr._STEP_OVERHEAD_S = cfg["overhead"]
+        # the batch path reads the BATCHED calibration (round-3 split)
+        pr._STEP_OVERHEAD_BATCHED_S = cfg["overhead"]
         if cfg["band_cap"] is not None:
             pr._MAX_BAND_BYTES = cfg["band_cap"]
         else:
@@ -70,7 +72,7 @@ def main(B: int = 64) -> None:
         steps = 0
         picks = []
         for p in plan5.placements:
-            s = pr._Schedule(p, plan5.filter)
+            s = pr._Schedule(p, plan5.filter, batched=True)
             steps += s.grid_r * s.grid_c
             picks.append(f"{s.th}x{s.tw}")
         log(f"{name}: steps/job={steps} picks={picks}")
@@ -103,7 +105,7 @@ def main(B: int = 64) -> None:
             f"parity={diff} samples={[round(x, 1) for x in samples]}")
         results.append((name, steps, p50, diff))
 
-    pr._STEP_OVERHEAD_S = base["overhead"]
+    pr._STEP_OVERHEAD_BATCHED_S = base["overhead"]
     pr._MAX_BAND_BYTES = base["band_cap"]
     log("\nsummary:")
     for name, steps, p50, diff in results:

@@ -99,6 +99,13 @@ _MXU_EFF_FLOPS = 120e12      # ~197 TF/s bf16 peak x ~0.6 achieved
 _VPU_EFF_OPS = 4e12          # elementwise ops/s (casts, splits, quantize)
 _HBM_BPS = 6e11              # achievable HBM stream bandwidth
 _STEP_OVERHEAD_S = 1.2e-6      # per-grid-step dispatch/DMA-setup cost
+# Batched (B, gr, gc) grids measure a HIGHER effective per-step cost than
+# single-job grids: at this calibration the config-5 slots flip from
+# 128x128 to 128x256 tiles (292 -> 162 steps/job) and the full 64-job
+# batch measures 61.2 ms vs 65.0 ms (-6%), while the same picks REGRESS
+# single-job configs (config 3: 0.93 -> 1.21 ms) — hence two constants,
+# not one (benchmarks/profile_stepfusion.py, round 3).
+_STEP_OVERHEAD_BATCHED_S = 2.5e-6
 
 
 def _vmem_bytes(th: int, tw: int, bh: int, bw: int, channels: int = 3) -> int:
@@ -111,7 +118,8 @@ def _vmem_bytes(th: int, tw: int, bh: int, bw: int, channels: int = 3) -> int:
 
 
 def _model_step_time(th: int, tw: int, bh: int, bw: int,
-                     channels: int = 3, col_first: bool = False) -> float:
+                     channels: int = 3, col_first: bool = False,
+                     overhead: Optional[float] = None) -> float:
     """Split-bf16 contraction cost for one grid step, either order.
 
     Row-first: 2 passes of (Th x Bh)@(Bh x Bw) then 3 of (Th x Bw)@(Bw x Tw).
@@ -132,12 +140,14 @@ def _model_step_time(th: int, tw: int, bh: int, bw: int,
     vpu = channels * (4 * bh * bw + 4 * inter + 4 * th * tw)
     dma = channels * (bh * bw + th * tw)
     return (flops / _MXU_EFF_FLOPS + vpu / _VPU_EFF_OPS
-            + dma / _HBM_BPS + _STEP_OVERHEAD_S)
+            + dma / _HBM_BPS
+            + (_STEP_OVERHEAD_S if overhead is None else overhead))
 
 
 def _choose_tiles(ri0: np.ndarray, ci0: np.ndarray, k_rows: int, k_cols: int,
                   n_rows: int, n_cols: int, m_h_pad: int, m_w_pad: int,
                   th_fixed: Optional[int] = None,
+                  overhead: Optional[float] = None,
                   ) -> Tuple[int, int, int, int, bool]:
     """Pick (th, tw, bh, bw, col_first) minimizing modeled total time under
     the VMEM cap.
@@ -166,7 +176,8 @@ def _choose_tiles(ri0: np.ndarray, ci0: np.ndarray, k_rows: int, k_cols: int,
             tiles = _cdiv(n_rows, th) * _cdiv(n_cols, tw)
             for cf in (False, True):
                 total = tiles * _model_step_time(th, tw, bh, bw,
-                                                 col_first=cf)
+                                                 col_first=cf,
+                                                 overhead=overhead)
                 if best is None or total < best[0]:
                     best = (total, th, tw, bh, bw, cf)
     if best is None:
@@ -191,8 +202,10 @@ class _Schedule:
     (geometry.filter_taps); bilinear is the K=2 case.
     """
 
-    def __init__(self, p: Placement, filter_kind: str):
+    def __init__(self, p: Placement, filter_kind: str,
+                 batched: bool = False):
         self.p = p
+        self.batched = batched
         disp_w, disp_h = geometry.display_size(p.raw_w, p.raw_h, p.orientation)
         self.m_h, self.m_w = disp_h, disp_w
         # Mosaic memref slices must be tiling-aligned: (8, 128) shape/offset
@@ -219,11 +232,14 @@ class _Schedule:
                 f"filter window K={max(self.k_rows, self.k_cols)} exceeds "
                 f"{_MAX_TAPS} taps (extreme downscale; use the XLA engine)")
 
-        # Pick tile sizes + contraction order by the time model.
+        # Pick tile sizes + contraction order by the time model; batched
+        # grids carry a higher calibrated per-step overhead, biasing them
+        # toward fewer, larger tiles (see _STEP_OVERHEAD_BATCHED_S).
         (self.th, self.tw, self.bh, self.bw,
          self.col_first) = _choose_tiles(
             ri0, ci0, self.k_rows, self.k_cols, self.n_rows, self.n_cols,
-            self.m_h_pad, self.m_w_pad)
+            self.m_h_pad, self.m_w_pad,
+            overhead=_STEP_OVERHEAD_BATCHED_S if batched else None)
         th, tw = self.th, self.tw
         self.grid_r = _cdiv(self.n_rows, th)
         self.grid_c = _cdiv(self.n_cols, tw)
@@ -463,8 +479,9 @@ def _make_kernel(s: _SchedStatic, batched: bool, channels: int, batch: int,
 
 @functools.lru_cache(maxsize=512)
 def _sched_cache(key: Tuple) -> "_Schedule":
-    p, filter_kind = key
-    return _Schedule(p, filter_kind)
+    p, filter_kind = key[0], key[1]
+    batched = key[2] if len(key) > 2 else False
+    return _Schedule(p, filter_kind, batched)
 
 
 def _build_call(key: Tuple, channels: int, interpret: bool, batch: int = 0):
@@ -472,10 +489,11 @@ def _build_call(key: Tuple, channels: int, interpret: bool, batch: int = 0):
 
     ``batch=0`` -> single-job call on (C, mh, mw) sources; ``batch=B`` -> one
     fused call over a stacked batch (B, C, mh, mw) with a leading batch grid
-    dimension (BASELINE config 5 serving mode).  Calls are cached by the
-    schedule's STATIC geometry, so e.g. nine equal placements share one call.
+    dimension (BASELINE config 5 serving mode; its schedule uses the batched
+    overhead calibration).  Calls are cached by the schedule's STATIC
+    geometry, so e.g. nine equal placements share one call.
     """
-    s = _sched_cache(key)
+    s = _sched_cache(key + (batch > 0,))
     return s, _build_call_static(s.static, channels, interpret, batch)
 
 
