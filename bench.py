@@ -41,8 +41,10 @@ def _is_transient(e: BaseException) -> bool:
     TypeError, tracer errors) must NOT be retried — they would just re-raise
     identically three times and hide the real traceback timing.
     """
-    if isinstance(e, (ValueError, TypeError)):
-        return False
+    if isinstance(e, (ValueError, TypeError, NotImplementedError)):
+        return False            # NotImplementedError subclasses RuntimeError
+    if "RESOURCE_EXHAUSTED" in str(e):
+        return False            # OOM is deterministic for a fixed workload
     if isinstance(e, RuntimeError):
         return True
     # XlaRuntimeError has moved between modules across jax versions; match
@@ -130,21 +132,44 @@ def _slope_time(fn_impl, dev_imgs, k_lo: int = 2, k_hi: int = 52,
 def _slope_run(run_chain, dev_imgs, k_lo, k_hi, rounds):
     # each fetch-forced chain invocation individually survives a transient
     # abort (dev_imgs still exist in this scope, so no reset is needed —
-    # if they too were lost the retry re-raises to the caller's reset)
+    # if they too were lost the retry re-raises to the caller's reset).
+    # A retry that fires INSIDE a timed round would poison that sample
+    # (the failed attempt + sleep land in t_lo/t_hi), so rounds where a
+    # retry fired are discarded and re-run rather than entering the median.
+    retried = [False]
+
     def call(k):
-        return _retry_transient(lambda: int(run_chain(k, dev_imgs)),
-                                attempts=2, sleep_s=3.0, label="chain")
+        def once():
+            return int(run_chain(k, dev_imgs))
+        try:
+            return once()
+        except Exception as e:  # noqa: BLE001 — predicate-gated
+            if not _is_transient(e):
+                raise
+            retried[0] = True
+            log(f"bench[chain]: transient device error: {e!r}; retrying")
+            time.sleep(3.0)
+            return once()
+
     call(k_lo)       # compile + warm
     call(k_hi)
     samples = []
-    for _ in range(rounds):
+    attempts = 0
+    while len(samples) < rounds and attempts < rounds * 3:
+        attempts += 1
+        retried[0] = False
         t0 = time.perf_counter()
         call(k_lo)
         t_lo = time.perf_counter() - t0
         t0 = time.perf_counter()
         call(k_hi)
         t_hi = time.perf_counter() - t0
+        if retried[0]:
+            continue    # poisoned timing: discard the whole round
         samples.append((t_hi - t_lo) / (k_hi - k_lo) * 1000.0)
+    if not samples:
+        raise RuntimeError(
+            "slope timing: every round hit a transient device error")
     return statistics.median(samples), [round(s, 2) for s in samples]
 
 
@@ -213,13 +238,22 @@ def _slope_auto(plan, fn_impl, dev_imgs, **kw):
 
 def main(n_images: int = 9, w: int = 4000, h: int = 3000,
          e2e: bool = True) -> None:
+    headline = (n_images, w, h) == (9, 4000, 3000)
+    mp_each = w * h / 1e6
     result = {
-        "metric": "p50 latency, 9-image 12MP strip (device compute)",
+        "metric": ("p50 latency, 9-image 12MP strip (device compute)"
+                   if headline else
+                   f"p50 latency, {n_images}-image {mp_each:.2f}MP strip "
+                   "(SMOKE GEOMETRY — not the headline metric)"),
         "value": None,
         "unit": "ms",
         "vs_baseline": None,
         "backend": None,
     }
+    if not headline:
+        # the 50 ms north star is defined for the 9x12MP job only; a smoke
+        # run must not emit a scoreboard-shaped vs_baseline
+        result["smoke"] = True
     errors: dict = {}
     try:
         try:
@@ -330,7 +364,9 @@ def _bench_device(result: dict, errors: dict,
         f"{n_images * w * h / 1e6 / (p50 / 1000):.0f} MP/s input)")
     result.update({
         "value": round(p50, 3),
-        "vs_baseline": round(50.0 / p50, 3),
+        # the 50 ms target is the 9x12MP headline's; smoke geometry gets none
+        "vs_baseline": (None if result.get("smoke")
+                        else round(50.0 / p50, 3)),
         "out_megapixels": round(out_mp, 1),
         "mp_per_sec_out": round(out_mp / (p50 / 1000.0), 1),
     })

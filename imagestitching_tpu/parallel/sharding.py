@@ -149,6 +149,11 @@ def _kernel_band_meta(plan: LayoutPlan, p, channels: int, band: int,
         "wp": wp, "n_chunks": n_chunks, "th": th,
         "h_pad": h_pad, "crop_pad": crop_pad,
         "taps": {"i0": i0, "w": w, "slo": slo, "rows_in": rows_in},
+        # shard-invariant schedules, passed as REPLICATED jit args — baking
+        # them in as closure constants would serialize them into the remote
+        # compile payload (CLAUDE.md: HTTP 413 at ~300 MB; col_w is
+        # (k_cols x cols_pad) f32, several MB at wide-K/wide-canvas)
+        "const": {"ints": wp.ints, "col_i0": wp.col_i0, "col_w": wp.col_w},
     }
 
 
@@ -165,7 +170,8 @@ def _stage_full_chw(arr: np.ndarray, p, channels: int, h_pad: int,
 
 def _compose_band_pallas(plan: LayoutPlan, channels: int, band: int,
                          kern_meta: dict, xla_idx, interpret: bool,
-                         kern_imgs, xla_imgs, kern_taps, xla_taps):
+                         kern_imgs, xla_imgs, kern_consts, kern_taps,
+                         xla_taps):
     """Runs per shard: gather-engine compose for blit placements, then the
     fused kernel's regions masked in on top (placements are disjoint, so
     uint8 select after quantization == f32 composite then quantize)."""
@@ -181,17 +187,16 @@ def _compose_band_pallas(plan: LayoutPlan, channels: int, band: int,
         p = plan.placements[idx]
         wp = meta["wp"]
         taps = kern_taps[idx]
+        consts = kern_consts[idx]
         call = pr._jitted_call_static(wp.static, channels, interpret)
-        ints = jnp.asarray(wp.ints)
-        col_i0 = jnp.asarray(wp.col_i0)
-        col_w = jnp.asarray(wp.col_w)
         regions = []
         for j in range(meta["n_chunks"]):
             crop = jax.lax.dynamic_slice(
                 src, (0, taps["slo"][0, j], 0),
                 (channels, meta["crop_pad"], wp.static.m_w_pad))
-            regions.append(call(ints, crop, taps["i0"][0, j],
-                                taps["w"][0, j], col_i0, col_w))
+            regions.append(call(consts["ints"], crop, taps["i0"][0, j],
+                                taps["w"][0, j], consts["col_i0"],
+                                consts["col_w"]))
         chw = jnp.concatenate(regions, axis=1) if len(regions) > 1 \
             else regions[0]
         hwc = jnp.transpose(chw[:, :band, :wp.n_cols], (1, 2, 0))
@@ -287,19 +292,23 @@ class ShardedStitch:
         self._xla_taps = [self.taps[i] for i in self._xla_idx]
         self._kern_taps = {i: m["taps"]
                            for i, m in self._kern_meta.items()}
+        self._kern_const = {i: m["const"]
+                            for i, m in self._kern_meta.items()}
 
         fn = functools.partial(_compose_band_pallas, plan, channels,
                                self.band, self._kern_meta,
                                tuple(self._xla_idx), interpret)
         kern_spec = jax.tree_util.tree_map(lambda _: P(axis),
                                            self._kern_taps)
+        const_spec = jax.tree_util.tree_map(lambda _: P(),
+                                            self._kern_const)
         xla_spec = jax.tree_util.tree_map(lambda _: P(axis),
                                           self._xla_taps)
         self._jitted = jax.jit(shard_map(
             fn, mesh=self.mesh,
             in_specs=(tuple([P()] * len(self._kern_meta)),
                       tuple([P()] * len(self._xla_idx)),
-                      kern_spec, xla_spec),
+                      const_spec, kern_spec, xla_spec),
             out_specs=P(axis),
             check_vma=False))
 
@@ -323,8 +332,8 @@ class ShardedStitch:
                     m["h_pad"], m["wp"].static.m_w_pad))
                 for i, m in sorted(self._kern_meta.items()))
             xla_imgs = tuple(jnp.asarray(arrs[i]) for i in self._xla_idx)
-            out = self._jitted(kern_imgs, xla_imgs, self._kern_taps,
-                               self._xla_taps)
+            out = self._jitted(kern_imgs, xla_imgs, self._kern_const,
+                               self._kern_taps, self._xla_taps)
         else:
             out = self._jitted(tuple(jnp.asarray(a) for a in arrs),
                                self.taps)

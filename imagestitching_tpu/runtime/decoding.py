@@ -74,9 +74,17 @@ class DecodePool:
 
     def __init__(self, jobs: Sequence[Callable[[], Any]], workers: int,
                  timeout_s: Optional[float] = None,
-                 window: Optional[int] = None):
+                 window: Optional[int] = None,
+                 indices: Optional[Sequence[int]] = None):
         n = len(jobs)
         self._n = n
+        # ``indices``: caller-meaningful index reported for each job (a
+        # consumer submitting jobs reordered passes its original indices so
+        # yields and watchdog messages name the real image, not the slot)
+        if indices is not None and len(indices) != n:
+            raise ValueError("indices length must match jobs")
+        self._indices = None if indices is None else [int(i)
+                                                     for i in indices]
         workers = min(max(1, workers), max(1, n))
         if window is not None:
             # honor the caller's residency bound exactly: extra workers
@@ -85,9 +93,8 @@ class DecodePool:
             workers = min(workers, window)
         self._window = window
         # core-share stretch: 8 threads on 1 core legitimately take ~8x
-        # longer (with a window, concurrency is also capped by the window)
-        concurrent = workers if window is None else min(workers, window)
-        self._oversub = max(1.0, concurrent / max(1, os.cpu_count() or 1))
+        # longer (workers is already capped at the window above)
+        self._oversub = max(1.0, workers / max(1, os.cpu_count() or 1))
         self._timeout_s = timeout_s
         self._budget = (None if timeout_s is None
                         else timeout_s * self._oversub)
@@ -151,7 +158,15 @@ class DecodePool:
         return next(self._gen)
 
     def close(self) -> None:
+        # cancel directly too: on a never-iterated pool the generator's
+        # finally has not been entered yet, so closing it alone would leave
+        # the eagerly-started workers decoding (docstring contract)
+        self._cancelled.set()
         self._gen.close()
+
+    def _ext(self, i: int) -> int:
+        """Pool-local job slot -> the caller's reported index."""
+        return i if self._indices is None else self._indices[i]
 
     def __del__(self):  # pragma: no cover — best-effort leak guard
         self._cancelled.set()
@@ -201,7 +216,7 @@ class DecodePool:
                     item = pending.popleft()
                     if item[0] not in reported:  # drop late results of
                         reported.add(item[0])    # timed-out jobs (their
-                        yield item               # slot already moved)
+                        yield (self._ext(item[0]),) + item[1:]  # slot moved
                     del item
                 if budget is not None:
                     now = time.monotonic()
@@ -211,8 +226,8 @@ class DecodePool:
                             self._spawn()  # stuck worker's replacement
                             # the stuck worker's window slot transfers to
                             # this yielded TimeoutError; consumer acks it
-                            yield i, None, TimeoutError(
-                                f"decode of image {i} exceeded "
+                            yield self._ext(i), None, TimeoutError(
+                                f"decode of image {self._ext(i)} exceeded "
                                 f"{self._timeout_s}s (x{self._oversub:.0f} "
                                 "core-share stretch; watchdog, "
                                 "utils/canvas.js:68-81 analog)")
@@ -229,11 +244,13 @@ def default_window(workers: int, n_jobs: int) -> int:
 
 def iter_decoded(jobs: Sequence[Callable[[], Any]], workers: int,
                  timeout_s: Optional[float] = None,
-                 window: Optional[int] = None) -> DecodePool:
+                 window: Optional[int] = None,
+                 indices: Optional[Sequence[int]] = None) -> DecodePool:
     """Run ``jobs`` on daemon worker threads, yielding in completion order.
 
     Returns a :class:`DecodePool` (a ``DecodeResult`` iterator with
-    ``close()``); pass ``window`` to enable ack-based backpressure — see
-    the class docstring for the slot contract.
+    ``close()``); pass ``window`` to enable ack-based backpressure and
+    ``indices`` to report caller-meaningful indices for reordered jobs —
+    see the class docstring for the slot contract.
     """
-    return DecodePool(jobs, workers, timeout_s, window)
+    return DecodePool(jobs, workers, timeout_s, window, indices)

@@ -288,7 +288,8 @@ def stream_blit_to_file(plan, loaders, path: str, fmt: str, param: int,
            else native.JpegStreamWriter)
     writer = cls(path, W, H, param)
     gen = decoding.iter_decoded([loaders[i] for i in order], decode_threads,
-                                decode_timeout_s, window=window)
+                                decode_timeout_s, window=window,
+                                indices=order)
     ready: dict = {}
     oriented: dict = {}
 
@@ -298,10 +299,9 @@ def stream_blit_to_file(plan, loaders, path: str, fmt: str, param: int,
             return img
         t0 = time.perf_counter()
         while p.index not in ready:
-            slot, raw, err = next(gen)
+            i, raw, err = next(gen)    # original image index (indices=)
             if err is not None:
                 raise err
-            i = order[slot]
             if i not in drawn:
                 gen.ack()          # no band will consume it; free the slot
                 continue

@@ -7,6 +7,7 @@ peak residency of decoded sources via weakref finalizers (refcount-exact
 under CPython) — not just bookkeeping counters.
 """
 
+import functools
 import threading
 import time
 import weakref
@@ -96,6 +97,68 @@ def test_pool_ack_contract_covers_errors():
         seen += 1
         pool.ack()
     assert seen == 12
+
+
+def test_pool_reports_caller_indices():
+    """Reordered submission must report the CALLER's indices — including
+    in watchdog timeouts — not pool-local slots."""
+    order = [3, 0, 2, 1]
+    pool = decoding.iter_decoded(
+        [(lambda k=k: k * 10) for k in order], workers=2, window=4,
+        indices=order)
+    got = {}
+    for i, v, e in pool:
+        assert e is None
+        got[i] = v
+        pool.ack()
+    assert got == {3: 30, 0: 0, 2: 20, 1: 10}
+
+
+def test_pool_timeout_names_caller_index():
+    ev = threading.Event()
+    order = [7, 5]
+
+    def hang():
+        ev.wait(10)
+        return None
+
+    pool = decoding.iter_decoded([hang, lambda: 1], workers=1,
+                                 timeout_s=0.2, indices=order)
+    try:
+        results = {}
+        for i, v, e in pool:
+            results[i] = e
+        assert isinstance(results[7], TimeoutError)
+        assert "image 7" in str(results[7])
+        assert results[5] is None
+    finally:
+        ev.set()
+
+
+def test_pool_close_before_iteration_stops_workers():
+    """close() on a never-iterated pool must cancel the eagerly-started
+    workers (they would otherwise drain the whole queue)."""
+    started = threading.Event()
+    release = threading.Event()
+    done = []
+
+    def first():
+        started.set()
+        release.wait(5)
+        return 1
+
+    def later(k):
+        done.append(k)
+        return k
+
+    pool = decoding.iter_decoded(
+        [first] + [functools.partial(later, k) for k in range(8)],
+        workers=1)
+    assert started.wait(5)          # worker is inside job 0
+    pool.close()                    # cancel while job 0 still blocks
+    release.set()                   # job 0 finishes; worker must then exit
+    time.sleep(0.3)
+    assert done == []               # no queued job was picked up after close
 
 
 def test_stream_blit_peak_residency_bounded(tmp_path):

@@ -63,10 +63,34 @@ def test_is_transient_classifier():
     import jax
 
     assert bench._is_transient(RuntimeError("ABORTED"))
-    assert bench._is_transient(
-        jax.errors.JaxRuntimeError("RESOURCE_EXHAUSTED"))
+    assert bench._is_transient(jax.errors.JaxRuntimeError("UNAVAILABLE"))
     assert not bench._is_transient(ValueError("x"))
     assert not bench._is_transient(TypeError("x"))
+    # deterministic failures must NOT be retried: kernel infeasibility
+    # (NotImplementedError subclasses RuntimeError) and OOM for a fixed
+    # workload would just re-raise identically after wasted sleeps
+    assert not bench._is_transient(NotImplementedError("K exceeds taps"))
+    assert not bench._is_transient(
+        RuntimeError("RESOURCE_EXHAUSTED: 12.00G requested"))
+
+
+def test_slope_run_discards_retry_poisoned_rounds(monkeypatch):
+    """A transient abort INSIDE a timed round must not enter the median
+    (the failed attempt + backoff would otherwise poison the sample)."""
+    monkeypatch.setattr(bench, "log", lambda *a: None)
+    calls = {"n": 0}
+
+    def run_chain(k, imgs):
+        calls["n"] += 1
+        if calls["n"] == 4:            # first timed call after 2 warmups +1
+            raise RuntimeError("ABORTED: TPU backend error")
+        return k
+
+    orig_sleep = bench.time.sleep
+    monkeypatch.setattr(bench.time, "sleep", lambda s: orig_sleep(0))
+    p50, samples = bench._slope_run(run_chain, [], 2, 10, rounds=3)
+    assert len(samples) == 3           # the poisoned round was re-run
+    assert all(s >= 0 for s in samples)
 
 
 def _run_main_json(capsys, monkeypatch, **kw):
@@ -118,9 +142,11 @@ def test_main_happy_path_tiny(capsys, monkeypatch):
     assert parsed["timing_mode"] == "slope_auto"
     assert parsed["parity_max_diff"] <= 1
     assert "errors" not in parsed
-    # vs_baseline derives from the unrounded p50; "value" is rounded to 3dp
-    assert parsed["vs_baseline"] == pytest.approx(50.0 / parsed["value"],
-                                                  rel=0.05)
+    # non-headline geometry must NOT emit a scoreboard-shaped result: the
+    # 50 ms target is defined for the 9x12MP job only
+    assert parsed["smoke"] is True
+    assert parsed["vs_baseline"] is None
+    assert "SMOKE" in parsed["metric"]
 
 
 def test_main_survives_transient_mid_slope(capsys, monkeypatch):
