@@ -202,13 +202,19 @@ def main() -> None:
         "model-flops/px (vs ~16 for an ideal 2-tap gather — which would run "
         "on the VPU at ~100x lower throughput; the XLA gather engine "
         "measures ~2.4x slower than the kernel on this exact batch). "
-        "Per-batch: ~280 GFLOP of split-bf16 passes ≈ 1.4 ms/slot MXU-bound "
-        "+ ~0.9 us/step overhead over ~1,280 steps/slot — measured 65.7 ms "
-        "for 64 jobs x 9 slots. int8 passes were tried and measured SLOWER "
-        "(direct microbenchmark: Mosaic int8 matmul is only 1.32x bf16 on "
-        "this chip — 183.6 vs 138.7 TFLOP/s on a 2048^3 tile — so the "
-        "2-pass int8 scheme's ceiling cannot pay for its VPU prep); "
-        "remaining headroom is deeper step fusion.",
+        "Round 3 harvested the step-fusion headroom: batched (B, gr, gc) "
+        "grids measure a higher effective per-step cost than single-job "
+        "grids, so their tile model now carries a separate 2.5 us "
+        "calibration (_STEP_OVERHEAD_BATCHED_S) — picks flip from 128x128 "
+        "to 128x256 tiles (292 -> 162 steps/job, 18.7k -> 10.4k "
+        "steps/batch), measured -6% (65.3 -> 61.3 ms/batch; the same picks "
+        "REGRESS single-job configs, hence two constants — "
+        "benchmarks/profile_stepfusion.py). int8 passes were tried and "
+        "measured SLOWER (direct microbenchmark: Mosaic int8 matmul is "
+        "only 1.32x bf16 on this chip — 183.6 vs 138.7 TFLOP/s on a "
+        "2048^3 tile — so the 2-pass int8 scheme's ceiling cannot pay for "
+        "its VPU prep); a 14 MB VMEM cap was also measured and changes "
+        "nothing (same picks).",
         "",
         "## End-to-end (disk to disk)",
         "",
