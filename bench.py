@@ -513,6 +513,7 @@ def _e2e_variant(sizes, runs: int, budget_s: float, prefix: str) -> dict:
             results.append({"total_ms": (t1 - t0) * 1000,
                             "decode_wall_ms": m.prepare_s * 1000,
                             "device_drain_ms": m.compute_s * 1000,
+                            "transport_rtt_ms": m.transport_rtt_s * 1000,
                             "export_wall_ms": m.export_s * 1000,
                             "readback_busy_ms": m.readback_s * 1000,
                             "encode_busy_ms": m.encode_s * 1000})

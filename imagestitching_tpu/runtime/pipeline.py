@@ -55,6 +55,13 @@ class StitchMetrics:
     export_s: float = 0.0     # wall time of readback+encode; < readback_s +
                               # encode_s when the streaming overlap engages
     total_s: float = 0.0
+    # transport round trip measured on the idle device at job start
+    # (overlapped path): compute_s includes one such round trip, and the
+    # sandbox tunnel's rtt varies day to day — recording it separately
+    # keeps "device drain" numbers attributable (a 2.2 s vs 6.4 s drain
+    # spread across rounds was otherwise indistinguishable from a kernel
+    # regression).
+    transport_rtt_s: float = 0.0
     canvas_w: int = 0
     canvas_h: int = 0
     est_peak_bytes: int = 0
@@ -511,6 +518,13 @@ def _run_overlapped_body(plan, loaders, config, progress, m, ex, log,
         canvas = jnp.array(jnp.broadcast_to(
             jnp.asarray(bg), (plan.canvas_h, plan.canvas_w, channels)))
 
+    if stream_ok:
+        # device is idle here: a trivial fetch measures the pure transport
+        # round trip this job will pay once inside compute_s at drain
+        t0 = time.perf_counter()
+        np.asarray(jax.device_get(jnp.zeros((1,), jnp.uint8)))
+        m.transport_rtt_s = time.perf_counter() - t0
+
     done = 0
     t_decode = 0.0
     for i, raw, err in decoding.iter_decoded(
@@ -595,6 +609,7 @@ def _run_overlapped_body(plan, loaders, config, progress, m, ex, log,
               total_s=round(m.total_s, 4),
               decode_wall_s=round(m.prepare_s, 4),
               compute_s=round(m.compute_s, 4),
+              transport_rtt_s=round(m.transport_rtt_s, 4),
               readback_s=round(m.readback_s, 4),
               mp_per_sec=round(m.mp_per_sec, 1))
     progress("composite", 1.0)

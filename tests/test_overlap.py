@@ -100,6 +100,10 @@ def test_run_overlapped_metrics(tmp_path):
     assert m.strategy == "overlapped"
     assert out.shape == (plan.canvas_h, plan.canvas_w, 3)
     assert m.total_s > 0
+    # drain attribution: the idle-device transport round trip is recorded
+    # so compute_s spreads across rounds are explainable (round-4 note)
+    assert m.transport_rtt_s > 0
+    assert m.transport_rtt_s < m.total_s
 
 
 def test_overlapped_dimension_mismatch(tmp_path):
