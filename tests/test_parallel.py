@@ -333,3 +333,8 @@ def test_batch_on_2d_mesh_jobs_axis():
     want = np.stack([oracle.stitch(plan, [s[i] for s in stacks])
                      for i in range(b)])
     assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
+    # the fused-kernel engine composes with the 2D mesh too: shard_map
+    # shards jobs, replicates over the unmentioned space axis
+    out_p = pbatch.stitch_batch(plan, stacks, engine="pallas", mesh=mesh,
+                                interpret=True)
+    assert np.abs(out_p.astype(int) - want.astype(int)).max() <= 1
