@@ -110,16 +110,27 @@ def _kernel_band_meta(plan: LayoutPlan, p, channels: int, band: int,
 
     r0, r1 = p.row_span
     th = min(pr._TILE_ROWS, pr._round_up(band, 8))
-    n_chunks = _cdiv(band, th)
-    windows = []
-    for k in range(n_shards):
-        for j in range(n_chunks):
-            lo = k * band + j * th
-            hi = min(lo + th, (k + 1) * band, plan.canvas_h)
-            a0, a1 = max(r0, lo) - r0, min(r1, hi) - r0
-            windows.append((a0, a1) if a1 > a0 else (0, 0))
-    wp = pr._WindowPlan(p, plan.filter, channels, chunk_rows=th,
-                        windows=windows)
+    # deep downscales blow the VMEM crop at the default chunk height —
+    # shrink th like _WindowPlan's own default-mode fallback does (shorter
+    # chunks need proportionally shorter source crops); only a failure at
+    # 8-row chunks is genuinely infeasible (callers fall back to gather)
+    while True:
+        n_chunks = _cdiv(band, th)
+        windows = []
+        for k in range(n_shards):
+            for j in range(n_chunks):
+                lo = k * band + j * th
+                hi = min(lo + th, (k + 1) * band, plan.canvas_h)
+                a0, a1 = max(r0, lo) - r0, min(r1, hi) - r0
+                windows.append((a0, a1) if a1 > a0 else (0, 0))
+        try:
+            wp = pr._WindowPlan(p, plan.filter, channels, chunk_rows=th,
+                                windows=windows)
+            break
+        except pr.Infeasible:
+            if th <= 8:
+                raise
+            th = max(8, pr._round_up(th // 2, 8))
     k_taps = wp.rw.shape[1]
     i0 = np.zeros((n_shards, n_chunks, th, 1), np.int32)
     w = np.zeros((n_shards, n_chunks, th, k_taps), np.float32)

@@ -225,6 +225,23 @@ def test_sharded_pallas_kernel_in_middle_bands_only():
     assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
 
 
+def test_sharded_pallas_deep_downscale_shrinks_chunks():
+    """VMEM pressure at deep downscale shrinks the sharded kernel's chunk
+    height instead of raising Infeasible (soak seeds 80014/80029: the
+    256-row default chunk needs a crop too large for VMEM at scale ~0.13
+    with wide-K filters)."""
+    mesh = pmesh.make_mesh((1, 8))
+    specs = [ImageSpec(2048, 512), ImageSpec(256, 400)]
+    plan = plan_for(specs, mode="min", filter="lanczos3")   # 2048 -> 256
+    imgs = [rand_stack(1, 2048, 512)[0], rand_stack(1, 256, 400)[0]]
+    ss = ShardedStitch(plan, mesh, engine="pallas", interpret=True)
+    meta = ss._kern_meta[0]
+    assert meta["th"] < 256                 # the shrink actually engaged
+    got = ss(imgs)
+    want = oracle.stitch(plan, imgs)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
 def test_sharded_pallas_wide_k_filter():
     """lanczos3 deep downscale: wide tap windows across shard-aligned
     chunks (the K-tap banded-matmul shape) still match the oracle."""
