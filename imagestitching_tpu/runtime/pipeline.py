@@ -518,17 +518,20 @@ def _run_overlapped_body(plan, loaders, config, progress, m, ex, log,
         canvas = jnp.array(jnp.broadcast_to(
             jnp.asarray(bg), (plan.canvas_h, plan.canvas_w, channels)))
 
+    gen = decoding.iter_decoded(loaders, config.decode_threads,
+                                config.decode_timeout_s)
     if stream_ok:
         # device is idle here: a trivial fetch measures the pure transport
-        # round trip this job will pay once inside compute_s at drain
+        # round trip this job will pay once inside compute_s at drain.
+        # Probed AFTER the decode pool starts so the rtt rides under the
+        # first decode instead of adding wall latency to every job.
         t0 = time.perf_counter()
         np.asarray(jax.device_get(jnp.zeros((1,), jnp.uint8)))
         m.transport_rtt_s = time.perf_counter() - t0
 
     done = 0
     t_decode = 0.0
-    for i, raw, err in decoding.iter_decoded(
-            loaders, config.decode_threads, config.decode_timeout_s):
+    for i, raw, err in gen:
         if err is not None:
             log.event("pipeline.overlapped_decode_fail", index=i,
                       error=repr(err))
