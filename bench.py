@@ -43,8 +43,11 @@ def _is_transient(e: BaseException) -> bool:
     """
     if isinstance(e, (ValueError, TypeError, NotImplementedError)):
         return False            # NotImplementedError subclasses RuntimeError
-    if "RESOURCE_EXHAUSTED" in str(e):
-        return False            # OOM is deterministic for a fixed workload
+    # OOM is deterministic for a fixed workload — reuse the pipeline's
+    # broad cross-backend classifier rather than one enum substring
+    from imagestitching_tpu.runtime.pipeline import _is_oom
+    if _is_oom(e):
+        return False
     if isinstance(e, RuntimeError):
         return True
     # XlaRuntimeError has moved between modules across jax versions; match
@@ -53,12 +56,13 @@ def _is_transient(e: BaseException) -> bool:
 
 
 def _retry_transient(fn, *, attempts: int = 3, sleep_s: float = 5.0,
-                     reset=None, label: str = ""):
+                     reset=None, label: str = "", on_retry=None):
     """Run ``fn`` with bounded retries on transient device errors.
 
     ``reset`` (optional) re-establishes device state between attempts —
     after a backend ABORT the old device buffers may be gone, so callers
-    pass a re-``device_put`` of the host-staged inputs.
+    pass a re-``device_put`` of the host-staged inputs.  ``on_retry`` is
+    invoked once per retry (timing code uses it to mark samples poisoned).
     """
     for attempt in range(attempts):
         try:
@@ -69,6 +73,8 @@ def _retry_transient(fn, *, attempts: int = 3, sleep_s: float = 5.0,
             log(f"bench[{label}]: transient device error "
                 f"(attempt {attempt + 1}/{attempts}): {e!r}; "
                 f"retrying in {sleep_s:.0f}s")
+            if on_retry is not None:
+                on_retry()
             time.sleep(sleep_s)
             if reset is not None:
                 reset()
@@ -138,18 +144,13 @@ def _slope_run(run_chain, dev_imgs, k_lo, k_hi, rounds):
     # retry fired are discarded and re-run rather than entering the median.
     retried = [False]
 
+    def _mark():
+        retried[0] = True
+
     def call(k):
-        def once():
-            return int(run_chain(k, dev_imgs))
-        try:
-            return once()
-        except Exception as e:  # noqa: BLE001 — predicate-gated
-            if not _is_transient(e):
-                raise
-            retried[0] = True
-            log(f"bench[chain]: transient device error: {e!r}; retrying")
-            time.sleep(3.0)
-            return once()
+        return _retry_transient(lambda: int(run_chain(k, dev_imgs)),
+                                attempts=2, sleep_s=3.0, label="chain",
+                                on_retry=_mark)
 
     call(k_lo)       # compile + warm
     call(k_hi)

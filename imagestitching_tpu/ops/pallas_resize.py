@@ -641,7 +641,11 @@ class _WindowPlan:
         # the space-sharded compose uses canvas-band-aligned windows so one
         # compiled schedule serves every (shard, chunk) pair.  Each window
         # must fit the chunk height; empty windows are legal (SPMD shards
-        # whose band misses this placement).
+        # whose band misses this placement).  A CALLABLE ``windows`` is a
+        # builder ``th -> window list``, which lets the VMEM shrink
+        # fallback below regenerate windows at each halved chunk height
+        # (a static list cannot shrink; it raises Infeasible instead).
+        self._windows_builder = windows if callable(windows) else None
         if windows is None:
             th = min(_round_up(max(8, chunk_rows), 8),
                      _round_up(self.n_rows, 8))
@@ -649,13 +653,14 @@ class _WindowPlan:
             windows = [(a, min(self.n_rows, a + th))
                        for a in range(0, self.n_rows, th)]
         else:
+            th = _round_up(max(8, chunk_rows), 8)
+            if callable(windows):
+                windows = windows(th)
             windows = [(int(a), int(b)) for a, b in windows]
             longest = max((b - a for a, b in windows), default=1)
-            if longest > max(8, chunk_rows):
+            if longest > th:
                 raise ValueError(
-                    f"window of {longest} rows exceeds chunk_rows "
-                    f"{chunk_rows}")
-            th = _round_up(max(8, chunk_rows), 8)
+                    f"window of {longest} rows exceeds chunk height {th}")
             self._explicit_windows = windows
         self.windows = windows
         self.chunk = th
@@ -682,15 +687,15 @@ class _WindowPlan:
                 if best is None or total < best[0]:
                     best = (total, tw, bw, cf)
         if best is None:
-            if th > 8 and self._explicit_windows is None:
-                # shrink the chunk: a shorter crop frees VMEM
-                self.__init__(p, filter_kind, channels, max(8, th // 2))
+            if th > 8 and (self._explicit_windows is None
+                           or self._windows_builder is not None):
+                # shrink the chunk: a shorter crop frees VMEM (window
+                # builders regenerate their list at the new height)
+                self.__init__(p, filter_kind, channels, max(8, th // 2),
+                              windows=self._windows_builder)
                 return
             raise Infeasible(
                 "crop window too large for VMEM even at 8-row chunks "
-                "(extreme downscale; use the XLA engine)"
-                if self._explicit_windows is None else
-                "crop window too large for VMEM at the given windows "
                 "(extreme downscale; use the XLA engine)")
         _, tw, bw, col_first = best
         grid_c = _cdiv(self.n_cols, tw)

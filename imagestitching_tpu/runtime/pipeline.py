@@ -492,6 +492,25 @@ def run_overlapped(plan: LayoutPlan, loaders, config: RuntimeConfig,
         prof.stop()
 
 
+# Per-process cache for the idle-device transport round-trip probe: the
+# rtt is an environment property, not a per-job one, so steady-state
+# serving pays a probe at most once per TTL rather than per job.  A probe
+# refreshed while the device happens to be busy overcounts (it queues
+# behind in-flight work) — acceptable for an attribution metric.
+_RTT_TTL_S = 300.0
+_rtt_cache = {"at": float("-inf"), "rtt": 0.0}
+
+
+def _transport_rtt() -> float:
+    now = time.monotonic()
+    if now - _rtt_cache["at"] > _RTT_TTL_S:
+        t0 = time.perf_counter()
+        np.asarray(jax.device_get(jnp.zeros((1,), jnp.uint8)))
+        _rtt_cache["at"] = now
+        _rtt_cache["rtt"] = time.perf_counter() - t0
+    return _rtt_cache["rtt"]
+
+
 def _run_overlapped_body(plan, loaders, config, progress, m, ex, log,
                          t_start, channels, n, keep_on_device=False):
     from . import decoding
@@ -520,44 +539,47 @@ def _run_overlapped_body(plan, loaders, config, progress, m, ex, log,
 
     gen = decoding.iter_decoded(loaders, config.decode_threads,
                                 config.decode_timeout_s)
-    if stream_ok:
-        # device is idle here: a trivial fetch measures the pure transport
-        # round trip this job will pay once inside compute_s at drain.
-        # Probed AFTER the decode pool starts so the rtt rides under the
-        # first decode instead of adding wall latency to every job.
-        t0 = time.perf_counter()
-        np.asarray(jax.device_get(jnp.zeros((1,), jnp.uint8)))
-        m.transport_rtt_s = time.perf_counter() - t0
-
     done = 0
     t_decode = 0.0
-    for i, raw, err in gen:
-        if err is not None:
-            log.event("pipeline.overlapped_decode_fail", index=i,
-                      error=repr(err))
-            raise err
-        raw = _checked(i, np.asarray(raw))
-        decoded[i] = raw
-        t_decode = max(t_decode, time.perf_counter() - t_start)
-        p = plan.placements[i]
-        if (canvas is not None and oom is None
-                and p.row_span[1] > p.row_span[0]
-                and p.col_span[1] > p.col_span[0]):
-            try:
-                src = jnp.asarray(raw)          # async H2D
-                canvas = _streamed_update(plan, i, channels, canvas, src,
-                                          config.engine, config.interpret)
-                composited[i] = True
-                decoded[i] = None   # composited: release the host copy
-            except Exception as e:  # noqa: BLE001 — OOM classification
-                if not _is_oom(e):
-                    raise
-                oom = e
-                canvas = None       # free the device canvas before retry
-                log.event("pipeline.oom_retry", failed="overlapped",
-                          band=None)
-        done += 1
-        progress("composite", 0.30 + 0.60 * done / n)
+    try:
+        if stream_ok:
+            # the transport round trip this job will pay once inside
+            # compute_s at drain; probed AFTER the decode pool starts so
+            # it rides under the first decode (cached per process — see
+            # _transport_rtt — so steady-state serving pays nothing)
+            m.transport_rtt_s = _transport_rtt()
+        for i, raw, err in gen:
+            if err is not None:
+                log.event("pipeline.overlapped_decode_fail", index=i,
+                          error=repr(err))
+                raise err
+            raw = _checked(i, np.asarray(raw))
+            decoded[i] = raw
+            t_decode = max(t_decode, time.perf_counter() - t_start)
+            p = plan.placements[i]
+            if (canvas is not None and oom is None
+                    and p.row_span[1] > p.row_span[0]
+                    and p.col_span[1] > p.col_span[0]):
+                try:
+                    src = jnp.asarray(raw)      # async H2D
+                    canvas = _streamed_update(plan, i, channels, canvas,
+                                              src, config.engine,
+                                              config.interpret)
+                    composited[i] = True
+                    decoded[i] = None   # composited: release host copy
+                except Exception as e:  # noqa: BLE001 — OOM classify
+                    if not _is_oom(e):
+                        raise
+                    oom = e
+                    canvas = None   # free the device canvas before retry
+                    log.event("pipeline.oom_retry", failed="overlapped",
+                              band=None)
+            done += 1
+            progress("composite", 0.30 + 0.60 * done / n)
+    finally:
+        # an error anywhere above (probe, decode, composite) must not
+        # leave the eagerly-started workers decoding the rest of the job
+        gen.close()
     m.prepare_s = t_decode
 
     t_drain = time.perf_counter()

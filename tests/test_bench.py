@@ -90,7 +90,9 @@ def test_slope_run_discards_retry_poisoned_rounds(monkeypatch):
     monkeypatch.setattr(bench.time, "sleep", lambda s: orig_sleep(0))
     p50, samples = bench._slope_run(run_chain, [], 2, 10, rounds=3)
     assert len(samples) == 3           # the poisoned round was re-run
-    assert all(s >= 0 for s in samples)
+    # 2 warmups + 3 calls in the discarded round (ok, abort, retry-ok) +
+    # 3 clean rounds x 2 calls: the re-run actually happened
+    assert calls["n"] == 2 + 3 + 6
 
 
 def _run_main_json(capsys, monkeypatch, **kw):
