@@ -515,6 +515,8 @@ def _e2e_variant(sizes, runs: int, budget_s: float, prefix: str) -> dict:
                             "decode_wall_ms": m.prepare_s * 1000,
                             "device_drain_ms": m.compute_s * 1000,
                             "transport_rtt_ms": m.transport_rtt_s * 1000,
+                            "stage_wait_ms": m.stage_wait_s * 1000,
+                            "stage_wait_max_ms": m.stage_wait_max_s * 1000,
                             "export_wall_ms": m.export_s * 1000,
                             "readback_busy_ms": m.readback_s * 1000,
                             "encode_busy_ms": m.encode_s * 1000})
@@ -522,6 +524,7 @@ def _e2e_variant(sizes, runs: int, budget_s: float, prefix: str) -> dict:
                 f"total {results[-1]['total_ms']:.0f} ms  "
                 f"(decode {results[-1]['decode_wall_ms']:.0f}, "
                 f"drain {results[-1]['device_drain_ms']:.0f}, "
+                f"stage-wait {results[-1]['stage_wait_ms']:.0f}, "
                 f"export {results[-1]['export_wall_ms']:.0f} = "
                 f"readback {results[-1]['readback_busy_ms']:.0f} || "
                 f"encode {results[-1]['encode_busy_ms']:.0f})")

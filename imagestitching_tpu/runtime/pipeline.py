@@ -62,6 +62,19 @@ class StitchMetrics:
     # spread across rounds was otherwise indistinguishable from a kernel
     # regression).
     transport_rtt_s: float = 0.0
+    # Host wall spent *blocked* in the per-image staging calls
+    # (jnp.asarray H2D + compute enqueue) inside the overlapped decode
+    # loop.  Enqueue is nominally async, so these should be ~0; when the
+    # transfer queue backpressures (degraded tunnel, slow H2D) the block
+    # shows up here instead of in compute_s — stage_wait_s ≈ 0 with a
+    # large compute_s means a genuine device drain, stage_wait_s large
+    # means transport, and stage_wait_max_s tells one slow image from a
+    # uniformly slow link.  Caveat: a cold shape class compiles inside the
+    # staging call, so first-run stage_wait includes compile time — only
+    # warm-cache runs attribute cleanly.
+    stage_wait_s: float = 0.0
+    stage_wait_max_s: float = 0.0
+    h2d_bytes: int = 0
     canvas_w: int = 0
     canvas_h: int = 0
     est_peak_bytes: int = 0
@@ -561,10 +574,15 @@ def _run_overlapped_body(plan, loaders, config, progress, m, ex, log,
                     and p.row_span[1] > p.row_span[0]
                     and p.col_span[1] > p.col_span[0]):
                 try:
+                    t_stage = time.perf_counter()
                     src = jnp.asarray(raw)      # async H2D
                     canvas = _streamed_update(plan, i, channels, canvas,
                                               src, config.engine,
                                               config.interpret)
+                    t_stage = time.perf_counter() - t_stage
+                    m.stage_wait_s += t_stage
+                    m.stage_wait_max_s = max(m.stage_wait_max_s, t_stage)
+                    m.h2d_bytes += raw.nbytes
                     composited[i] = True
                     decoded[i] = None   # composited: release host copy
                 except Exception as e:  # noqa: BLE001 — OOM classify
@@ -635,6 +653,9 @@ def _run_overlapped_body(plan, loaders, config, progress, m, ex, log,
               decode_wall_s=round(m.prepare_s, 4),
               compute_s=round(m.compute_s, 4),
               transport_rtt_s=round(m.transport_rtt_s, 4),
+              stage_wait_s=round(m.stage_wait_s, 4),
+              stage_wait_max_s=round(m.stage_wait_max_s, 4),
+              h2d_mb=round(m.h2d_bytes / 1e6, 1),
               readback_s=round(m.readback_s, 4),
               mp_per_sec=round(m.mp_per_sec, 1))
     progress("composite", 1.0)

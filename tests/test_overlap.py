@@ -104,6 +104,11 @@ def test_run_overlapped_metrics(tmp_path):
     # so compute_s spreads across rounds are explainable (round-4 note)
     assert m.transport_rtt_s > 0
     assert m.transport_rtt_s < m.total_s
+    # per-image staging waits: all 3 images staged, bytes accounted, and
+    # the max single wait is bounded by the sum
+    assert m.h2d_bytes == 3 * 32 * 32 * 3
+    assert m.stage_wait_s >= m.stage_wait_max_s > 0
+    assert m.stage_wait_s < m.total_s
 
 
 def test_overlapped_dimension_mismatch(tmp_path):
