@@ -3,6 +3,7 @@ entry point, each checked against the float64 oracle.
 
 Usage:  python benchmarks/soak.py [N] [SEED_BASE]          (default 200, base 10000)
         python benchmarks/soak.py --large [N] [SEED_BASE]  (default 200, base 80000)
+        python benchmarks/soak.py --formats [N] [SEED_BASE]  (default 200, base 110000)
 
 ``--large`` probes the geometry the small soak cannot reach (VERDICT r2 #4):
 sides 256-2048 biased to tile/band boundary crossings (the 128/256/512/
@@ -214,8 +215,229 @@ def run_large(n_cases: int, base: int = 80_000) -> int:
     return fails
 
 
+def _ref_decode(data: bytes) -> np.ndarray:
+    """Pillow-strict reference replicating codec.decode's conversion
+    semantics (RGBA/LA/P-alpha composited onto white, floor(+0.5))."""
+    import io
+
+    from imagestitching_tpu.imgio import codec as _codec
+
+    with Image.open(io.BytesIO(data)) as img:
+        if img.mode in _codec._DEEP_GRAY_MODES:
+            return np.ascontiguousarray(_codec._deep_gray_to_rgb(img))
+        if img.mode in ("RGBA", "LA", "PA") or (
+                img.mode == "P" and "transparency" in img.info):
+            rgba = img.convert("RGBA")
+            a = np.asarray(rgba, np.float32)
+            alpha = a[:, :, 3:4] / 255.0
+            rgb = a[:, :, :3] * alpha + 255.0 * (1.0 - alpha)
+            return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+        return np.ascontiguousarray(np.asarray(img.convert("RGB")))
+
+
+def _smooth(rng, w: int, h: int) -> np.ndarray:
+    """Low-frequency content for lossy-codec cases (noise has no usable
+    tolerance bound under HEVC/JPEG)."""
+    fx, fy = rng.uniform(0.5, 3.0, 2)
+    x = np.linspace(0, fx * np.pi, w, dtype=np.float32)[None, :]
+    y = np.linspace(0, fy * np.pi, h, dtype=np.float32)[:, None]
+    chans = [127.5 + 127.5 * np.sin(x + p) * np.cos(y + q)
+             for p, q in rng.uniform(0, 6.3, (3, 2))]
+    return np.clip(np.stack([np.broadcast_to(c, (h, w)) for c in chans],
+                            -1), 0, 255).astype(np.uint8)
+
+
+def _corrupt(rng, data: bytes) -> bytes:
+    kind = rng.integers(0, 3)
+    if kind == 0 and len(data) > 16:            # truncate
+        return data[:int(len(data) * rng.uniform(0.2, 0.97))]
+    if kind == 1 and len(data) > 64:            # zero a window
+        b = bytearray(data)
+        at = int(rng.integers(32, len(b) - 16))
+        ln = int(rng.integers(4, min(256, len(b) - at)))
+        b[at:at + ln] = bytes(ln)
+        return bytes(b)
+    b = bytearray(data)                          # flip scattered bytes
+    for _ in range(int(rng.integers(1, 12))):
+        b[int(rng.integers(8, len(b)))] ^= int(rng.integers(1, 256))
+    return bytes(b)
+
+
+def run_formats(n_cases: int, base: int = 110_000) -> int:
+    """Codec-ladder soak (round-3 candidate): every container/mode the
+    ingest whitelist admits, plus corruption through the salvage ladder.
+
+    Clean files: ``codec.decode`` must match the Pillow-strict reference
+    conversion exactly (lossless containers) or within 1 (JPEG: same
+    libjpeg, different call sequence); ``get_image_info`` must agree on
+    dims/orientation without decoding; decode must be deterministic.
+    Corrupt files: decode either raises cleanly or yields a valid
+    header-shaped uint8 HWC3 array; the salvage second chance likewise —
+    anything else (hang, segfault, wrong-shape return) is the bug class
+    this soak exists to catch (native chunk-walker / defilter edges).
+    """
+    import io
+
+    from PIL.PngImagePlugin import PngInfo
+
+    from imagestitching_tpu.imgio import codec, heif, native
+
+    fails = 0
+    seed = -1
+    for seed in range(n_cases):
+        rng = np.random.default_rng(base + seed)
+        try:
+            w = int(rng.integers(1, 97))
+            h = int(rng.integers(1, 97))
+            noise = rng.integers(0, 256, (h, w, 3), np.uint8)
+            kind = str(rng.choice(
+                ["png_pil", "png_pil", "png_native", "jpeg", "jpeg",
+                 "webp", "bmp", "gif", "heic", "transcode"]))
+            tol = 0
+            orientation = 1
+            buf = io.BytesIO()
+            if kind == "png_native":
+                data = native.encode_png(
+                    noise, compression=int(rng.integers(0, 10)),
+                    threads=int(rng.choice([1, 4])))
+            elif kind == "png_pil":
+                mode = str(rng.choice(["RGB", "RGBA", "L", "LA", "P",
+                                       "Ptrans", "1", "I;16"]))
+                img = Image.fromarray(noise)
+                if mode in ("L", "LA", "1", "I;16"):
+                    img = img.convert("L")
+                    if mode == "LA":
+                        img = img.convert("LA")
+                    elif mode == "1":
+                        img = img.convert("1")
+                    elif mode == "I;16":
+                        img = img.convert("I").point(
+                            lambda v: v * 257, "I").convert("I;16")
+                elif mode == "RGBA":
+                    img = img.convert("RGBA")
+                    img.putalpha(Image.fromarray(
+                        rng.integers(0, 256, (h, w), np.uint8)))
+                elif mode in ("P", "Ptrans"):
+                    img = img.convert(
+                        "P", palette=Image.ADAPTIVE,
+                        colors=int(rng.integers(2, 257)))
+                kw = {}
+                if rng.random() < 0.5:       # extra ancillary chunks
+                    pi = PngInfo()
+                    pi.add_text("Comment", "x" * int(rng.integers(1, 999)))
+                    kw["pnginfo"] = pi
+                if mode == "Ptrans":
+                    kw["transparency"] = int(rng.integers(0, 2))
+                img.save(buf, "PNG",
+                         compress_level=int(rng.integers(0, 10)), **kw)
+                data = buf.getvalue()
+            elif kind == "jpeg":
+                mode = str(rng.choice(["RGB", "RGB", "L", "CMYK"]))
+                img = Image.fromarray(noise).convert(mode)
+                kw = {"quality": int(rng.integers(30, 96)),
+                      "progressive": bool(rng.random() < 0.3),
+                      "subsampling": int(rng.integers(0, 3))}
+                if rng.random() < 0.4:       # EXIF orientation propagation
+                    orientation = int(rng.integers(1, 9))
+                    exif = Image.Exif()
+                    exif[274] = orientation
+                    kw["exif"] = exif
+                img.save(buf, "JPEG", **kw)
+                data = buf.getvalue()
+                tol = 1 if mode != "CMYK" else 2
+            elif kind == "webp":
+                Image.fromarray(noise).save(
+                    buf, "WEBP", lossless=bool(rng.random() < 0.5),
+                    quality=int(rng.integers(30, 101)))
+                data = buf.getvalue()
+            elif kind == "bmp":
+                Image.fromarray(noise).save(buf, "BMP")
+                data = buf.getvalue()
+            elif kind == "gif":
+                Image.fromarray(noise).convert(
+                    "P", palette=Image.ADAPTIVE).save(buf, "GIF")
+                data = buf.getvalue()
+            elif kind == "heic":
+                if not heif.available():
+                    continue
+                # dims floored at 16: HEVC pads tiny planes to coded block
+                # size and reconstructs their edges poorly (62x7 at q84
+                # measured mean err 21 — codec loss, not a decode bug)
+                smooth = _smooth(rng, max(w, 16), max(h, 16))
+                with tempfile.TemporaryDirectory() as d:
+                    p = os.path.join(d, "x.heic")
+                    heif.encode_to_file(p, smooth,
+                                        quality=int(rng.integers(85, 96)))
+                    data = open(p, "rb").read()
+                dec, o = codec.decode(data)
+                assert o == 1 and dec.shape == smooth.shape
+                assert np.abs(dec.astype(int)
+                              - smooth.astype(int)).mean() < 12
+                assert heif.probe(data) == (dec.shape[1], dec.shape[0])
+                print(f"seed {base + seed}: ok (heic "
+                      f"{w}x{h})", flush=True)
+                continue
+            else:                            # unknown ext -> transcode
+                smooth = _smooth(rng, w, h)
+                with tempfile.TemporaryDirectory() as d:
+                    p = os.path.join(d, "x.tif")
+                    Image.fromarray(smooth).save(p, "TIFF")
+                    out_p = codec.transcode_if_needed(p)
+                    assert out_p != p and out_p.endswith(".jpg")
+                    dec, _ = codec.decode(out_p)
+                assert dec.shape == smooth.shape
+                assert np.abs(dec.astype(int)
+                              - smooth.astype(int)).mean() < 4
+                print(f"seed {base + seed}: ok (transcode {w}x{h})",
+                      flush=True)
+                continue
+
+            if rng.random() < 0.3:           # corruption slice
+                bad = _corrupt(rng, data)
+                for dec_fn in (codec.decode, codec.salvage_decode):
+                    try:
+                        dec, o = dec_fn(bad)
+                    except Exception:
+                        continue             # clean rejection is fine
+                    assert (dec.dtype == np.uint8 and dec.ndim == 3
+                            and dec.shape[2] == 3), dec.shape
+                print(f"seed {base + seed}: ok (corrupt {kind})",
+                      flush=True)
+                continue
+
+            want = _ref_decode(data)
+            dec, o = codec.decode(data)
+            assert o == orientation, (o, orientation)
+            assert dec.shape == want.shape, (dec.shape, want.shape)
+            diff = np.abs(dec.astype(int) - want.astype(int)).max()
+            assert diff <= tol, f"diff={diff} tol={tol} kind={kind}"
+            dec2, _ = codec.decode(data)     # determinism
+            assert np.array_equal(dec, dec2)
+            info = codec.get_image_info(data)
+            assert (info.raw_w, info.raw_h) == (want.shape[1],
+                                                want.shape[0])
+            assert info.orientation == orientation
+            assert info.supported, info.format
+            print(f"seed {base + seed}: ok ({kind} {w}x{h} tol={tol})",
+                  flush=True)
+        except Exception:
+            fails += 1
+            print(f"FAIL seed={base + seed}", flush=True)
+            traceback.print_exc()
+            if fails >= 3:
+                break
+    ran = seed + 1 if n_cases else 0
+    print(f"done: {ran}/{n_cases} format cases, {fails} failures",
+          flush=True)
+    return fails
+
+
 if __name__ == "__main__":
     argv = sys.argv[1:]
+    if argv and argv[0] == "--formats":
+        sys.exit(1 if run_formats(
+            int(argv[1]) if len(argv) > 1 else 200,
+            int(argv[2]) if len(argv) > 2 else 110_000) else 0)
     if argv and argv[0] == "--large":
         sys.exit(1 if run_large(
             int(argv[1]) if len(argv) > 1 else 200,

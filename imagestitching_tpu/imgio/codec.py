@@ -130,6 +130,22 @@ def _jpeg_scale_denom(w: int, h: int, max_pixels: Optional[int]) -> int:
     return denom
 
 
+# >8-bit grayscale modes (16-bit PNG reads as I;16 or I depending on
+# Pillow version).  ``convert("RGB")`` on these CLAMPS at 255 — every
+# pixel above the low 8 bits goes white — where libpng strip_16 (the
+# native fast path, codec.cpp) and browser canvases take the high byte.
+# The ladder must agree regardless of which decoder answered
+# (soak seed 110014 caught the fallback producing an all-white image).
+_DEEP_GRAY_MODES = ("I", "I;16", "I;16B", "I;16L", "I;16N")
+
+
+def _deep_gray_to_rgb(img: "Image.Image") -> np.ndarray:
+    g = np.asarray(img)
+    if g.dtype != np.uint8:
+        g = np.clip(g.astype(np.int64) >> 8, 0, 255).astype(np.uint8)
+    return np.repeat(g[:, :, None], 3, axis=2)
+
+
 def decode(src: PathOrBytes,
            max_pixels: Optional[int] = None) -> Tuple[np.ndarray, int]:
     """Decode to raw (un-oriented) RGB uint8 HWC + EXIF orientation.
@@ -197,6 +213,8 @@ def decode(src: PathOrBytes,
                 alpha = arr[:, :, 3:4] / 255.0
                 rgb = arr[:, :, :3] * alpha + 255.0 * (1.0 - alpha)
                 out = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+            elif img.mode in _DEEP_GRAY_MODES:
+                out = _deep_gray_to_rgb(img)
             else:
                 out = np.asarray(img.convert("RGB"))
             return np.ascontiguousarray(out), orientation
@@ -320,7 +338,10 @@ def salvage_decode(src: PathOrBytes) -> Tuple[np.ndarray, int]:
     try:
         with _open(data) as img:
             orientation = _read_orientation(img)
-            out = np.ascontiguousarray(np.asarray(img.convert("RGB")))
+            if img.mode in _DEEP_GRAY_MODES:
+                out = np.ascontiguousarray(_deep_gray_to_rgb(img))
+            else:
+                out = np.ascontiguousarray(np.asarray(img.convert("RGB")))
         return out, orientation
     finally:
         ImageFile.LOAD_TRUNCATED_IMAGES = prev
@@ -349,7 +370,11 @@ def transcode_if_needed(path: Union[str, os.PathLike],
             img = img.convert("RGB")
             base = os.path.basename(path) + ".transcoded.jpg"
             out = os.path.join(workdir or os.path.dirname(path) or ".", base)
-            img.save(out, "JPEG", quality=100)
+            # subsampling=0: at default 4:2:0 the "quality 100" transcode
+            # still halves chroma resolution (measured mean err 7.3/255 on
+            # saturated content, formats-soak seed 110034); 4:4:4 keeps the
+            # last-resort re-encode near-lossless for ~20% more bytes
+            img.save(out, "JPEG", quality=100, subsampling=0)
             return out
     except Exception as e:
         raise RuntimeError(

@@ -65,12 +65,25 @@ def test_stitch_mixed_formats(tmp_path):
     assert out.shape == (20 * 3 + 2, 20, 3)
 
 
-def test_16bit_png(tmp_path):
+def test_16bit_png(tmp_path, monkeypatch):
+    """16-bit gray PNG must decode to the HIGH byte (libpng strip_16 /
+    browser semantics) on BOTH ladder rungs: Pillow's convert("RGB")
+    clamps at 255 instead — everything bright went white until the
+    formats soak (seed 110014) caught the fallback diverging from the
+    native fast path."""
     a16 = (rng.integers(0, 65536, (6, 6), np.uint64)).astype(np.uint16)
     p = tmp_path / "d.png"
     Image.fromarray(a16, "I;16").save(p)
-    dec, _ = codec.decode(p)
+    want = (a16 >> 8).astype(np.uint8)
+    dec, _ = codec.decode(p)            # native fast path (if built)
     assert dec.dtype == np.uint8 and dec.shape == (6, 6, 3)
+    np.testing.assert_array_equal(dec[..., 0], want)
+    from imagestitching_tpu.imgio import native
+    monkeypatch.setattr(native, "available", lambda: False)
+    dec2, _ = codec.decode(p)           # Pillow fallback rung
+    np.testing.assert_array_equal(dec2, dec)
+    sal, _ = codec.salvage_decode(str(p))
+    np.testing.assert_array_equal(sal, dec)
 
 
 def test_pipeline_profile_flag(tmp_path, monkeypatch):
