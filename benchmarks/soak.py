@@ -4,6 +4,7 @@ entry point, each checked against the float64 oracle.
 Usage:  python benchmarks/soak.py [N] [SEED_BASE]          (default 200, base 10000)
         python benchmarks/soak.py --large [N] [SEED_BASE]  (default 200, base 80000)
         python benchmarks/soak.py --formats [N] [SEED_BASE]  (default 200, base 110000)
+        python benchmarks/soak.py --serve [N] [SEED_BASE]    (default 100, base 120000)
 
 ``--large`` probes the geometry the small soak cannot reach (VERDICT r2 #4):
 sides 256-2048 biased to tile/band boundary crossings (the 128/256/512/
@@ -432,8 +433,95 @@ def run_formats(n_cases: int, base: int = 110_000) -> int:
     return fails
 
 
+def run_serve(n_cases: int, base: int = 120_000) -> int:
+    """Serving-path soak: each case is one StitchServer session fed a
+    randomized job mix; every result parity-checked against the oracle.
+
+    Probes what the unit tests can't sweep: random signature-class mixes
+    (bucketing), random max_batch/max_wait (deadline flush vs batch-full
+    flush), pow-2 padding at odd job counts, engine=pallas vs xla under
+    interpret, jobs-mesh on/off, submit-side rejects interleaved with
+    good jobs, and stats-counter consistency at close."""
+    from concurrent.futures import wait
+
+    from imagestitching_tpu.serve.server import StitchServer
+
+    fails = 0
+    seed = -1
+    for seed in range(n_cases):
+        rng = np.random.default_rng(base + seed)
+        try:
+            n_classes = int(rng.integers(1, 5))
+            classes = []
+            for _ in range(n_classes):
+                k = int(rng.integers(1, 5))
+                specs = [(int(rng.integers(4, 65)), int(rng.integers(4, 65)),
+                          int(rng.integers(1, 9))) for _ in range(k)]
+                options = StitchOptions(
+                    direction=str(rng.choice(["vertical", "horizontal"])),
+                    mode=str(rng.choice(["min", "max", "original"])),
+                    gap=float(rng.integers(0, 9)),
+                    filter=str(rng.choice(["bilinear", "triangle",
+                                           "lanczos3"])),
+                    supersample=False)
+                classes.append((specs, options))
+            engine = str(rng.choice(["pallas", "xla"]))
+            srv = StitchServer(
+                max_batch=int(rng.choice([2, 3, 4, 8, 16])),
+                max_wait_s=float(rng.choice([0.0, 0.001, 0.02])),
+                engine=engine, interpret=True,
+                use_mesh=bool(rng.random() < 0.3))
+            jobs = []
+            try:
+                for _ in range(int(rng.integers(4, 17))):
+                    specs, options = classes[int(rng.integers(n_classes))]
+                    imgs = [rng.integers(0, 256, (h, w, 3), np.uint8)
+                            for w, h, _ in specs]
+                    ors = [o for _, _, o in specs]
+                    jobs.append((imgs, specs, options,
+                                 srv.submit(imgs, options,
+                                            orientations=ors)))
+                    if rng.random() < 0.15:   # reject mid-stream
+                        try:
+                            srv.submit([], StitchOptions())
+                        except ValueError:
+                            pass
+                wait([f for _, _, _, f in jobs], timeout=600)
+                st = srv.stats()
+            finally:
+                srv.close()
+            for imgs, specs, options, fut in jobs:
+                out = fut.result(timeout=60)
+                plan = solve([ImageSpec(w, h, o) for w, h, o in specs],
+                             options)
+                want = oracle.stitch(plan, imgs)
+                assert out.shape == want.shape, (out.shape, want.shape)
+                diff = np.abs(out.astype(int) - want.astype(int)).max()
+                assert diff <= 1, f"diff={diff}"
+            assert st["jobs"] == len(jobs), (st, len(jobs))
+            assert st["failed"] == 0, st
+            assert 1 <= st["batches"] <= len(jobs), st
+            print(f"seed {base + seed}: ok ({len(jobs)} jobs, "
+                  f"{n_classes} classes, {st['batches']} batches, "
+                  f"{engine})", flush=True)
+        except Exception:
+            fails += 1
+            print(f"FAIL seed={base + seed}", flush=True)
+            traceback.print_exc()
+            if fails >= 3:
+                break
+    ran = seed + 1 if n_cases else 0
+    print(f"done: {ran}/{n_cases} serve cases, {fails} failures",
+          flush=True)
+    return fails
+
+
 if __name__ == "__main__":
     argv = sys.argv[1:]
+    if argv and argv[0] == "--serve":
+        sys.exit(1 if run_serve(
+            int(argv[1]) if len(argv) > 1 else 100,
+            int(argv[2]) if len(argv) > 2 else 120_000) else 0)
     if argv and argv[0] == "--formats":
         sys.exit(1 if run_formats(
             int(argv[1]) if len(argv) > 1 else 200,
