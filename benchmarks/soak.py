@@ -372,8 +372,12 @@ def run_formats(n_cases: int, base: int = 110_000) -> int:
                     data = open(p, "rb").read()
                 dec, o = codec.decode(data)
                 assert o == 1 and dec.shape == smooth.shape
+                # sanity bound, not a quality bound: HEVC loss on small
+                # high-frequency planes measures mean err up to ~14
+                # (seed 111120: 78x16 q87 -> 13.9); a channel swap or
+                # stride bug on sinusoid content measures ~85
                 assert np.abs(dec.astype(int)
-                              - smooth.astype(int)).mean() < 12
+                              - smooth.astype(int)).mean() < 20
                 assert heif.probe(data) == (dec.shape[1], dec.shape[0])
                 print(f"seed {base + seed}: ok (heic "
                       f"{w}x{h})", flush=True)
