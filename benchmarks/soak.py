@@ -370,6 +370,19 @@ def run_formats(n_cases: int, base: int = 110_000) -> int:
                     heif.encode_to_file(p, smooth,
                                         quality=int(rng.integers(85, 96)))
                     data = open(p, "rb").read()
+                if rng.random() < 0.3:
+                    # corrupt HEVC through the libheif ctypes path: must
+                    # reject cleanly or return a valid frame — never crash
+                    bad = _corrupt(rng, data)
+                    try:
+                        dec, o = codec.decode(bad)
+                        assert (dec.dtype == np.uint8 and dec.ndim == 3
+                                and dec.shape[2] == 3), dec.shape
+                    except Exception:
+                        pass
+                    print(f"seed {base + seed}: ok (corrupt heic)",
+                          flush=True)
+                    continue
                 dec, o = codec.decode(data)
                 assert o == 1 and dec.shape == smooth.shape
                 # sanity bound, not a quality bound: HEVC loss on small
