@@ -18,6 +18,7 @@ replacement:
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import queue
 import threading
@@ -58,7 +59,8 @@ class StitchServer:
     def __init__(self, max_batch: int = 64, max_wait_s: float = 0.005,
                  engine: str = "pallas", use_mesh: bool = False,
                  config: Optional[RuntimeConfig] = None,
-                 interpret: bool = False, max_queue: int = 1024):
+                 interpret: bool = False, max_queue: int = 1024,
+                 max_signatures: int = 32):
         self.max_batch = max_batch
         self.max_wait_s = max_wait_s
         self.engine = engine
@@ -69,10 +71,19 @@ class StitchServer:
         # of buffering unboundedly (the server analog of the reference's
         # isStitching mutex refusing re-entry, index.js:25,772)
         self.max_queue = max_queue
+        # Signature-LRU over compiled batch executables: each BatchedStitch
+        # owns its jax.jit closure, so evicting a signature really frees
+        # its compiled programs.  Without a bound, a long-lived server fed
+        # diverse geometry accretes one executable per (signature, padded
+        # batch size) forever — the serving analog of the reference's
+        # budgeted bitmap cache (pages/index/index.js:9-11).  Per
+        # signature the inner dict stays <= log2(max_batch)+1 pow-2 sizes.
+        self.max_signatures = max(1, max_signatures)
         self._pending = 0                  # submitted, future not yet set
         self._plock = threading.Lock()
         self._queue: "queue.Queue[Optional[_Job]]" = queue.Queue()
-        self._compiled: Dict[Tuple, Dict[int, BatchedStitch]] = {}
+        self._compiled: "collections.OrderedDict[Tuple, Dict[int, BatchedStitch]]" = \
+            collections.OrderedDict()
         self._log = get_logger()
         self._stats = {"jobs": 0, "batches": 0, "failed": 0}
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -185,6 +196,11 @@ class StitchServer:
     def _get_compiled(self, plan: LayoutPlan, batch: int) -> BatchedStitch:
         sig = plan.signature()
         per_size = self._compiled.setdefault(sig, {})
+        self._compiled.move_to_end(sig)
+        while len(self._compiled) > self.max_signatures:
+            old_sig, old = self._compiled.popitem(last=False)
+            self._log.event("serve.signature_evicted",
+                            sizes=sorted(old), kept=len(self._compiled))
         if batch not in per_size:
             per_size[batch] = BatchedStitch(
                 plan, batch, engine=self.engine, mesh=self.mesh,

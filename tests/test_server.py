@@ -186,3 +186,22 @@ def test_server_randomized_stress():
         assert out.shape == want.shape
         assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
     assert s.stats()["jobs"] >= 40
+
+
+def test_server_signature_lru_bounded():
+    """A long-lived server fed diverse geometry must not accrete compiled
+    executables forever: the signature LRU keeps at most max_signatures
+    entries, and an evicted signature recompiles correctly on return."""
+    with StitchServer(max_batch=2, max_wait_s=0.0, engine="xla",
+                      max_signatures=2) as s:
+        first = [rand_img(10, 10)]
+        assert s.submit(first).result(timeout=60).shape == (10, 10, 3)
+        for w in (12, 14, 16, 18):          # 4 more distinct signatures
+            assert s.submit([rand_img(w, 8)]).result(
+                timeout=60).shape == (8, w, 3)
+        assert len(s._compiled) <= 2
+        # the first signature was evicted; resubmitting recompiles + works
+        out = s.submit(first).result(timeout=60)
+        want = oracle.stitch(solve([ImageSpec(10, 10)], StitchOptions()),
+                             first)
+        assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
