@@ -140,7 +140,8 @@ class StitchServer:
         with self._plock:
             pending = self._pending
         return {**self._stats, "pending": pending,
-                "max_queue": self.max_queue}
+                "max_queue": self.max_queue,
+                "signatures": len(self._compiled)}
 
     def close(self, timeout: float = 10.0) -> None:
         if not self._closed:
