@@ -218,14 +218,25 @@ def run_large(n_cases: int, base: int = 80_000) -> int:
 
 def _ref_decode(data: bytes) -> np.ndarray:
     """Pillow-strict reference replicating codec.decode's conversion
-    semantics (RGBA/LA/P-alpha composited onto white, floor(+0.5))."""
+    semantics (RGBA/LA/P-alpha composited onto white, floor(+0.5)).
+
+    Deliberately does NOT import the codec's own conversion helpers: the
+    reference must stay an independent statement of the contract (>8-bit
+    grayscale takes the high byte; generic mode "I" holding 8-bit-range
+    data passes through) so a helper regression cannot hide from the soak.
+    """
     import io
 
-    from imagestitching_tpu.imgio import codec as _codec
-
     with Image.open(io.BytesIO(data)) as img:
-        if img.mode in _codec._DEEP_GRAY_MODES:
-            return np.ascontiguousarray(_codec._deep_gray_to_rgb(img))
+        if img.mode in ("I", "I;16", "I;16B", "I;16L", "I;16N"):
+            g = np.asarray(img)
+            if g.dtype != np.uint8:
+                if img.mode == "I" and (g.size == 0 or int(g.max()) <= 255):
+                    g = np.clip(g, 0, 255).astype(np.uint8)
+                else:
+                    g = np.clip(g.astype(np.int64) >> 8, 0,
+                                255).astype(np.uint8)
+            return np.ascontiguousarray(np.repeat(g[:, :, None], 3, axis=2))
         if img.mode in ("RGBA", "LA", "PA") or (
                 img.mode == "P" and "transparency" in img.info):
             rgba = img.convert("RGBA")

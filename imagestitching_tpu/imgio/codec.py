@@ -142,8 +142,36 @@ _DEEP_GRAY_MODES = ("I", "I;16", "I;16B", "I;16L", "I;16N")
 def _deep_gray_to_rgb(img: "Image.Image") -> np.ndarray:
     g = np.asarray(img)
     if g.dtype != np.uint8:
-        g = np.clip(g.astype(np.int64) >> 8, 0, 255).astype(np.uint8)
+        # The I;16* modes are 16-bit by definition: take the high byte.
+        # Generic "I" is a 32-bit container with no defined range — common
+        # int32 TIFFs hold plain 8-bit data, where >>8 would crush every
+        # pixel to 0; shift only when the data actually exceeds 8 bits.
+        if img.mode == "I" and (g.size == 0 or int(g.max()) <= 255):
+            g = np.clip(g, 0, 255).astype(np.uint8)
+        else:
+            g = np.clip(g.astype(np.int64) >> 8, 0, 255).astype(np.uint8)
     return np.repeat(g[:, :, None], 3, axis=2)
+
+
+def _img_to_rgb(img: "Image.Image") -> np.ndarray:
+    """Mode-dispatch conversion shared by every decode rung.
+
+    All rungs of the ladder (strict decode, salvage, transcode) must agree
+    on conversion semantics or the ladder's answer depends on which rung
+    fired: alpha composites onto white (the draw loop always targets the
+    white-filled canvas, index.js:1423-1424), >8-bit grayscale takes the
+    high byte, everything else converts to RGB.
+    """
+    if img.mode in ("RGBA", "LA", "PA") or (
+            img.mode == "P" and "transparency" in img.info):
+        rgba = img.convert("RGBA")
+        arr = np.asarray(rgba, np.float32)
+        alpha = arr[:, :, 3:4] / 255.0
+        rgb = arr[:, :, :3] * alpha + 255.0 * (1.0 - alpha)
+        return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+    if img.mode in _DEEP_GRAY_MODES:
+        return _deep_gray_to_rgb(img)
+    return np.asarray(img.convert("RGB"))
 
 
 def decode(src: PathOrBytes,
@@ -206,18 +234,7 @@ def decode(src: PathOrBytes,
                 if denom > 1:
                     img.draft("RGB", (max(1, img.width // denom),
                                       max(1, img.height // denom)))
-            if img.mode in ("RGBA", "LA", "PA") or (
-                    img.mode == "P" and "transparency" in img.info):
-                rgba = img.convert("RGBA")
-                arr = np.asarray(rgba, np.float32)
-                alpha = arr[:, :, 3:4] / 255.0
-                rgb = arr[:, :, :3] * alpha + 255.0 * (1.0 - alpha)
-                out = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
-            elif img.mode in _DEEP_GRAY_MODES:
-                out = _deep_gray_to_rgb(img)
-            else:
-                out = np.asarray(img.convert("RGB"))
-            return np.ascontiguousarray(out), orientation
+            return np.ascontiguousarray(_img_to_rgb(img)), orientation
     finally:
         _pil_gate.read_release()
 
@@ -338,10 +355,7 @@ def salvage_decode(src: PathOrBytes) -> Tuple[np.ndarray, int]:
     try:
         with _open(data) as img:
             orientation = _read_orientation(img)
-            if img.mode in _DEEP_GRAY_MODES:
-                out = np.ascontiguousarray(_deep_gray_to_rgb(img))
-            else:
-                out = np.ascontiguousarray(np.asarray(img.convert("RGB")))
+            out = np.ascontiguousarray(_img_to_rgb(img))
         return out, orientation
     finally:
         ImageFile.LOAD_TRUNCATED_IMAGES = prev
@@ -367,7 +381,10 @@ def transcode_if_needed(path: Union[str, os.PathLike],
             return path           # decode() reads HEIC natively — no transcode
     try:
         with _open(path) as img:
-            img = img.convert("RGB")
+            # same conversion semantics as the strict/salvage rungs: a
+            # 16-bit grayscale or alpha'd TIFF must not clamp to white /
+            # drop alpha just because it arrived via the transcode rung
+            img = Image.fromarray(_img_to_rgb(img))
             base = os.path.basename(path) + ".transcoded.jpg"
             out = os.path.join(workdir or os.path.dirname(path) or ".", base)
             # subsampling=0: at default 4:2:0 the "quality 100" transcode

@@ -23,7 +23,7 @@ import dataclasses
 import queue
 import threading
 import time
-from concurrent.futures import Future
+from concurrent.futures import Future, InvalidStateError
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -131,10 +131,18 @@ class StitchServer:
     def _resolve(self, job: "_Job", value=None, error=None) -> None:
         with self._plock:
             self._pending -= 1
-        if error is not None:
-            job.future.set_exception(error)
-        else:
-            job.future.set_result(value)
+        try:
+            if error is not None:
+                job.future.set_exception(error)
+            else:
+                job.future.set_result(value)
+        except InvalidStateError:
+            # The client cancelled while the job sat queued (serve futures
+            # are never marked running, so Future.cancel() succeeds).  The
+            # result has no recipient — drop it.  Must not propagate: a
+            # throw mid-resolve-loop would split-retry the whole batch,
+            # double-counting stats and recomputing batch-mates.
+            self._log.event("serve.resolve_dropped", cancelled=True)
 
     def stats(self) -> dict:
         with self._plock:
@@ -262,18 +270,21 @@ class StitchServer:
                 stacks.append(np.stack(arrs))
             compiled = self._get_compiled(plan, padded)
             out = compiled(stacks)
-            for i, j in enumerate(jobs):
-                self._resolve(j, value=out[i])
+            # bump stats BEFORE resolving: a client woken by its future must
+            # observe stats() that already include its own job (readers
+            # synchronize on the futures, not on the worker thread)
             self._stats["jobs"] += b
             self._stats["batches"] += 1
+            for i, j in enumerate(jobs):
+                self._resolve(j, value=out[i])
             self._log.event("serve.flush", batch=b, padded=padded,
                             canvas=(plan.canvas_w, plan.canvas_h))
         except Exception as e:  # noqa: BLE001 — isolation boundary
             # batch-level failure: retry jobs individually so one poisoned
             # job cannot take down its batch-mates
             if len(jobs) == 1:
+                self._stats["failed"] += 1       # before resolve (see above)
                 self._resolve(jobs[0], error=e)
-                self._stats["failed"] += 1
                 self._log.event("serve.job_fail", error=repr(e))
                 return
             self._log.event("serve.batch_fail_retry_split", n=len(jobs),

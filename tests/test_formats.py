@@ -86,6 +86,51 @@ def test_16bit_png(tmp_path, monkeypatch):
     np.testing.assert_array_equal(sal, dec)
 
 
+def test_mode_i_tiff_range_aware(tmp_path):
+    """Generic mode "I" (32-bit container, no defined range): 8-bit-range
+    data must pass through — the unconditional >>8 crushed it to black —
+    while true 16-bit-range data still takes the high byte."""
+    a8 = rng.integers(0, 256, (6, 6)).astype(np.int32)
+    p8 = tmp_path / "i8.tif"
+    Image.fromarray(a8).save(p8)        # int32 -> mode "I"
+    with Image.open(p8) as probe:
+        assert probe.mode == "I"        # precondition for the regression
+    dec, _ = codec.decode(p8)
+    np.testing.assert_array_equal(dec[..., 0], a8.astype(np.uint8))
+
+    a16 = rng.integers(256, 65536, (6, 6)).astype(np.int32)
+    p16 = tmp_path / "i16.tif"
+    Image.fromarray(a16).save(p16)
+    dec16, _ = codec.decode(p16)
+    np.testing.assert_array_equal(dec16[..., 0], (a16 >> 8).astype(np.uint8))
+
+
+def test_transcode_rung_deep_gray(tmp_path):
+    """transcode_if_needed (the unknown-extension rung) must share the
+    strict rung's conversion semantics: a 16-bit gray TIFF takes the high
+    byte instead of convert("RGB")'s clamp-to-white."""
+    a16 = np.full((8, 8), 30000, np.uint16)      # high byte 117; clamp = 255
+    p = tmp_path / "deep.tif"
+    Image.fromarray(a16).save(p)        # uint16 -> mode "I;16"
+    out = codec.transcode_if_needed(p, workdir=str(tmp_path))
+    assert out != str(p)
+    dec, _ = codec.decode(out)
+    assert abs(int(dec.mean()) - 117) <= 3       # JPEG q100 4:4:4 slack
+
+
+def test_salvage_composites_alpha(tmp_path):
+    """salvage_decode must composite alpha onto white like decode() (its
+    convert("RGB") dropped alpha until the ladder unification)."""
+    rgba = np.dstack([np.full((5, 5), 40, np.uint8)] * 3
+                     + [np.full((5, 5), 128, np.uint8)])
+    p = tmp_path / "a.png"
+    Image.fromarray(rgba).save(p)       # (H, W, 4) uint8 -> RGBA
+    strict, _ = codec.decode(p)
+    sal, _ = codec.salvage_decode(str(p))
+    np.testing.assert_array_equal(sal, strict)
+    assert int(strict[0, 0, 0]) == 147           # round(40*128/255 + 127)
+
+
 def test_pipeline_profile_flag(tmp_path, monkeypatch):
     from imagestitching_tpu.core.layout import ImageSpec, solve
     from imagestitching_tpu.config import StitchOptions

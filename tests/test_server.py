@@ -205,3 +205,22 @@ def test_server_signature_lru_bounded():
         want = oracle.stitch(solve([ImageSpec(10, 10)], StitchOptions()),
                              first)
         assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_server_cancelled_future_does_not_poison_batch():
+    """A client cancelling its queued future (serve futures are never
+    marked running, so cancel() succeeds) must not poison the batch: the
+    batch-mates still resolve, stats count the batch exactly once, and the
+    dropped result is logged rather than raising InvalidStateError into
+    the split-retry path (which would recompute mates and double-count)."""
+    with StitchServer(max_batch=4, max_wait_s=0.2, engine="xla") as s:
+        imgs = [rand_img(20, 12)]
+        f_cancel = s.submit(imgs)
+        assert f_cancel.cancel()            # still queued: cancel wins
+        mates = [s.submit([rand_img(20, 12)]) for _ in range(2)]
+        for f in mates:
+            assert f.result(timeout=60).shape == (12, 20, 3)
+        s.close()
+        st = s.stats()
+        assert st["jobs"] == 3              # counted once, incl. cancelled
+        assert st["failed"] == 0
