@@ -396,3 +396,46 @@ def test_stitch_host_blit_respects_engine_pin():
     _, m = ist.stitch(imgs, config=RuntimeConfig(engine="xla"),
                       return_metrics=True)
     assert m.strategy != "host-blit"
+
+
+def test_concurrent_stitch_threads():
+    """Race coverage for the public entry point itself: the framework's
+    race-freedom story is structural (pure functions + lru_cache'd
+    compiles + the Pillow gate), but nothing drove api.stitch_arrays from
+    several threads at once.  Mixed signatures force both cache hits and
+    concurrent first-compiles; every result must still match the oracle."""
+    import threading
+
+    from imagestitching_tpu.core.layout import ImageSpec, solve
+
+    rng_ = np.random.default_rng(77)
+    jobs = []
+    for k in range(8):
+        n = 1 + k % 3
+        sizes = [(16 + 4 * ((k + i) % 3), 12 + 4 * (i % 2))
+                 for i in range(n)]
+        imgs = [rng_.integers(0, 256, (h, w, 3), np.uint8)
+                for w, h in sizes]
+        opts = StitchOptions(direction="vertical" if k % 2 else "horizontal",
+                             gap=k % 4)
+        jobs.append((imgs, [ImageSpec(w, h) for w, h in sizes], opts))
+    results = [None] * len(jobs)
+    errors = []
+
+    def work(i):
+        try:
+            imgs, specs, opts = jobs[i]
+            results[i] = api.stitch_arrays(
+                imgs, specs, opts, RuntimeConfig(engine="xla"))
+        except Exception as e:  # noqa: BLE001
+            errors.append((i, e))
+
+    ts = [threading.Thread(target=work, args=(i,)) for i in range(len(jobs))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=120)
+    assert not errors, errors
+    for (imgs, specs, opts), out in zip(jobs, results):
+        want = oracle.stitch(solve(specs, opts), imgs)
+        assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
