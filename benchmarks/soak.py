@@ -32,19 +32,25 @@ import sys
 import tempfile
 import traceback
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-if "xla_force_host_platform_device_count" not in os.environ.get(
-        "XLA_FLAGS", ""):
-    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                               + " --xla_force_host_platform_device_count=8"
-                               ).strip()
+# ``--tpu`` keeps the process on the real chip (the whole point of that
+# mode is exercising the Mosaic-compiled kernel, not interpret emulation);
+# every other mode forces the 8-device virtual CPU mesh.
+_ON_TPU = "--tpu" in sys.argv[1:]
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    if "xla_force_host_platform_device_count" not in os.environ.get(
+            "XLA_FLAGS", ""):
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 from PIL import Image  # noqa: E402
@@ -544,8 +550,84 @@ def run_serve(n_cases: int, base: int = 120_000) -> int:
     return fails
 
 
+def run_tpu(n_cases: int, base: int = 140_000) -> int:
+    """Randomized parity soak ON the real chip (no CPU forcing, no
+    interpret mode): every other soak emulates the kernel, so Mosaic
+    compilation itself — vector layouts, DMA alignment, the split-bf16
+    MXU passes — is only ever exercised by bench and the smoke tests.
+    Geometry stays modest (compiles ride a slow remote tunnel, D2H is
+    ~15-45 MB/s) and the kernel engine is over-represented.  Parity bound
+    is the real-TPU contract: <=1 uint8 step vs the float64 oracle."""
+    dev = jax.devices()[0]
+    print(f"platform: {dev.platform} ({dev.device_kind})", flush=True)
+    if dev.platform == "cpu":
+        print("no TPU in this process; --tpu soak skipped", flush=True)
+        return 0
+    from imagestitching_tpu.runtime import jaxcfg
+    jaxcfg.ensure_compile_cache()
+    fails = 0
+    seed = -1
+    for seed in range(n_cases):
+        rng = np.random.default_rng(base + seed)
+        try:
+            n = int(rng.integers(1, 7))
+            equalize = rng.random() < 0.35     # some pure-blit plans
+            direction = str(rng.choice(["vertical", "horizontal"]))
+            common = _boundary_biased(rng, 32, 384)
+            specs, imgs = [], []
+            for _ in range(n):
+                w = (common if (equalize and direction == "vertical")
+                     else _boundary_biased(rng, 32, 512))
+                h = (common if (equalize and direction == "horizontal")
+                     else _boundary_biased(rng, 32, 512))
+                o = int(rng.integers(1, 9))
+                specs.append(ImageSpec(w, h, o))
+                imgs.append(rng.integers(0, 256, (h, w, 3), np.uint8))
+            options = StitchOptions(
+                direction=direction,
+                mode=str(rng.choice(["min", "max", "original"])),
+                gap=float(rng.integers(0, 11)),
+                filter=str(rng.choice(["bilinear", "bilinear", "triangle",
+                                       "box", "lanczos3"])),
+                background=tuple(int(x) for x in rng.integers(0, 256, 3)),
+                supersample=bool(rng.random() < 0.1))
+            plan = solve(specs, options)
+            want = oracle.stitch(plan, imgs)
+            engine = str(rng.choice(["pallas", "pallas", "auto", "xla"]))
+            cfg = RuntimeConfig(engine=engine)
+            try:
+                out = api.stitch_arrays(imgs, specs, options, cfg)
+            except NotImplementedError:
+                if engine != "pallas":
+                    raise
+                # documented contract (same as the large soak): an
+                # explicit kernel engine surfaces Infeasible; auto demotes
+                engine = "auto(demoted)"
+                out = api.stitch_arrays(imgs, specs, options,
+                                        RuntimeConfig(engine="auto"))
+            assert out.shape == want.shape, (out.shape, want.shape)
+            diff = np.abs(out.astype(int) - want.astype(int)).max()
+            assert diff <= 1, f"diff={diff}"
+            print(f"seed {base + seed}: ok ({engine}, n={n}, "
+                  f"canvas={plan.canvas_w}x{plan.canvas_h}, "
+                  f"{options.filter}, diff={diff})", flush=True)
+        except Exception:
+            fails += 1
+            print(f"FAIL seed={base + seed}", flush=True)
+            traceback.print_exc()
+            if fails >= 3:
+                break
+    ran = seed + 1 if n_cases else 0
+    print(f"done: {ran}/{n_cases} tpu cases, {fails} failures", flush=True)
+    return fails
+
+
 if __name__ == "__main__":
     argv = sys.argv[1:]
+    if argv and argv[0] == "--tpu":
+        sys.exit(1 if run_tpu(
+            int(argv[1]) if len(argv) > 1 else 30,
+            int(argv[2]) if len(argv) > 2 else 140_000) else 0)
     if argv and argv[0] == "--serve":
         sys.exit(1 if run_serve(
             int(argv[1]) if len(argv) > 1 else 100,
