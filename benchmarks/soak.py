@@ -5,6 +5,7 @@ Usage:  python benchmarks/soak.py [N] [SEED_BASE]          (default 200, base 10
         python benchmarks/soak.py --large [N] [SEED_BASE]  (default 200, base 80000)
         python benchmarks/soak.py --formats [N] [SEED_BASE]  (default 200, base 110000)
         python benchmarks/soak.py --serve [N] [SEED_BASE]    (default 100, base 120000)
+        python benchmarks/soak.py --cli [N] [SEED_BASE]      (default 150, base 150000)
 
 ``--large`` probes the geometry the small soak cannot reach (VERDICT r2 #4):
 sides 256-2048 biased to tile/band boundary crossings (the 128/256/512/
@@ -550,6 +551,204 @@ def run_serve(n_cases: int, base: int = 120_000) -> int:
     return fails
 
 
+def run_cli(n_cases: int, base: int = 150_000) -> int:
+    """CLI-surface soak: randomized in-process ``cli.main(argv)`` calls.
+
+    The other soak modes drive the library API; this one covers the wiring
+    only unit tests touch — argument parsing, background/limits/profile
+    plumbing, the on_error ladder, the --json/--metrics output contract,
+    and the file-in/file-out round trip (mixed containers, EXIF
+    orientation, lossy sources).  The oracle decodes the SAME files via
+    ``codec.decode``, so lossy sources cost no tolerance; lossless PNG
+    output means the written file must match the canvas exactly.  A slice
+    of cases exercises the documented failure exits (bad --background ->
+    rc 2, max_images violation / undecodable input -> rc 1) and the
+    --on-error skip path against an oracle over the decodable subset."""
+    import contextlib
+    import dataclasses as _dc
+    import io
+    import json as _json
+
+    from imagestitching_tpu import cli
+    from imagestitching_tpu.config import CanvasLimits
+    from imagestitching_tpu.imgio import codec, native
+
+    fails = 0
+    seed = -1
+    for seed in range(n_cases):
+        rng = np.random.default_rng(base + seed)
+        try:
+            with tempfile.TemporaryDirectory() as d:
+                n = int(rng.integers(1, 7))
+                paths = []
+                for i in range(n):
+                    w = int(rng.integers(4, 65))
+                    h = int(rng.integers(4, 65))
+                    arr = rng.integers(0, 256, (h, w, 3), np.uint8)
+                    kind = str(rng.choice(
+                        ["png", "png_native", "bmp", "jpeg", "webp"]))
+                    if kind == "png_native":
+                        p = os.path.join(d, f"{i}.png")
+                        with open(p, "wb") as f:
+                            f.write(native.encode_png(
+                                arr, compression=int(rng.integers(0, 7))))
+                    elif kind == "jpeg":
+                        p = os.path.join(d, f"{i}.jpg")
+                        kw = {"quality": int(rng.integers(40, 96))}
+                        if rng.random() < 0.4:
+                            exif = Image.Exif()
+                            exif[274] = int(rng.integers(1, 9))
+                            kw["exif"] = exif
+                        Image.fromarray(arr).save(p, "JPEG", **kw)
+                    elif kind == "webp":
+                        p = os.path.join(d, f"{i}.webp")
+                        Image.fromarray(arr).save(
+                            p, "WEBP", lossless=bool(rng.random() < 0.5),
+                            quality=int(rng.integers(50, 101)))
+                    else:
+                        ext = "png" if kind == "png" else "bmp"
+                        p = os.path.join(d, f"{i}.{ext}")
+                        Image.fromarray(arr).save(p)
+                    paths.append(p)
+
+                failure_kind = None
+                if rng.random() < 0.18:
+                    failure_kind = str(rng.choice(
+                        ["bad_background", "max_images", "corrupt_raise",
+                         "corrupt_skip"]))
+                if failure_kind in ("corrupt_raise", "corrupt_skip"):
+                    # pure garbage: fails decode AND the salvage ladder
+                    bad = os.path.join(d, "bad.png")
+                    with open(bad, "wb") as f:
+                        f.write(bytes(rng.integers(0, 256, 24,
+                                                   np.uint8).tobytes()))
+                    paths.insert(int(rng.integers(0, len(paths) + 1)), bad)
+
+                options = StitchOptions(
+                    direction=str(rng.choice(["vertical", "horizontal"])),
+                    mode=str(rng.choice(["min", "max", "original"])),
+                    gap=float(rng.integers(0, 13)),
+                    filter=str(rng.choice(["bilinear", "bilinear",
+                                           "triangle", "box", "lanczos3"])),
+                    background=tuple(int(x) for x in rng.integers(0, 256, 3)),
+                    supersample=bool(rng.random() < 0.15),
+                    max_images=None)
+                out_ext = "jpg" if rng.random() < 0.15 else "png"
+                out_path = os.path.join(d, f"out.{out_ext}")
+                argv = list(paths) + ["-o", out_path,
+                                      "--direction", options.direction,
+                                      "--mode", options.mode,
+                                      "--gap", str(options.gap),
+                                      "--filter", options.filter,
+                                      "--background",
+                                      ",".join(map(str, options.background)),
+                                      "--engine",
+                                      str(rng.choice(["auto", "auto", "xla",
+                                                      "oracle"])),
+                                      "--overlap",
+                                      str(rng.choice(["auto", "always",
+                                                      "never"])),
+                                      "--png-level",
+                                      str(int(rng.integers(0, 10)))]
+                if options.supersample:
+                    argv.append("--supersample")
+                profile = None
+                if rng.random() < 0.2:
+                    profile = str(rng.choice(["ios", "android"]))
+                    argv += ["--parity-profile", profile]
+                limits = (CanvasLimits.reference_ios() if profile == "ios"
+                          else CanvasLimits.reference_android()
+                          if profile == "android" else None)
+                limits_kw = {}
+                if rng.random() < 0.25:
+                    limits_kw["max_side"] = int(rng.integers(16, 200))
+                    argv += ["--max-side", str(limits_kw["max_side"])]
+                if rng.random() < 0.25:
+                    limits_kw["max_pixels"] = int(rng.integers(400, 30_000))
+                    argv += ["--max-pixels", str(limits_kw["max_pixels"])]
+                if limits_kw:
+                    limits = _dc.replace(limits or CanvasLimits(),
+                                         **limits_kw)
+                if rng.random() < 0.3:
+                    argv += ["--decode-threads",
+                             str(int(rng.integers(1, 4)))]
+                if rng.random() < 0.3:
+                    argv += ["--decode-window", str(int(rng.integers(1, 4)))]
+                if rng.random() < 0.25:
+                    argv.append("--no-stream")
+                style = rng.integers(0, 4)
+                as_json = style == 1
+                if style == 0:
+                    argv.append("--quiet")
+                elif style == 1:
+                    argv.append("--json")
+                if rng.random() < 0.5:
+                    argv.append("--metrics")
+
+                if failure_kind == "bad_background":
+                    argv[argv.index("--background") + 1] = str(rng.choice(
+                        ["256,0,0", "1,2", "a,b,c", "-1,0,0", "1,2,3,4"]))
+                elif failure_kind == "max_images":
+                    argv += ["--max-images", str(len(paths) - 1)]
+                elif failure_kind == "corrupt_skip":
+                    argv += ["--on-error", "skip"]
+
+                so, se = io.StringIO(), io.StringIO()
+                with contextlib.redirect_stdout(so), \
+                        contextlib.redirect_stderr(se):
+                    rc = cli.main(argv)
+
+                if failure_kind == "bad_background":
+                    assert rc == 2, (rc, se.getvalue())
+                    assert "background" in se.getvalue()
+                    print(f"seed {base + seed}: ok (rc2 bad background)",
+                          flush=True)
+                    continue
+                if failure_kind in ("max_images", "corrupt_raise"):
+                    assert rc == 1, (rc, se.getvalue())
+                    assert "error:" in se.getvalue()
+                    print(f"seed {base + seed}: ok (rc1 {failure_kind})",
+                          flush=True)
+                    continue
+                assert rc == 0, (rc, se.getvalue())
+
+                imgs, specs = [], []
+                for p in paths:
+                    try:
+                        img, o = codec.decode(p)
+                    except Exception:
+                        assert failure_kind == "corrupt_skip"
+                        continue
+                    imgs.append(img)
+                    specs.append(ImageSpec(img.shape[1], img.shape[0], o))
+                plan = solve(specs, options, limits)
+                want = oracle.stitch(plan, imgs)
+                out = np.asarray(Image.open(out_path).convert("RGB"))
+                assert out.shape == want.shape, (out.shape, want.shape)
+                diff = np.abs(out.astype(int) - want.astype(int))
+                if out_ext == "png":
+                    assert diff.max() <= 1, f"diff={diff.max()}"
+                else:           # JPEG q95 on noise: loose sanity bound
+                    assert diff.mean() < 12, f"jpeg mean={diff.mean():.1f}"
+                if as_json:
+                    res = _json.loads(so.getvalue())
+                    assert (res["width"], res["height"]) == (
+                        want.shape[1], want.shape[0]), res
+                    assert ("metrics" in res) == ("--metrics" in argv), res
+                print(f"seed {base + seed}: ok (n={len(specs)}, "
+                      f"{plan.canvas_w}x{plan.canvas_h}, {out_ext}, "
+                      f"{failure_kind or 'clean'})", flush=True)
+        except Exception:
+            fails += 1
+            print(f"FAIL seed={base + seed}", flush=True)
+            traceback.print_exc()
+            if fails >= 3:
+                break
+    ran = seed + 1 if n_cases else 0
+    print(f"done: {ran}/{n_cases} cli cases, {fails} failures", flush=True)
+    return fails
+
+
 def run_tpu(n_cases: int, base: int = 140_000) -> int:
     """Randomized parity soak ON the real chip (no CPU forcing, no
     interpret mode): every other soak emulates the kernel, so Mosaic
@@ -628,6 +827,10 @@ if __name__ == "__main__":
         sys.exit(1 if run_tpu(
             int(argv[1]) if len(argv) > 1 else 30,
             int(argv[2]) if len(argv) > 2 else 140_000) else 0)
+    if argv and argv[0] == "--cli":
+        sys.exit(1 if run_cli(
+            int(argv[1]) if len(argv) > 1 else 150,
+            int(argv[2]) if len(argv) > 2 else 150_000) else 0)
     if argv and argv[0] == "--serve":
         sys.exit(1 if run_serve(
             int(argv[1]) if len(argv) > 1 else 100,
