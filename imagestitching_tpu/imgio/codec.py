@@ -146,7 +146,13 @@ def _deep_gray_to_rgb(img: "Image.Image") -> np.ndarray:
         # Generic "I" is a 32-bit container with no defined range — common
         # int32 TIFFs hold plain 8-bit data, where >>8 would crush every
         # pixel to 0; shift only when the data actually exceeds 8 bits.
-        if img.mode == "I" and (g.size == 0 or int(g.max()) <= 255):
+        # EXCEPT for PNG sources: PNG has no >16-bit integer mode, so a
+        # mode-"I" PNG (older Pillow versions open 16-bit gray that way)
+        # is always 16-bit samples — a dark frame (all <= 255) must still
+        # take the high byte or this rung diverges from libpng strip_16
+        # (the native fast path) on the very same file.
+        if (img.mode == "I" and img.format != "PNG"
+                and (g.size == 0 or int(g.max()) <= 255)):
             g = np.clip(g, 0, 255).astype(np.uint8)
         else:
             g = np.clip(g.astype(np.int64) >> 8, 0, 255).astype(np.uint8)

@@ -86,6 +86,25 @@ def test_16bit_png(tmp_path, monkeypatch):
     np.testing.assert_array_equal(sal, dec)
 
 
+def test_mode_i_png_dark_takes_high_byte():
+    """Older Pillow versions open 16-bit gray PNG as generic mode "I".
+    A dark frame (all samples <= 255) must STILL take the high byte:
+    PNG has no 32-bit integer mode, so the samples are 16-bit by format,
+    and the range-aware pass-through (correct for int32 TIFF) would make
+    this rung diverge from libpng strip_16 (the native fast path) on the
+    very same file."""
+    dark = np.full((4, 4), 200, np.int32)       # high byte 0 -> black
+    img = Image.fromarray(dark)                 # mode "I"
+    img.format = "PNG"                          # as Pillow's PNG plugin sets
+    out = codec._deep_gray_to_rgb(img)
+    np.testing.assert_array_equal(out, np.zeros((4, 4, 3), np.uint8))
+    img2 = Image.fromarray(dark)                # non-PNG container ("I" TIFF
+    assert img2.format is None                  # analog): range pass-through
+    out2 = codec._deep_gray_to_rgb(img2)
+    np.testing.assert_array_equal(out2[..., 0], np.full((4, 4), 200,
+                                                        np.uint8))
+
+
 def test_mode_i_tiff_range_aware(tmp_path):
     """Generic mode "I" (32-bit container, no defined range): 8-bit-range
     data must pass through — the unconditional >>8 crushed it to black —

@@ -213,14 +213,18 @@ def test_server_cancelled_future_does_not_poison_batch():
     batch-mates still resolve, stats count the batch exactly once, and the
     dropped result is logged rather than raising InvalidStateError into
     the split-retry path (which would recompute mates and double-count)."""
-    with StitchServer(max_batch=4, max_wait_s=0.2, engine="xla") as s:
+    # max_wait_s far above any 1-core scheduling stall: the flush must come
+    # from the batch-FULL trigger (4th submit below), never the deadline —
+    # a deadline flush racing the cancel() would set_result first and make
+    # cancel() legitimately return False (not the behavior under test)
+    with StitchServer(max_batch=4, max_wait_s=5.0, engine="xla") as s:
         imgs = [rand_img(20, 12)]
         f_cancel = s.submit(imgs)
         assert f_cancel.cancel()            # still queued: cancel wins
-        mates = [s.submit([rand_img(20, 12)]) for _ in range(2)]
+        mates = [s.submit([rand_img(20, 12)]) for _ in range(3)]
         for f in mates:
             assert f.result(timeout=60).shape == (12, 20, 3)
         s.close()
         st = s.stats()
-        assert st["jobs"] == 3              # counted once, incl. cancelled
+        assert st["jobs"] == 4              # counted once, incl. cancelled
         assert st["failed"] == 0
