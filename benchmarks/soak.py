@@ -896,6 +896,13 @@ def run_cli(n_cases: int, base: int = 150_000) -> int:
                 if limits_kw:
                     limits = _dc.replace(limits or CanvasLimits(),
                                          **limits_kw)
+                artifact_dir = None
+                if rng.random() < 0.2 and failure_kind is None:
+                    # artifact-store slice: run the SAME argv twice — the
+                    # second invocation must serve decodes from the disk
+                    # store (runtime/artifacts) and still match the oracle
+                    artifact_dir = os.path.join(d, "acache")
+                    argv += ["--artifact-cache", artifact_dir]
                 if rng.random() < 0.3:
                     argv += ["--decode-threads",
                              str(int(rng.integers(1, 4)))]
@@ -923,7 +930,13 @@ def run_cli(n_cases: int, base: int = 150_000) -> int:
                 so, se = io.StringIO(), io.StringIO()
                 with contextlib.redirect_stdout(so), \
                         contextlib.redirect_stderr(se):
-                    rc = cli.main(argv)
+                    try:
+                        rc = cli.main(argv)
+                    except SystemExit as e:
+                        # argparse rejections (e.g. a dash-leading
+                        # --background value parsed as an option) exit(2)
+                        # instead of returning; same rc-2 contract
+                        rc = int(e.code or 0)
 
                 if failure_kind == "bad_background":
                     assert rc == 2, (rc, se.getvalue())
