@@ -524,7 +524,10 @@ def run_serve(n_cases: int, base: int = 120_000) -> int:
                 max_batch=int(rng.choice([2, 3, 4, 8, 16])),
                 max_wait_s=float(rng.choice([0.0, 0.001, 0.02])),
                 engine=engine, interpret=True,
-                use_mesh=bool(rng.random() < 0.3))
+                use_mesh=bool(rng.random() < 0.3),
+                # down to 1: force signature-LRU evict/recompile cycles
+                # mid-session (default 32 never evicts at <=4 classes)
+                max_signatures=int(rng.choice([1, 2, 32])))
             jobs = []
             try:
                 for _ in range(int(rng.integers(4, 17))):
@@ -975,9 +978,26 @@ def run_cli(n_cases: int, base: int = 150_000) -> int:
                     assert (res["width"], res["height"]) == (
                         want.shape[1], want.shape[0]), res
                     assert ("metrics" in res) == ("--metrics" in argv), res
+                if artifact_dir is not None:
+                    # second identical run: clear the process-global RAM
+                    # bitmap cache so decodes MUST come from the disk
+                    # artifact store's read path, and still match
+                    from imagestitching_tpu.runtime import cache as _rc
+                    assert os.listdir(artifact_dir), "store never written"
+                    _rc.get_cache().clear()
+                    with contextlib.redirect_stdout(io.StringIO()), \
+                            contextlib.redirect_stderr(io.StringIO()):
+                        rc2 = cli.main(argv)
+                    assert rc2 == 0, rc2
+                    out2 = np.asarray(Image.open(out_path).convert("RGB"))
+                    if out_ext == "png":
+                        d2 = np.abs(out2.astype(int) - want.astype(int))
+                        assert d2.max() <= 1, f"store rerun diff={d2.max()}"
+                tag = "store" if artifact_dir is not None else (
+                    failure_kind or "clean")
                 print(f"seed {base + seed}: ok (n={len(specs)}, "
                       f"{plan.canvas_w}x{plan.canvas_h}, {out_ext}, "
-                      f"{failure_kind or 'clean'})", flush=True)
+                      f"{tag})", flush=True)
         except Exception:
             fails += 1
             print(f"FAIL seed={base + seed}", flush=True)
