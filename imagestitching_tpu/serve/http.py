@@ -229,8 +229,12 @@ def main(argv=None) -> int:
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--max-batch", type=int, default=64)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
-    p.add_argument("--engine", default="pallas",
-                   choices=("pallas", "xla"))
+    p.add_argument("--engine", default="auto",
+                   choices=("auto", "pallas", "xla"),
+                   help="auto: fused kernel per signature, XLA gather "
+                        "where the kernel is infeasible (extreme "
+                        "downscales); explicit pallas surfaces those "
+                        "jobs as 400s instead")
     args = p.parse_args(argv)
     srv = StitchHTTPServer(args.host, args.port,
                            max_batch=args.max_batch,

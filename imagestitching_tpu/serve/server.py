@@ -57,10 +57,20 @@ class StitchServer:
     """
 
     def __init__(self, max_batch: int = 64, max_wait_s: float = 0.005,
-                 engine: str = "pallas", use_mesh: bool = False,
+                 engine: str = "auto", use_mesh: bool = False,
                  config: Optional[RuntimeConfig] = None,
                  interpret: bool = False, max_queue: int = 1024,
                  max_signatures: int = 32):
+        """``engine``: ``"auto"`` (default) resolves per signature — the
+        fused Pallas kernel wherever its schedule is feasible, demoting to
+        the XLA gather engine otherwise (extreme downscales whose filter
+        window exceeds the kernel's 64-tap bound, or non-TPU backends
+        without interpret mode) — mirroring the pipeline's engine="auto"
+        contract.  Explicit ``"pallas"`` surfaces Infeasible as the job's
+        error instead (an HTTP 400 through serve.http), explicit
+        ``"xla"`` pins the gather engine."""
+        if engine not in ("auto", "pallas", "xla"):
+            raise ValueError(f"unsupported server engine {engine!r}")
         self.max_batch = max_batch
         self.max_wait_s = max_wait_s
         self.engine = engine
@@ -202,6 +212,30 @@ class StitchServer:
                 self._flush(buckets.pop(sig))
             deadline = None
 
+    def _resolve_engine(self, plan: LayoutPlan) -> str:
+        """Per-signature engine for ``engine="auto"``: the fused kernel
+        when every placement schedules (and the backend can run it),
+        else the XLA gather engine — the serving analog of
+        runtime.pipeline._pallas_ok.  Deterministic per signature, so the
+        compiled-executable cache needs no engine key."""
+        if self.engine != "auto":
+            return self.engine
+        from ..runtime.pipeline import _kernel_backend_ok
+        if not _kernel_backend_ok("auto", self.interpret):
+            return "xla"
+        from ..ops import pallas_resize
+        try:
+            for p in plan.placements:
+                if (p.row_span[1] > p.row_span[0]
+                        and p.col_span[1] > p.col_span[0]):
+                    pallas_resize._Schedule(p, plan.filter)
+        except NotImplementedError as e:
+            self._log.once("serve.engine_demoted",
+                           canvas=(plan.canvas_w, plan.canvas_h),
+                           reason=str(e))
+            return "xla"
+        return "pallas"
+
     def _get_compiled(self, plan: LayoutPlan, batch: int) -> BatchedStitch:
         sig = plan.signature()
         per_size = self._compiled.setdefault(sig, {})
@@ -212,8 +246,8 @@ class StitchServer:
                             sizes=sorted(old), kept=len(self._compiled))
         if batch not in per_size:
             per_size[batch] = BatchedStitch(
-                plan, batch, engine=self.engine, mesh=self.mesh,
-                interpret=self.interpret)
+                plan, batch, engine=self._resolve_engine(plan),
+                mesh=self.mesh, interpret=self.interpret)
         return per_size[batch]
 
     def _batch_cap(self, plan: LayoutPlan, channels: int) -> int:

@@ -93,7 +93,8 @@ def test_server_pallas_engine_interpret():
 
 
 def test_server_mesh_with_default_engine():
-    """StitchServer(use_mesh=True) with its DEFAULT engine (pallas) on the
+    """StitchServer(use_mesh=True) with the explicit pallas engine (what
+    engine="auto" resolves to for feasible signatures on TPU) on the
     8-device CPU mesh: the shard_map path must serve real jobs with parity
     (VERDICT r2 #8 — this combination previously appeared in no test)."""
     with StitchServer(max_batch=8, max_wait_s=0.01, engine="pallas",
@@ -228,3 +229,30 @@ def test_server_cancelled_future_does_not_poison_batch():
         st = s.stats()
         assert st["jobs"] == 4              # counted once, incl. cancelled
         assert st["failed"] == 0
+
+
+def test_server_engine_auto_demotes_infeasible_signature():
+    """engine="auto" (the default) resolves per signature: a job whose
+    downscale needs a filter window beyond the kernel's 64-tap bound
+    (4->64 min-mode lanczos3: K=97) demotes to the XLA gather engine and
+    SUCCEEDS — the serving analog of pipeline engine="auto" (the http
+    soak caught the old default surfacing this as a client 400)."""
+    opts = StitchOptions(mode="min", filter="lanczos3", supersample=False)
+    imgs = [rand_img(4, 4), rand_img(64, 64)]
+    specs = [ImageSpec(4, 4), ImageSpec(64, 64)]
+    with StitchServer(max_batch=2, max_wait_s=0.0, engine="auto",
+                      interpret=True) as s:
+        out = s.submit(imgs, opts).result(timeout=120)
+        want = oracle.stitch(solve(specs, opts), imgs)
+        assert out.shape == want.shape
+        assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
+        assert s.stats()["failed"] == 0
+    # a feasible signature on the same auto server still picks the kernel
+    # (engine resolution is per signature, not global): covered implicitly
+    # by the pallas-default tests; here assert the EXPLICIT engine contract
+    with StitchServer(max_batch=2, max_wait_s=0.0, engine="pallas",
+                      interpret=True) as s:
+        fut = s.submit(imgs, opts)
+        with pytest.raises(NotImplementedError):
+            fut.result(timeout=120)
+        assert s.stats()["failed"] == 1
