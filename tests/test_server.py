@@ -256,3 +256,17 @@ def test_server_engine_auto_demotes_infeasible_signature():
         with pytest.raises(NotImplementedError):
             fut.result(timeout=120)
         assert s.stats()["failed"] == 1
+
+
+def test_server_bare_default_works_on_cpu_backend():
+    """StitchServer() with every default on a CPU backend resolves
+    engine="auto" to the gather engine (Mosaic only lowers on TPU) — the
+    old pallas default failed every job at first flush here."""
+    with StitchServer(max_batch=4, max_wait_s=0.0) as s:
+        imgs = [rand_img(32, 24), rand_img(30, 20)]
+        out = s.submit(imgs, StitchOptions(gap=2)).result(timeout=60)
+        plan = solve([ImageSpec(32, 24), ImageSpec(30, 20)],
+                     StitchOptions(gap=2))
+        want = oracle.stitch(plan, imgs)
+        assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
+        assert s.stats()["failed"] == 0
