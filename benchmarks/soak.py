@@ -8,6 +8,7 @@ Usage:  python benchmarks/soak.py [N] [SEED_BASE]          (default 200, base 10
         python benchmarks/soak.py --cli [N] [SEED_BASE]      (default 150, base 150000)
         python benchmarks/soak.py --http [N] [SEED_BASE]     (default 40, base 160000)
         python benchmarks/soak.py --tpu [N] [SEED_BASE]      (default 30, base 140000; real chip)
+        python benchmarks/soak.py --preview [N] [SEED_BASE]  (default 200, base 170000)
 
 ``--large`` probes the geometry the small soak cannot reach (VERDICT r2 #4):
 sides 256-2048 biased to tile/band boundary crossings (the 128/256/512/
@@ -1121,8 +1122,70 @@ def run_tpu(n_cases: int, base: int = 140_000) -> int:
     return fails
 
 
+def run_preview(n_cases: int, base: int = 170_000) -> int:
+    """Randomized soak of the preview surface (``api.make_preview`` /
+    ``api.preview_size``) — the one public entry point the job-shaped soak
+    modes never reach.  Device path (XLA gather-engine resize, f32) vs the
+    float64 host oracle path within 1 uint8 step; the ``preview_size``
+    contract (fit-to-width, 180 px floor — utils/canvas.js:124-128) is
+    asserted on the output shape.  Degenerate shapes (1-px sides, extreme
+    aspect, upscales where box_w > source width) are over-represented: the
+    resize taps, not the compositor, are under test here."""
+    fails = 0
+    seed = -1
+    for seed in range(n_cases):
+        rng = np.random.default_rng(base + seed)
+        try:
+            shape_kind = rng.integers(0, 4)
+            if shape_kind == 0:      # degenerate: a 1-px side
+                w, h = (1, int(rng.integers(1, 400))) if rng.random() < .5 \
+                    else (int(rng.integers(1, 400)), 1)
+            elif shape_kind == 1:    # extreme aspect (strip-like)
+                w, h = int(rng.integers(300, 2000)), int(rng.integers(2, 40))
+                if rng.random() < 0.5:
+                    w, h = h, w
+            else:                    # ordinary
+                w, h = int(rng.integers(2, 700)), int(rng.integers(2, 700))
+            img = rng.integers(0, 256, (h, w, 3), np.uint8)
+            box_w = int(rng.integers(1, 600))
+            min_height = (180 if rng.random() < 0.5
+                          else int(rng.integers(1, 400)))
+            # bound the preview to ~2 MP: a 1-px-wide source makes
+            # ph = box_w*h/w explode, and the float64 oracle path would
+            # hold 8x that in intermediates
+            while box_w > 1 and box_w * api.preview_size(
+                    w, h, box_w, min_height)[1] > 2_000_000:
+                box_w //= 2
+            pw, ph = api.preview_size(w, h, box_w, min_height)
+            assert pw == box_w and ph == max(
+                min_height, round(box_w * h / max(1, w))), (pw, ph)
+            got = api.make_preview(img, box_w, min_height, device=True)
+            want = api.make_preview(img, box_w, min_height, device=False)
+            assert got.shape == (ph, pw, 3) == want.shape, (
+                got.shape, want.shape, (ph, pw))
+            diff = np.abs(got.astype(int) - want.astype(int)).max()
+            assert diff <= 1, f"diff={diff}"
+            if seed % 25 == 0:
+                print(f"seed {base + seed}: ok ({w}x{h} -> {pw}x{ph}, "
+                      f"diff={diff})", flush=True)
+        except Exception:
+            fails += 1
+            print(f"FAIL seed={base + seed}", flush=True)
+            traceback.print_exc()
+            if fails >= 3:
+                break
+    ran = seed + 1 if n_cases else 0
+    print(f"done: {ran}/{n_cases} preview cases, {fails} failures",
+          flush=True)
+    return fails
+
+
 if __name__ == "__main__":
     argv = sys.argv[1:]
+    if argv and argv[0] == "--preview":
+        sys.exit(1 if run_preview(
+            int(argv[1]) if len(argv) > 1 else 200,
+            int(argv[2]) if len(argv) > 2 else 170_000) else 0)
     if argv and argv[0] == "--tpu":
         sys.exit(1 if run_tpu(
             int(argv[1]) if len(argv) > 1 else 30,
