@@ -48,3 +48,24 @@ def test_make_preview_accepts_device_array():
     dev = api.make_preview(jnp.asarray(img), 30, min_height=1)
     host = api.make_preview(img, 30, min_height=1, device=False)
     assert np.abs(dev.astype(int) - host.astype(int)).max() <= 1
+
+
+def test_make_preview_degenerate_shapes():
+    """1-px sides and upscales through both paths (soak --preview pins)."""
+    for h, w in [(1, 37), (37, 1), (1, 1), (3, 500)]:
+        img = rng.integers(0, 256, (h, w, 3), np.uint8)
+        box_w = 12
+        pw, ph = api.preview_size(w, h, box_w, min_height=2)
+        dev = api.make_preview(img, box_w, min_height=2, device=True)
+        host = api.make_preview(img, box_w, min_height=2, device=False)
+        assert dev.shape == (ph, pw, 3) == host.shape
+        assert np.abs(dev.astype(int) - host.astype(int)).max() <= 1
+
+
+def test_make_preview_upscale_matches_oracle():
+    """box_w > source width: the tap builder must upscale cleanly."""
+    img = rng.integers(0, 256, (9, 7, 3), np.uint8)
+    dev = api.make_preview(img, 50, min_height=1, device=True)
+    host = api.make_preview(img, 50, min_height=1, device=False)
+    assert dev.shape == host.shape == (round(50 * 9 / 7), 50, 3)
+    assert np.abs(dev.astype(int) - host.astype(int)).max() <= 1
