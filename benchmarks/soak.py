@@ -274,17 +274,11 @@ def _smooth(rng, w: int, h: int) -> np.ndarray:
 
 def _kernel_feasible(plan) -> bool:
     """Whether every placement schedules on the fused kernel (the 64-tap
-    filter-window bound fails at extreme downscales) — mirrors
-    serve.server._resolve_engine / pipeline._pallas_ok."""
+    filter-window bound fails at extreme downscales) — the SAME predicate
+    serve._resolve_engine / pipeline._pallas_ok / BatchedStitch use, so
+    the soak's routing expectations can't drift from the engines'."""
     from imagestitching_tpu.ops import pallas_resize
-    try:
-        for p in plan.placements:
-            if (p.row_span[1] > p.row_span[0]
-                    and p.col_span[1] > p.col_span[0]):
-                pallas_resize._Schedule(p, plan.filter)
-        return True
-    except NotImplementedError:
-        return False
+    return pallas_resize.plan_feasible(plan)
 
 
 def _jpg_parity_ok(plan) -> bool:
@@ -1157,9 +1151,19 @@ def run_preview(n_cases: int, base: int = 170_000) -> int:
                     w, h, box_w, min_height)[1] > 2_000_000:
                 box_w //= 2
             pw, ph = api.preview_size(w, h, box_w, min_height)
+            # independent half-up formula (NOT Python round — banker's)
+            import math as _math
             assert pw == box_w and ph == max(
-                min_height, round(box_w * h / max(1, w))), (pw, ph)
+                min_height,
+                _math.floor(box_w * h / max(1, w) + 0.5)), (pw, ph)
+            # Exercise the device resize DIRECTLY first: make_preview's
+            # blanket host-fallback would otherwise mask a broken device
+            # path (got == want trivially, all seeds green).  Any raise
+            # here is a soak failure.
+            direct = np.asarray(api._device_resize(img, ph, pw))
             got = api.make_preview(img, box_w, min_height, device=True)
+            assert np.array_equal(got, direct), (
+                "make_preview(device=True) took the host fallback")
             want = api.make_preview(img, box_w, min_height, device=False)
             assert got.shape == (ph, pw, 3) == want.shape, (
                 got.shape, want.shape, (ph, pw))

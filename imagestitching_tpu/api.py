@@ -491,9 +491,14 @@ def preview_size(width: int, height: int, box_w: int,
     """Fit-to-width preview dims with a minimum height.
 
     The ``calcPreviewHeight`` analog (utils/canvas.js:124-128): preview height
-    follows the aspect ratio at the box width, floored at 180 px.
+    follows the aspect ratio at the box width, floored at 180 px.  The
+    reference keeps the height as a fractional CSS px; a raster preview
+    needs an integer, so we round half-up (``Math.round``) like every other
+    rounding in the layout contract (core.layout._js_round) — Python's
+    banker's ``round`` would diverge by a full row at exact .5 ratios.
     """
-    h = max(min_height, round(box_w * height / max(1, width)))
+    from .core.layout import _js_round
+    h = max(min_height, _js_round(box_w * height / max(1, width)))
     return box_w, h
 
 

@@ -78,6 +78,31 @@ class Infeasible(NotImplementedError):
     """Raised when a placement can't run under VMEM constraints (fallback: XLA)."""
 
 
+def check_plan_feasible(plan) -> None:
+    """Raise :class:`Infeasible` unless every non-empty placement in ``plan``
+    schedules on the fused kernel.
+
+    Zero-area placements (a source whose rounded draw height/width is 0 —
+    the reference draws these as no-ops, pages/index/index.js:1526-1554)
+    are skipped exactly as the compute paths skip them.  This is THE plan
+    feasibility predicate: pipeline._pallas_ok, serve._resolve_engine,
+    BatchedStitch.__init__ and the soak all route through it so the four
+    call sites can never drift again.
+    """
+    for p in plan.placements:
+        if p.row_span[1] > p.row_span[0] and p.col_span[1] > p.col_span[0]:
+            _Schedule(p, plan.filter)
+
+
+def plan_feasible(plan) -> bool:
+    """``check_plan_feasible`` as a predicate."""
+    try:
+        check_plan_feasible(plan)
+        return True
+    except NotImplementedError:
+        return False
+
+
 # ---------------------------------------------------------------------------
 # Per-placement static schedule
 # ---------------------------------------------------------------------------

@@ -117,8 +117,10 @@ class BatchedStitch:
         if engine not in ("pallas", "xla"):
             raise ValueError(f"unsupported batch engine {engine!r}")
         if engine == "pallas":
-            for p in plan.placements:
-                pallas_resize._Schedule(p, plan.filter)  # feasibility check
+            # Shared predicate (skips zero-area placements, which the
+            # compute path also skips — an eager per-placement loop here
+            # once rejected plans _batched_pallas runs fine).
+            pallas_resize.check_plan_feasible(plan)
         self.plan = plan
         self.batch_size = batch_size
         self.channels = channels

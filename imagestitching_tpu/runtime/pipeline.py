@@ -748,9 +748,7 @@ def _pallas_ok(plan: LayoutPlan, config: RuntimeConfig) -> bool:
         return False
     try:
         from ..ops import pallas_resize
-        for p in plan.placements:
-            if p.row_span[1] > p.row_span[0] and p.col_span[1] > p.col_span[0]:
-                pallas_resize._Schedule(p, plan.filter)
+        pallas_resize.check_plan_feasible(plan)
         return True
     except NotImplementedError:
         if config.engine == "pallas":

@@ -92,7 +92,13 @@ class StitchServer:
         self._pending = 0                  # submitted, future not yet set
         self._plock = threading.Lock()
         self._queue: "queue.Queue[Optional[_Job]]" = queue.Queue()
-        self._compiled: "collections.OrderedDict[Tuple, Dict[int, BatchedStitch]]" = \
+        # sig -> (resolved engine or None, {batch_size: BatchedStitch}).
+        # The engine is resolved once per signature (it is deterministic in
+        # the plan), not once per batch size — resolution rebuilds every
+        # placement's tap arrays + tile search, real wall time on this
+        # single-core host.
+        self._compiled: ("collections.OrderedDict[Tuple, "
+                         "Tuple[Optional[str], Dict[int, BatchedStitch]]]") = \
             collections.OrderedDict()
         self._log = get_logger()
         self._stats = {"jobs": 0, "batches": 0, "failed": 0}
@@ -225,10 +231,7 @@ class StitchServer:
             return "xla"
         from ..ops import pallas_resize
         try:
-            for p in plan.placements:
-                if (p.row_span[1] > p.row_span[0]
-                        and p.col_span[1] > p.col_span[0]):
-                    pallas_resize._Schedule(p, plan.filter)
+            pallas_resize.check_plan_feasible(plan)
         except NotImplementedError as e:
             self._log.once("serve.engine_demoted",
                            canvas=(plan.canvas_w, plan.canvas_h),
@@ -238,15 +241,18 @@ class StitchServer:
 
     def _get_compiled(self, plan: LayoutPlan, batch: int) -> BatchedStitch:
         sig = plan.signature()
-        per_size = self._compiled.setdefault(sig, {})
+        engine, per_size = self._compiled.setdefault(sig, (None, {}))
         self._compiled.move_to_end(sig)
         while len(self._compiled) > self.max_signatures:
-            old_sig, old = self._compiled.popitem(last=False)
+            old_sig, (_, old_sizes) = self._compiled.popitem(last=False)
             self._log.event("serve.signature_evicted",
-                            sizes=sorted(old), kept=len(self._compiled))
+                            sizes=sorted(old_sizes), kept=len(self._compiled))
         if batch not in per_size:
+            if engine is None:
+                engine = self._resolve_engine(plan)
+                self._compiled[sig] = (engine, per_size)
             per_size[batch] = BatchedStitch(
-                plan, batch, engine=self._resolve_engine(plan),
+                plan, batch, engine=engine,
                 mesh=self.mesh, interpret=self.interpret)
         return per_size[batch]
 

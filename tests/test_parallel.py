@@ -355,3 +355,17 @@ def test_batch_on_2d_mesh_jobs_axis():
     out_p = pbatch.stitch_batch(plan, stacks, engine="pallas", mesh=mesh,
                                 interpret=True)
     assert np.abs(out_p.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_batched_pallas_accepts_empty_span_placement():
+    """Regression: BatchedStitch's eager feasibility check once rejected
+    plans containing a zero-area placement (rounded draw height 0) that
+    _batched_pallas itself skips at compute time — check_plan_feasible
+    now skips empty spans for every caller."""
+    plan = plan_for([ImageSpec(33, 4), ImageSpec(4, 4)], mode="min")
+    assert any(p.row_span[0] == p.row_span[1] for p in plan.placements)
+    bs = pbatch.BatchedStitch(plan, 2, engine="pallas", interpret=True)
+    stacks = [rand_stack(2, 33, 4), rand_stack(2, 4, 4)]
+    got = np.asarray(bs(stacks))
+    want = oracle_batch(plan, stacks)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1

@@ -69,3 +69,12 @@ def test_make_preview_upscale_matches_oracle():
     host = api.make_preview(img, 50, min_height=1, device=False)
     assert dev.shape == host.shape == (round(50 * 9 / 7), 50, 3)
     assert np.abs(dev.astype(int) - host.astype(int)).max() <= 1
+
+
+def test_preview_size_rounds_half_up():
+    """The reference keeps a fractional CSS height (utils/canvas.js:127);
+    our integer height rounds half-up like every other layout rounding
+    (_js_round) — Python's banker's round() would give 2 here."""
+    assert api.preview_size(2, 5, 1, min_height=1) == (1, 3)    # 2.5 -> 3
+    assert api.preview_size(4, 10, 1, min_height=1) == (1, 3)   # 2.5 -> 3
+    assert api.preview_size(4, 6, 2, min_height=1) == (2, 3)    # 3.0 -> 3

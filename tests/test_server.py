@@ -270,3 +270,47 @@ def test_server_bare_default_works_on_cpu_backend():
         want = oracle.stitch(plan, imgs)
         assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
         assert s.stats()["failed"] == 0
+
+
+def test_server_auto_engine_empty_span_placement():
+    """Regression: a min-mode plan where one source's rounded draw height
+    is 0 (the reference draws it as a no-op, pages/index/index.js:1526-1554)
+    resolved to "pallas" under engine="auto" — which skips empty spans —
+    but BatchedStitch's eager feasibility loop did not skip them and
+    raised Infeasible("empty dest rect"), failing a job the single-job
+    pipeline runs fine.  Both now route through check_plan_feasible."""
+    specs = [ImageSpec(33, 4), ImageSpec(4, 4)]
+    opts = StitchOptions(direction="vertical", mode="min")
+    plan = solve(specs, opts)
+    assert any(p.row_span[0] == p.row_span[1] for p in plan.placements), \
+        "expected a zero-height placement in this reproducer"
+    imgs = [rand_img(33, 4), rand_img(4, 4)]
+    with StitchServer(max_batch=2, max_wait_s=0.002, engine="auto",
+                      interpret=True) as s:
+        out = s.submit(imgs, opts).result(timeout=120)
+        assert s.stats()["failed"] == 0
+    want = oracle.stitch(plan, imgs)
+    assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_server_engine_resolved_once_per_signature(monkeypatch):
+    """engine="auto" resolution (full tap + tile-search rebuild) runs once
+    per signature, not once per batch size."""
+    calls = []
+    s = StitchServer(max_batch=8, max_wait_s=30.0, engine="auto",
+                     interpret=True)
+    try:
+        real = s._resolve_engine
+
+        def counting(plan):
+            calls.append(plan.signature())
+            return real(plan)
+
+        monkeypatch.setattr(s, "_resolve_engine", counting)
+        plan = solve([ImageSpec(24, 16), ImageSpec(16, 12)], StitchOptions())
+        s._get_compiled(plan, 1)
+        s._get_compiled(plan, 2)
+        s._get_compiled(plan, 4)
+        assert len(calls) == 1
+    finally:
+        s.close()
