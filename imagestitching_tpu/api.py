@@ -398,25 +398,32 @@ def _stitch_blit_overlapped(plan, loaders, config, progress, copies):
         loaders, config.decode_threads, config.decode_timeout_s,
         window=config.decode_window
         or decoding.default_window(config.decode_threads, n))
-    for i, raw, err in gen:
-        if err is not None:
-            get_logger().event("pipeline.overlapped_decode_fail", index=i,
-                               error=repr(err))
-            raise err
-        p = plan.placements[i]
-        raw = geometry.normalize_rgb(raw)
-        if raw is None or raw.shape[:2] != (p.raw_h, p.raw_w):
-            raise ValueError(
-                f"image {i}: decoded "
-                f"{None if raw is None else raw.shape} but header said "
-                f"{p.raw_w}x{p.raw_h}x3")
-        if i in copies:
-            geometry.paste_blit(
-                canvas, p, geometry.orient_array(raw, p.orientation),
-                copies[i])
-        gen.ack()                       # pasted (or skipped): slot freed
-        done += 1
-        progress("composite", 0.30 + 0.60 * done / n)
+    try:
+        for i, raw, err in gen:
+            if err is not None:
+                get_logger().event("pipeline.overlapped_decode_fail",
+                                   index=i, error=repr(err))
+                raise err
+            p = plan.placements[i]
+            raw = geometry.normalize_rgb(raw)
+            if raw is None or raw.shape[:2] != (p.raw_h, p.raw_w):
+                raise ValueError(
+                    f"image {i}: decoded "
+                    f"{None if raw is None else raw.shape} but header said "
+                    f"{p.raw_w}x{p.raw_h}x3")
+            if i in copies:
+                geometry.paste_blit(
+                    canvas, p, geometry.orient_array(raw, p.orientation),
+                    copies[i])
+            gen.ack()                   # pasted (or skipped): slot freed
+            done += 1
+            progress("composite", 0.30 + 0.60 * done / n)
+    finally:
+        # a decode error / shape mismatch must cancel the pool promptly —
+        # abandoned, its daemon workers keep decoding queued images and
+        # busy-poll the permit semaphore until a gc cycle pass finds the
+        # self-referential generator (mirrors pipeline._run_overlapped_body)
+        gen.close()
     m.prepare_s = _time.perf_counter() - t0
     m.total_s = _time.perf_counter() - t0
     get_logger().event("pipeline.done", strategy=m.strategy,

@@ -112,7 +112,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.decode_window is not None and args.decode_window < 1:
+        # clean usage error instead of RuntimeConfig's raw ValueError
+        # traceback (matches how --decode-timeout normalizes one line below)
+        parser.error(f"--decode-window must be >= 1, got {args.decode_window}")
     try:
         bg = tuple(int(x) for x in args.background.split(","))
         if len(bg) != 3 or not all(0 <= v <= 255 for v in bg):

@@ -686,7 +686,12 @@ _OOM_PHRASES = ("resource_exhausted", "out of memory", "ran out of memory",
 def _is_oom(e: Exception) -> bool:
     if isinstance(e, MemoryError):
         return True
-    if not isinstance(e, RuntimeError):
+    # XlaRuntimeError/JaxRuntimeError subclass RuntimeError in current jax,
+    # but that has moved across versions — also accept the known names so a
+    # backend re-parenting its exception type cannot silently disable the
+    # whole elastic-recovery ladder (phrase fallback stays reachable).
+    if not isinstance(e, RuntimeError) and type(e).__name__ not in (
+            "XlaRuntimeError", "JaxRuntimeError"):
         return False
     msg = str(e)
     if msg.lstrip().upper().startswith(_OOM_STATUS_PREFIXES):

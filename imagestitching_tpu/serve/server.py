@@ -233,7 +233,10 @@ class StitchServer:
         try:
             pallas_resize.check_plan_feasible(plan)
         except NotImplementedError as e:
-            self._log.once("serve.engine_demoted",
+            # once-key carries the signature: EACH demoted signature logs
+            # once (a bare tag would record only the first in the server's
+            # lifetime, silencing every later demotion)
+            self._log.once(f"serve.engine_demoted:{plan.signature()}",
                            canvas=(plan.canvas_w, plan.canvas_h),
                            reason=str(e))
             return "xla"

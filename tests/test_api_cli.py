@@ -439,3 +439,46 @@ def test_concurrent_stitch_threads():
     for (imgs, specs, opts), out in zip(jobs, results):
         want = oracle.stitch(solve(specs, opts), imgs)
         assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_cli_decode_window_zero_usage_error(tmp_path):
+    """--decode-window 0 must be a clean argparse usage error (rc 2), not a
+    raw RuntimeConfig ValueError traceback (ADVICE r3)."""
+    a = tmp_path / "a.png"
+    make_png(a, 8, 8)
+    r = run_cli(a, a, "-o", tmp_path / "o.png", "--decode-window", "0")
+    assert r.returncode == 2
+    assert "decode-window" in r.stderr
+    assert "Traceback" not in r.stderr
+
+
+def test_blit_overlapped_decode_error_closes_pool(monkeypatch):
+    """A decode error on the overlapped host-blit path must cancel the
+    decode pool promptly (ADVICE r3: an abandoned pool's daemon workers
+    keep decoding and busy-poll the permit semaphore until gc)."""
+    from imagestitching_tpu.core import geometry
+    from imagestitching_tpu.core.layout import ImageSpec, solve
+    from imagestitching_tpu.runtime import decoding
+
+    plan = solve([ImageSpec(48, 30)] * 3, StitchOptions())
+    copies = geometry.plan_copy_offsets(plan)
+    assert copies is not None
+    good = np.zeros((30, 48, 3), np.uint8)
+
+    def bad():
+        raise RuntimeError("decode exploded")
+
+    loaders = [lambda: good, bad, lambda: good]
+    pools = []
+    real = decoding.iter_decoded
+
+    def spy(*a, **kw):
+        pools.append(real(*a, **kw))
+        return pools[-1]
+
+    monkeypatch.setattr(decoding, "iter_decoded", spy)
+    with pytest.raises(RuntimeError, match="decode exploded"):
+        api._stitch_blit_overlapped(plan, loaders, RuntimeConfig(),
+                                    lambda *a: None, copies)
+    assert len(pools) == 1
+    assert pools[0]._cancelled.is_set()

@@ -146,3 +146,16 @@ def test_cli_parity_profile_with_supersample(tmp_path):
     import json
     res = json.loads(r.stdout)
     assert res["width"] == 220  # 2.2x iOS supersample ceiling
+
+
+def test_is_oom_accepts_reparented_runtime_error_types():
+    """A backend whose XlaRuntimeError stops subclassing RuntimeError must
+    still reach the phrase fallback (ADVICE r3): classification accepts the
+    known runtime-error type NAMES before rejecting on type."""
+    XlaRuntimeError = type("XlaRuntimeError", (Exception,), {})
+    assert pipeline._is_oom(XlaRuntimeError("RESOURCE_EXHAUSTED: 12G"))
+    assert pipeline._is_oom(XlaRuntimeError("ran out of memory in hbm"))
+    assert not pipeline._is_oom(XlaRuntimeError("ABORTED: backend error"))
+    # arbitrary exception types still never demote
+    Weird = type("WeirdError", (Exception,), {})
+    assert not pipeline._is_oom(Weird("out of memory"))

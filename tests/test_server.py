@@ -314,3 +314,31 @@ def test_server_engine_resolved_once_per_signature(monkeypatch):
         assert len(calls) == 1
     finally:
         s.close()
+
+
+def test_server_logs_each_demoted_signature(monkeypatch):
+    """Every infeasible signature logs its demotion once — a bare once-key
+    recorded only the FIRST demotion in the server's lifetime (ADVICE r3)."""
+    from imagestitching_tpu.ops import pallas_resize
+
+    s = StitchServer(max_batch=2, max_wait_s=0.01, engine="auto",
+                     interpret=True)
+    try:
+        monkeypatch.setattr(
+            pallas_resize, "check_plan_feasible",
+            lambda plan: (_ for _ in ()).throw(
+                NotImplementedError("forced infeasible")))
+        import imagestitching_tpu.runtime.pipeline as pl
+        monkeypatch.setattr(pl, "_kernel_backend_ok", lambda *a: True)
+        plan_a = solve([ImageSpec(24, 16)], StitchOptions())
+        plan_b = solve([ImageSpec(32, 20)], StitchOptions())
+        assert s._resolve_engine(plan_a) == "xla"
+        assert s._resolve_engine(plan_b) == "xla"
+        # repeat demotion of the SAME signature stays deduped
+        assert s._resolve_engine(plan_a) == "xla"
+        tags = [r["tag"] for r in s._log.ring()
+                if r["tag"].startswith("serve.engine_demoted")]
+        assert len(tags) == 2
+        assert len(set(tags)) == 2
+    finally:
+        s.close()
