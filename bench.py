@@ -11,20 +11,37 @@ Host decode and the sandbox's tunnel transfers are reported to stderr but are
 not the headline (they are environment artifacts; see runtime/pipeline for
 the overlapped host pipeline).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} — ALWAYS,
-even when the TPU backend aborts mid-run: every device phase runs under a
-bounded transient-error retry (re-``device_put`` of the inputs between
-attempts), and an unrecoverable failure still emits the line with whatever
-fields completed plus an ``"errors"`` map (round 2 lost its scoreboard entry
-to a single transient ``ABORTED`` — never again).
+Prints ONE final JSON line: {"metric", "value", "unit", "vs_baseline", ...} —
+ALWAYS, no matter how the process dies:
+
+* every device phase runs under a bounded transient-error retry
+  (re-``device_put`` of the inputs between attempts), and an unrecoverable
+  failure still emits the line with whatever fields completed plus an
+  ``"errors"`` map (round 2 lost its scoreboard entry to one ``ABORTED``);
+* a PARTIAL line (``"partial": true``) goes out right after the device phase,
+  before the long host e2e phases, so a later kill cannot erase the headline;
+* SIGTERM/SIGINT handlers and a daemon watchdog thread (hard self-deadline,
+  ``BENCH_DEADLINE_S``, default 840 s — inside any plausible driver budget)
+  emit the current partial result and exit: round 3 died to a driver SIGTERM,
+  which does not run ``finally`` blocks, after ~25 min of host-only e2e
+  against a dead backend;
+* backend init is bounded (``BENCH_BACKEND_TIMEOUT_S``); when the device
+  phase failed, e2e degrades — the resample variant (which needs the device)
+  is skipped and the host-blit variant is capped at 2 runs;
+* e2e fixture JPEGs are cached in a content-keyed directory and reused
+  across invocations (they are deterministic), so repeat runs skip minutes
+  of 12 MP encodes on this 1-core host.
 """
 
 from __future__ import annotations
 
 import functools
 import json
+import os
+import signal
 import statistics
 import sys
+import threading
 import time
 
 import numpy as np
@@ -32,6 +49,91 @@ import numpy as np
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+# ----------------------------------------------------------- emergency emit
+#
+# The driver's contract is "one parseable JSON line on stdout".  The normal
+# path prints it from main()'s ``finally`` — but SIGTERM (driver timeout)
+# does not run ``finally``, and a backend-init hang can wedge the main
+# thread inside a C call where Python signal handlers never fire.  So the
+# live result dict is published here, and two independent emergency paths
+# can serialize it: signal handlers (fast path) and a watchdog thread with
+# a hard self-deadline (survives a wedged main thread).
+
+_EMIT_LOCK = threading.Lock()
+_LIVE: dict = {"result": None, "errors": None, "final": False,
+               "t_end": None}
+
+
+def _render_line(extra: dict | None = None) -> str:
+    for _ in range(3):      # result may be mutated concurrently; just retry
+        try:
+            r = dict(_LIVE["result"] or {})
+            errs = _LIVE["errors"]
+            if errs:
+                r["errors"] = dict(errs)
+            if extra:
+                r.update(extra)
+            return json.dumps(r, default=repr)
+        except RuntimeError:        # pragma: no cover — torn dict iteration
+            continue
+    return json.dumps({"value": None, **(extra or {})})
+
+
+def _emit_line(extra: dict | None = None) -> None:
+    """Serialize the live result as one JSON line (normal path)."""
+    with _EMIT_LOCK:
+        print(_render_line(extra), flush=True)
+
+
+def _emergency_emit(extra: dict) -> None:
+    """Signal-safe emission: NO lock (a SIGTERM can interrupt the main
+    thread while it holds ``_EMIT_LOCK`` inside ``_emit_line`` — taking it
+    again here would deadlock the handler) and NO Python stdout buffer
+    (``os._exit`` follows, which skips flushes).  The leading newline
+    terminates any torn half-printed line so the LAST line stays parseable."""
+    try:
+        os.write(1, ("\n" + _render_line(extra) + "\n").encode())
+    except OSError:  # pragma: no cover — stdout gone; nothing left to do
+        pass
+
+
+def _remaining_s() -> float:
+    """Seconds until the self-deadline (inf when none is armed)."""
+    t_end = _LIVE["t_end"]
+    return float("inf") if t_end is None else t_end - time.monotonic()
+
+
+def _install_emergency_emitters(deadline_s: float) -> None:
+    def _on_signal(signum, frame):  # noqa: ARG001
+        name = signal.Signals(signum).name
+        log(f"bench: caught {name} — emitting partial result line")
+        if not _LIVE["final"]:
+            _emergency_emit({"aborted": name})
+        os._exit(128 + signum)
+
+    for s in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(s, _on_signal)
+        except (ValueError, OSError):  # pragma: no cover — non-main thread
+            pass
+
+    def _watchdog():
+        while True:
+            rem = _remaining_s()
+            if _LIVE["final"]:
+                return
+            if rem <= 0:
+                log(f"bench: self-deadline {deadline_s:.0f}s reached — "
+                    "emitting partial result line")
+                _emergency_emit(
+                    {"aborted": f"self-deadline {deadline_s:.0f}s"})
+                os._exit(3)
+            time.sleep(min(rem, 1.0))
+
+    threading.Thread(target=_watchdog, daemon=True,
+                     name="bench-deadline").start()
 
 
 def _is_transient(e: BaseException) -> bool:
@@ -238,7 +340,10 @@ def _slope_auto(plan, fn_impl, dev_imgs, **kw):
 
 
 def main(n_images: int = 9, w: int = 4000, h: int = 3000,
-         e2e: bool = True) -> None:
+         e2e: bool = True, guard_process: bool = False) -> None:
+    """``guard_process`` arms the process-wide emergency emitters (signal
+    handlers + deadline watchdog) — only the ``__main__`` entry sets it, so
+    importing callers (tests) never have their signal disposition changed."""
     headline = (n_images, w, h) == (9, 4000, 3000)
     mp_each = w * h / 1e6
     result = {
@@ -256,6 +361,11 @@ def main(n_images: int = 9, w: int = 4000, h: int = 3000,
         # run must not emit a scoreboard-shaped vs_baseline
         result["smoke"] = True
     errors: dict = {}
+    _LIVE.update(result=result, errors=errors, final=False, t_end=None)
+    if guard_process:
+        deadline_s = float(os.environ.get("BENCH_DEADLINE_S", "840"))
+        _LIVE["t_end"] = time.monotonic() + deadline_s
+        _install_emergency_emitters(deadline_s)
     try:
         try:
             _bench_device(result, errors, n_images, w, h)
@@ -263,15 +373,48 @@ def main(n_images: int = 9, w: int = 4000, h: int = 3000,
             errors["device"] = repr(e)
             log(f"device bench failed after retries: {e!r}")
         if e2e:
+            # insurance line BEFORE the long host-side e2e phases: a driver
+            # kill mid-e2e can no longer erase the device headline (round 3)
+            _emit_line({"partial": True})
             try:
-                result.update(_bench_end_to_end(n_images, w, h))
+                _bench_end_to_end(result, n_images, w, h,
+                                  device_dead="device" in errors)
             except Exception as e:  # noqa: BLE001
                 errors["e2e"] = repr(e)
                 log(f"e2e bench failed: {e!r}")
     finally:
+        _LIVE["final"] = True
         if errors:
             result["errors"] = errors
-        print(json.dumps(result))
+        print(json.dumps(result), flush=True)
+
+
+def _backend_or_timeout(timeout_s: float):
+    """First backend touch, bounded: ``jax.default_backend()`` on a daemon
+    thread so a wedged PJRT init (where in-process signal handlers cannot
+    fire) costs ``timeout_s``, not the driver's whole budget.  The e2e blit
+    variant still runs after a timeout — it never touches the device."""
+    out: dict = {}
+    done = threading.Event()
+
+    def probe():
+        try:
+            import jax
+            out["backend"] = jax.default_backend()
+            out["devices"] = repr(jax.devices())
+        except BaseException as e:  # noqa: BLE001 — re-raised on the caller
+            out["err"] = e
+        finally:
+            done.set()
+
+    threading.Thread(target=probe, daemon=True,
+                     name="bench-backend-init").start()
+    if not done.wait(timeout_s):
+        raise RuntimeError(
+            f"backend init did not complete within {timeout_s:.0f}s")
+    if "err" in out:
+        raise out["err"]
+    return out["backend"], out["devices"]
 
 
 def _bench_device(result: dict, errors: dict,
@@ -283,10 +426,17 @@ def _bench_device(result: dict, errors: dict,
     from imagestitching_tpu.core.layout import ImageSpec, solve
     from imagestitching_tpu.runtime.jaxcfg import ensure_compile_cache
 
+    forced = os.environ.get("BENCH_FORCE_PLATFORM")
+    if forced:
+        # env JAX_PLATFORMS is overridden by the sandbox's sitecustomize
+        # (jax.config.update wins) — tests use this to pin cpu or to point
+        # at a nonexistent platform to exercise the dead-backend paths
+        jax.config.update("jax_platforms", forced)
     ensure_compile_cache()
-    backend = jax.default_backend()
+    backend, devices = _backend_or_timeout(
+        float(os.environ.get("BENCH_BACKEND_TIMEOUT_S", "300")))
     result["backend"] = backend
-    log(f"backend: {backend}, devices: {jax.devices()}")
+    log(f"backend: {backend}, devices: {devices}")
 
     # BASELINE config 4 geometry: 9x 12MP (4000x3000), vertical/min.
     rng = np.random.default_rng(0)
@@ -440,8 +590,9 @@ def _bench_resize_heavy(rng) -> None:
         f"({mp2 / (p50_2 / 1000):.0f} MP/s)  samples={s2}")
 
 
-def _bench_end_to_end(n_images: int, w: int, h: int,
-                      runs: int = 3, budget_s: float = 240.0) -> dict:
+def _bench_end_to_end(result: dict, n_images: int, w: int, h: int,
+                      runs: int = 3, budget_s: float = 240.0,
+                      device_dead: bool = False) -> None:
     """Disk-to-disk wall clock for config 4, in two variants (VERDICT r1 #2).
 
     * ``e2e_*`` — the literal config 4 (9 equal 12 MP JPEGs).  Equal-size
@@ -463,36 +614,103 @@ def _bench_end_to_end(n_images: int, w: int, h: int,
     Each variant's JSON carries ``_ms_min``/``_ms_max``/``_runs`` next to
     the p50 — warm runs on this shared 1-core host spread 2.6-6.4 s, and a
     bare median hides that (VERDICT r2 weak #8).
+
+    Degradation (VERDICT r3 #2): with the device phase failed, the blit
+    variant is capped at 2 runs and the resample variant — which REQUIRES
+    the device — is skipped outright instead of re-paying backend-init
+    hangs on a known-dead backend.  Both variants also yield to the
+    process self-deadline.  Results land in ``result`` variant-by-variant
+    so an emergency emission carries whatever already completed.
     """
-    out = _e2e_variant([(w, h)] * n_images, runs, budget_s, "e2e_")
+    hang = float(os.environ.get("BENCH_TEST_HANG_S", "0"))
+    if hang:  # test hook: park here so kill/deadline paths are testable
+        log(f"bench: test hook BENCH_TEST_HANG_S={hang:.0f} — sleeping")
+        time.sleep(hang)
+    if device_dead:
+        runs = min(runs, 2)
+        log("e2e: device phase failed — blit variant capped at 2 runs, "
+            "resample variant skipped (it requires the device)")
+    budget_s = min(budget_s, max(30.0, _remaining_s() - 60.0))
+    result.update(_e2e_variant([(w, h)] * n_images, runs, budget_s, "e2e_"))
+    if device_dead:
+        result["e2e_resample_skipped"] = "device backend failed"
+        return
+    if _remaining_s() < 90.0:
+        result["e2e_resample_skipped"] = "self-deadline too close"
+        log("e2e: skipping resample variant — self-deadline too close")
+        return
     mixed = [(4000, 3000), (3600, 2700), (3200, 2400), (2800, 2100),
              (4000, 2250), (3000, 3000), (3840, 2160), (2400, 3200),
              (3500, 2625)]
-    out.update(_e2e_variant(mixed[:n_images], min(runs, 2), budget_s / 2,
-                            "e2e_resample_"))
-    return out
+    result.update(_e2e_variant(mixed[:n_images], min(runs, 2),
+                               min(budget_s / 2, _remaining_s() - 30.0),
+                               "e2e_resample_"))
+
+
+def _fixture_paths(sizes, quality: int = 90):
+    """Deterministic e2e fixture JPEGs in a content-keyed cache dir.
+
+    Generating 9x 12 MP JPEGs takes minutes on this 1-core host and the
+    bytes are a pure function of (sizes, seed, quality) — round 3 burned
+    that time inside the driver's window on EVERY invocation (VERDICT r3
+    weak #4).  Returns ``(paths, cached)``."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from imagestitching_tpu.imgio import codec
+
+    key = hashlib.sha1(repr(("e2e-fixtures-v1", tuple(sizes), 7, quality))
+                       .encode()).hexdigest()[:16]
+    base = os.environ.get("BENCH_FIXTURE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "imagestitching_tpu",
+        "bench_fixtures")
+    d = os.path.join(base, key)
+    names = [f"{i}.jpg" for i in range(len(sizes))]
+    paths = [os.path.join(d, n) for n in names]
+    if os.path.exists(os.path.join(d, "COMPLETE")) and all(
+            os.path.exists(p) and os.path.getsize(p) > 0 for p in paths):
+        return paths, True
+    os.makedirs(base, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=base, prefix=key + ".tmp.")
+    rng = np.random.default_rng(7)
+    t0 = time.perf_counter()
+    for i, (w, h) in enumerate(sizes):
+        arr = rng.integers(0, 256, (h, w, 3), np.uint8)
+        codec.encode(os.path.join(tmp, names[i]), arr, quality=quality)
+    with open(os.path.join(tmp, "COMPLETE"), "w"):
+        pass
+    shutil.rmtree(d, ignore_errors=True)
+    try:
+        os.rename(tmp, d)
+    except OSError:                     # concurrent generator won the race
+        shutil.rmtree(tmp, ignore_errors=True)
+    log(f"fixtures: generated {len(sizes)} JPEGs in "
+        f"{time.perf_counter() - t0:.1f}s -> {d}")
+    return paths, False
 
 
 def _e2e_variant(sizes, runs: int, budget_s: float, prefix: str) -> dict:
-    import os
     import shutil
     import statistics as _stats
     import tempfile
 
     from imagestitching_tpu import api
     from imagestitching_tpu.config import MemoryBudget, RuntimeConfig
-    from imagestitching_tpu.imgio import codec
 
-    rng = np.random.default_rng(7)
     d = tempfile.mkdtemp(prefix="stitch_e2e_")
     try:
-        paths = []
-        for i, (w, h) in enumerate(sizes):
-            arr = rng.integers(0, 256, (h, w, 3), np.uint8)
-            paths.append(codec.encode(os.path.join(d, f"{i}.jpg"), arr,
-                                      quality=90))
+        paths, cached = _fixture_paths(sizes)
         src_mb = sum(os.path.getsize(p) for p in paths) / 1e6
-        log(f"{prefix}: {len(sizes)} JPEGs on disk, {src_mb:.0f} MB")
+        log(f"{prefix}: {len(sizes)} JPEGs on disk, {src_mb:.0f} MB "
+            f"({'cached' if cached else 'generated'})")
+        # host contention poisons e2e walls 3-5x on this shared 1-core host
+        # (VERDICT r3 weak #3) — record load so the artifact can attribute
+        # a spread to the environment rather than a regression
+        try:
+            load_before = os.getloadavg()[0]
+        except OSError:                       # pragma: no cover — non-unix
+            load_before = None
         # no RAM bitmap cache: every run pays real decodes
         cfg = RuntimeConfig(overlap="always", budget=MemoryBudget(
             host_cache_pixels=0, host_cache_entries=0))
@@ -532,6 +750,10 @@ def _e2e_variant(sizes, runs: int, budget_s: float, prefix: str) -> dict:
                 log(f"{prefix}: time budget {budget_s:.0f}s reached after "
                     f"{len(results)} runs")
                 break
+            if _remaining_s() < 60.0:
+                log(f"{prefix}: self-deadline too close after "
+                    f"{len(results)} runs")
+                break
         warm = results[1:] if len(results) > 1 else results
         totals = [r["total_ms"] for r in warm]
         p50 = _stats.median(totals)
@@ -543,7 +765,26 @@ def _e2e_variant(sizes, runs: int, budget_s: float, prefix: str) -> dict:
         # readback — that would also subtract encode time hidden under it)
         excl = (phases["decode_wall_ms"] + phases["device_drain_ms"]
                 + phases["encode_busy_ms"])
+        try:
+            load_after = os.getloadavg()[0]
+        except OSError:                       # pragma: no cover — non-unix
+            load_after = None
+        ncpu = os.cpu_count() or 1
+        # the bench itself contributes ~1.0 while running; anything beyond
+        # (1-min EMA) means OTHER work shared the host during the runs
+        contended = (load_before is not None and load_after is not None
+                     and max(load_before, load_after) > ncpu + 0.5)
+        if contended:
+            log(f"{prefix}: HOST CONTENDED (loadavg "
+                f"{load_before:.2f}->{load_after:.2f}, {ncpu} cores) — "
+                "walls above measure the neighbors, not the pipeline")
         return {
+            prefix + "load_before": (None if load_before is None
+                                     else round(load_before, 2)),
+            prefix + "load_after": (None if load_after is None
+                                    else round(load_after, 2)),
+            prefix + "contended": contended,
+            prefix + "fixtures_cached": cached,
             prefix + "ms": round(p50, 1),
             prefix + "ms_min": round(min(totals), 1),
             prefix + "ms_max": round(max(totals), 1),
@@ -566,6 +807,6 @@ if __name__ == "__main__":
     if "--smoke" in sys.argv[1:]:
         # tiny-geometry pass of the full structure (device + e2e), for
         # testing the resilience plumbing without 12 MP compiles
-        main(n_images=2, w=96, h=64)
+        main(n_images=2, w=96, h=64, guard_process=True)
     else:
-        main()
+        main(guard_process=True)

@@ -184,3 +184,129 @@ def test_e2e_variant_emits_stability_fields(tmp_path, monkeypatch):
     assert out["e2e_ms"] is not None
     assert out["e2e_ms_min"] <= out["e2e_ms"] <= out["e2e_ms_max"]
     assert out["e2e_runs"] >= 1
+
+
+# --------------------------------------------------------------- round 4:
+# the line must survive SIGTERM / driver timeout / a dead backend
+# (round 3 lost its scoreboard entry to a driver SIGTERM that skipped the
+# ``finally``; round 2 to a transient abort — both are pinned here).
+
+import os
+import signal
+import subprocess
+import sys
+import time
+
+
+def _spawn_smoke(tmp_path, **env_extra):
+    env = dict(os.environ)
+    env.update({"BENCH_FORCE_PLATFORM": "cpu",
+                "BENCH_FIXTURE_DIR": str(tmp_path / "fx")}, **env_extra)
+    return subprocess.Popen(
+        [sys.executable, "bench.py", "--smoke"],
+        cwd=os.path.dirname(os.path.abspath(bench.__file__)),
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+
+
+def _parse_lines(out: str):
+    lines = [ln for ln in out.strip().splitlines() if ln.strip()]
+    return [json.loads(ln) for ln in lines]
+
+
+def test_sigterm_mid_e2e_still_emits_line(tmp_path):
+    """SIGTERM (the driver-timeout signal) mid-e2e: stdout still ends with
+    a parseable JSON line carrying the device headline."""
+    p = _spawn_smoke(tmp_path, BENCH_TEST_HANG_S="120")
+    # wait for the partial line (device phase done, e2e hanging)
+    first = p.stdout.readline()
+    assert json.loads(first)["partial"] is True
+    p.send_signal(signal.SIGTERM)
+    try:
+        out, _ = p.communicate(timeout=120)
+    finally:
+        p.kill()
+    parsed = _parse_lines(first + out)
+    assert parsed[-1]["aborted"] == "SIGTERM"
+    assert parsed[-1]["value"] is not None          # headline survived
+    assert p.returncode == 128 + signal.SIGTERM
+
+
+def test_self_deadline_emits_line_and_exits(tmp_path):
+    """The watchdog's hard self-deadline fires well inside any driver
+    budget and emits the partial result even with the main thread parked."""
+    p = _spawn_smoke(tmp_path, BENCH_TEST_HANG_S="120",
+                     BENCH_DEADLINE_S="8")
+    out, _ = p.communicate(timeout=60)
+    parsed = _parse_lines(out)
+    assert parsed[-1]["aborted"].startswith("self-deadline")
+    assert parsed[-1]["value"] is not None
+    assert p.returncode == 3
+
+
+def test_dead_backend_degrades_and_finishes_fast(tmp_path):
+    """A backend that cannot initialize must not burn the driver's clock:
+    the resample e2e variant (device-dependent) is skipped, the blit
+    variant is capped, and the final line carries the device error."""
+    t0 = time.monotonic()
+    p = _spawn_smoke(tmp_path, BENCH_FORCE_PLATFORM="definitely_not_real")
+    out, _ = p.communicate(timeout=180)
+    took = time.monotonic() - t0
+    parsed = _parse_lines(out)
+    final = parsed[-1]
+    assert "device" in final["errors"]
+    assert final["e2e_resample_skipped"] == "device backend failed"
+    assert final["e2e_runs"] <= 2
+    assert p.returncode == 0
+    assert took < 120, f"dead-backend bench took {took:.0f}s"
+
+
+def test_fixture_cache_reused(tmp_path, monkeypatch):
+    monkeypatch.setenv("BENCH_FIXTURE_DIR", str(tmp_path / "fx"))
+    sizes = [(40, 30), (32, 24)]
+    paths1, cached1 = bench._fixture_paths(sizes)
+    assert cached1 is False
+    blobs = [open(p, "rb").read() for p in paths1]
+    paths2, cached2 = bench._fixture_paths(sizes)
+    assert cached2 is True and paths2 == paths1
+    assert [open(p, "rb").read() for p in paths2] == blobs
+    # different geometry gets its own keyed dir, not a collision
+    paths3, cached3 = bench._fixture_paths([(48, 30), (32, 24)])
+    assert cached3 is False and paths3 != paths1
+
+
+def test_e2e_degradation_unit(monkeypatch):
+    """_bench_end_to_end with device_dead: blit capped at 2 runs, resample
+    never attempted (unit-level twin of the subprocess test)."""
+    monkeypatch.setattr(bench, "log", lambda *a: None)
+    calls = []
+
+    def fake_variant(sizes, runs, budget_s, prefix):
+        calls.append((prefix, runs))
+        return {prefix + "ms": 1.0}
+
+    monkeypatch.setattr(bench, "_e2e_variant", fake_variant)
+    result = {}
+    bench._bench_end_to_end(result, 9, 4000, 3000, device_dead=True)
+    assert calls == [("e2e_", 2)]
+    assert result["e2e_resample_skipped"] == "device backend failed"
+    result2 = {}
+    bench._bench_end_to_end(result2, 9, 4000, 3000, device_dead=False)
+    assert [c[0] for c in calls[1:]] == ["e2e_", "e2e_resample_"]
+    assert "e2e_resample_skipped" not in result2
+
+
+def test_partial_line_emitted_before_e2e(capsys, monkeypatch):
+    """main(e2e=True) prints the insurance partial line BEFORE the e2e
+    phases, then the final line: a kill mid-e2e cannot erase the headline."""
+    monkeypatch.setattr(bench, "log", lambda *a: None)
+    monkeypatch.setattr(
+        bench, "_bench_end_to_end",
+        lambda result, *a, **k: result.update(e2e_ms=1.0))
+    bench.main(n_images=2, w=64, h=48, e2e=True)
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 2
+    assert lines[0]["partial"] is True
+    assert lines[0]["value"] is not None
+    assert "partial" not in lines[1]
+    assert lines[1]["e2e_ms"] == 1.0

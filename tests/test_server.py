@@ -330,13 +330,17 @@ def test_server_logs_each_demoted_signature(monkeypatch):
                 NotImplementedError("forced infeasible")))
         import imagestitching_tpu.runtime.pipeline as pl
         monkeypatch.setattr(pl, "_kernel_backend_ok", lambda *a: True)
-        plan_a = solve([ImageSpec(24, 16)], StitchOptions())
-        plan_b = solve([ImageSpec(32, 20)], StitchOptions())
+        # the logger is process-global: count only THIS test's events (ring
+        # may carry demotions from earlier tests) and use sizes no other
+        # test demotes (the once-dedup is logger-lifetime)
+        n0 = len(s._log.ring())
+        plan_a = solve([ImageSpec(23, 17)], StitchOptions())
+        plan_b = solve([ImageSpec(31, 19)], StitchOptions())
         assert s._resolve_engine(plan_a) == "xla"
         assert s._resolve_engine(plan_b) == "xla"
         # repeat demotion of the SAME signature stays deduped
         assert s._resolve_engine(plan_a) == "xla"
-        tags = [r["tag"] for r in s._log.ring()
+        tags = [r["tag"] for r in s._log.ring()[n0:]
                 if r["tag"].startswith("serve.engine_demoted")]
         assert len(tags) == 2
         assert len(set(tags)) == 2
