@@ -10,16 +10,43 @@ processes.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 _configured = False
 
 
+def host_cpu_tag() -> str:
+    """Short fingerprint of the host CPU's ISA feature set.
+
+    XLA:CPU persists AOT executables compiled for the *building* host's
+    features (AMX/avx512...); a cache hit on a host lacking them can SIGILL
+    (the exact warning in MULTICHIP_r03's tail).  Keying the cache dir by
+    the feature set makes a cross-host hit structurally impossible while
+    same-host reuse (the only reuse that ever happens here) is unaffected.
+    """
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:  # pragma: no cover — non-linux
+        pass
+    if not feats:
+        import platform
+        feats = platform.machine() or "unknown"
+    return hashlib.sha1(feats.encode()).hexdigest()[:10]
+
+
 def ensure_compile_cache(path: str | None = None) -> None:
     """Enable JAX's persistent compilation cache (idempotent, respectful).
 
-    Precedence: explicit ``path`` > ``JAX_COMPILATION_CACHE_DIR`` env (already
-    honored by JAX itself) > ``~/.cache/imagestitching_tpu/jax``.
+    Precedence for the cache ROOT: explicit ``path`` >
+    ``JAX_COMPILATION_CACHE_DIR`` env > ``~/.cache/imagestitching_tpu/jax``.
+    A ``cpu-<tag>`` subdirectory keyed by :func:`host_cpu_tag` is always
+    appended under the root (see its docstring for why).
     """
     global _configured
     if _configured:
@@ -32,6 +59,7 @@ def ensure_compile_cache(path: str | None = None) -> None:
     if path is None:
         path = os.path.join(os.path.expanduser("~"), ".cache",
                             "imagestitching_tpu", "jax")
+    path = os.path.join(path, f"cpu-{host_cpu_tag()}")
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)

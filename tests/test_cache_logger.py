@@ -116,3 +116,28 @@ def test_logger_survives_unwritable_path(tmp_path):
     log = StitchLogger(str(tmp_path / "nodir" / "x.log"))
     log.event("works", a=1)              # must not raise
     assert log.ring()[-1]["tag"] == "works"
+
+
+def test_compile_cache_keyed_by_host_cpu_features(tmp_path, monkeypatch):
+    """The persistent compile cache dir must embed a host-CPU-feature tag:
+    an XLA:CPU AOT executable cached on an avx512/AMX host can SIGILL a
+    weaker host on a cross-host cache hit (VERDICT r3 weak #5)."""
+    import os
+
+    import jax
+
+    from imagestitching_tpu.runtime import jaxcfg
+
+    tag = jaxcfg.host_cpu_tag()
+    assert tag and len(tag) == 10
+    assert tag == jaxcfg.host_cpu_tag()          # stable within a host
+    monkeypatch.setattr(jaxcfg, "_configured", False)
+    old = jax.config.jax_compilation_cache_dir
+    try:
+        jaxcfg.ensure_compile_cache(str(tmp_path / "root"))
+        got = jax.config.jax_compilation_cache_dir
+        assert got == str(tmp_path / "root" / f"cpu-{tag}")
+        assert os.path.isdir(got)
+    finally:
+        monkeypatch.setattr(jaxcfg, "_configured", False)
+        jax.config.update("jax_compilation_cache_dir", old)
