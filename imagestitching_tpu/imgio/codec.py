@@ -117,6 +117,8 @@ def _sniff(data: bytes) -> str:
         return "jpeg"
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
     return ""
 
 
@@ -185,8 +187,8 @@ def decode(src: PathOrBytes,
     """Decode to raw (un-oriented) RGB uint8 HWC + EXIF orientation.
 
     Uses the native codec (native/codec.cpp via ctypes; GIL-free decode on
-    the prepare pool) for JPEG/PNG, falling back to Pillow for everything
-    else or when the native library is unavailable.
+    the prepare pool) for JPEG/PNG/WEBP, falling back to Pillow for
+    everything else or when the native library is unavailable.
 
     ``max_pixels``: if set and the image exceeds it, JPEGs are decoded with
     libjpeg draft (DCT-domain) downscaling — cheaper than decode-then-resize.
@@ -219,6 +221,16 @@ def decode(src: PathOrBytes,
                 except Exception:
                     denom = 1
                 arr = native.decode_jpeg(data, denom)
+            elif fmt == "webp":
+                # reference whitelists webp natively (index.js:4); EXIF
+                # orientation still comes from the cheap header-only parse
+                try:
+                    with _open(data) as img:
+                        orientation = _read_orientation(img)
+                except Exception:
+                    orientation = 1
+                arr = native.decode_webp(data)   # None without libwebp;
+                #                 raises on animated -> Pillow first-frame
             else:
                 arr = native.decode_png(data)
         except Exception:

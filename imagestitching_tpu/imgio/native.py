@@ -93,6 +93,14 @@ def _register_symbols(lib: ctypes.CDLL) -> None:
         lib.isx_png_fast_available.restype = ctypes.c_int
     except AttributeError:
         pass
+    try:        # ...or the webp decoder; both are optional capabilities
+        lib.isx_webp_available.restype = ctypes.c_int
+        lib.isx_decode_webp.argtypes = [
+            u8p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    except AttributeError:
+        pass
     for fmt in ("png", "jpeg"):
         getattr(lib, f"isx_{fmt}_stream_open").restype = ctypes.c_void_p
         getattr(lib, f"isx_{fmt}_stream_open").argtypes = [
@@ -146,6 +154,32 @@ def decode_png(data: bytes) -> Optional[np.ndarray]:
                             ctypes.byref(w), ctypes.byref(h))
     if rc != 0:
         raise ValueError(f"png decode: {lib.isx_last_error().decode()}")
+    flat = _take(lib, out, w.value * h.value * 3)
+    return flat.reshape(h.value, w.value, 3)
+
+
+def webp_available() -> bool:
+    """True when the loaded codec was built against libwebp."""
+    lib = get_lib()
+    try:
+        return lib is not None and bool(lib.isx_webp_available())
+    except AttributeError:      # stale .so predating the webp decoder
+        return False
+
+
+def decode_webp(data: bytes) -> Optional[np.ndarray]:
+    """Decode a static WEBP to white-composited RGB8; None when the codec
+    lacks libwebp; raises on animated/corrupt input (the caller's Pillow
+    ladder handles those)."""
+    if not webp_available():
+        return None
+    lib = get_lib()
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    w, h = ctypes.c_int(), ctypes.c_int()
+    rc = lib.isx_decode_webp(_as_u8p(data), len(data), ctypes.byref(out),
+                             ctypes.byref(w), ctypes.byref(h))
+    if rc != 0:
+        raise ValueError(f"webp decode: {lib.isx_last_error().decode()}")
     flat = _take(lib, out, w.value * h.value * 3)
     return flat.reshape(h.value, w.value, 3)
 

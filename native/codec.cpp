@@ -1,4 +1,5 @@
-// Native host codec for imagestitching_tpu: libjpeg-turbo + libpng/zlib.
+// Native host codec for imagestitching_tpu: libjpeg-turbo + libpng/zlib
+// (+ optional libdeflate fast paths and libwebp decode).
 //
 // TPU-native replacement for the image decode/encode the reference delegates
 // to the WeChat runtime's C++ engine (SURVEY.md §2b): decode fires on
@@ -34,6 +35,10 @@
 
 #ifdef ISX_HAVE_LIBDEFLATE
 #include <libdeflate.h>
+#endif
+
+#ifdef ISX_HAVE_WEBP
+#include <webp/decode.h>
 #endif
 
 extern "C" {
@@ -598,6 +603,75 @@ int isx_decode_png(const uint8_t* data, size_t len,
     *out_w = w;
     *out_h = h;
     return 0;
+}
+
+// ---------------------------------------------------------------- WEBP
+//
+// Native WEBP decode (the reference's runtime whitelists webp,
+// pages/index/index.js:4).  Static images only: animated files return an
+// error so the caller's Pillow fallback ladder handles them (first frame),
+// mirroring the GIF behavior.  Alpha is composited onto opaque white with
+// the same round-half-up as the PNG path and imgio.codec._img_to_rgb, so
+// the answer does not depend on which decoder fired.
+
+int isx_webp_available(void) {
+#ifdef ISX_HAVE_WEBP
+    return 1;
+#else
+    return 0;
+#endif
+}
+
+int isx_decode_webp(const uint8_t* data, size_t len,
+                    uint8_t** out, int* out_w, int* out_h) {
+    *out = nullptr;
+#ifndef ISX_HAVE_WEBP
+    (void)data; (void)len; (void)out_w; (void)out_h;
+    set_err("webp: not compiled in");
+    return 1;
+#else
+    WebPBitstreamFeatures feat;
+    if (WebPGetFeatures(data, len, &feat) != VP8_STATUS_OK) {
+        set_err("webp: bad header");
+        return 1;
+    }
+    if (feat.has_animation) {
+        set_err("webp: animated (caller takes the Pillow ladder)");
+        return 1;
+    }
+    const int w = feat.width;
+    const int h = feat.height;
+    if (w <= 0 || h <= 0) { set_err("webp: bad dimensions"); return 1; }
+    const size_t n = static_cast<size_t>(w) * static_cast<size_t>(h);
+    uint8_t* buf = static_cast<uint8_t*>(std::malloc(n * 3));
+    if (!buf) { set_err("oom"); return 1; }
+    if (!feat.has_alpha) {
+        if (!WebPDecodeRGBInto(data, len, buf, n * 3,
+                               w * 3)) {
+            std::free(buf);
+            set_err("webp: decode error");
+            return 1;
+        }
+    } else {
+        uint8_t* rgba = static_cast<uint8_t*>(std::malloc(n * 4));
+        if (!rgba) { std::free(buf); set_err("oom"); return 1; }
+        if (!WebPDecodeRGBAInto(data, len, rgba, n * 4, w * 4)) {
+            std::free(rgba);
+            std::free(buf);
+            set_err("webp: decode error");
+            return 1;
+        }
+        for (size_t i = 0; i < n; ++i) {
+            const uint8_t* px = rgba + i * 4;
+            composite_white(px, px[3], buf + i * 3);
+        }
+        std::free(rgba);
+    }
+    *out = buf;
+    *out_w = w;
+    *out_h = h;
+    return 0;
+#endif
 }
 
 // ------------------------------------------------- PNG (fast encode path)

@@ -161,3 +161,73 @@ def test_pipeline_profile_flag(tmp_path, monkeypatch):
                           RuntimeConfig(engine="xla", profile=True))
     assert out.shape == (16, 16, 3)
     assert (tmp_path / "trace").exists()
+
+
+def test_native_webp_matches_pillow(tmp_path):
+    """The native webp decoder (codec.cpp + libwebp) must agree with the
+    Pillow rung bit-for-bit — lossless, lossy, and alpha-composited — so
+    the ladder's answer never depends on which decoder fired."""
+    from imagestitching_tpu.imgio import native
+
+    if not native.webp_available():
+        pytest.skip("native codec built without libwebp")
+    rng_ = np.random.default_rng(11)
+    base = (np.linspace(0, 255, 40 * 32 * 3).reshape(32, 40, 3)
+            + rng_.normal(0, 25, (32, 40, 3))).clip(0, 255).astype(np.uint8)
+    import io
+    for lossless in (True, False):
+        for alpha in (False, True):
+            img = Image.fromarray(base)
+            if alpha:
+                img.putalpha(Image.fromarray(
+                    rng_.integers(0, 256, (32, 40), np.uint8)))
+            buf = io.BytesIO()
+            img.save(buf, "WEBP", lossless=lossless, quality=80)
+            data = buf.getvalue()
+            nat = native.decode_webp(data)
+            assert nat is not None
+            got, o = codec.decode(data)       # dispatches to the native path
+            np.testing.assert_array_equal(got, nat)
+            assert o == 1
+            pim = Image.open(io.BytesIO(data))
+            if alpha:
+                arr = np.asarray(pim.convert("RGBA"), np.float32)
+                al = arr[:, :, 3:4] / 255.0
+                ref = np.clip(np.floor(arr[:, :, :3] * al
+                                       + 255.0 * (1 - al) + 0.5),
+                              0, 255).astype(np.uint8)
+            else:
+                ref = np.asarray(pim.convert("RGB"))
+            np.testing.assert_array_equal(
+                nat, ref), f"lossless={lossless} alpha={alpha}"
+
+
+def test_animated_webp_falls_back_to_first_frame(tmp_path):
+    """The native decoder refuses animation; the ladder must recover via
+    Pillow (first frame), mirroring the GIF behavior."""
+    from imagestitching_tpu.imgio import native
+
+    frames = [Image.fromarray(np.full((8, 8, 3), v, np.uint8))
+              for v in (10, 200)]
+    p = tmp_path / "anim.webp"
+    frames[0].save(p, save_all=True, append_images=frames[1:], duration=100)
+    data = p.read_bytes()
+    if native.webp_available():
+        with pytest.raises(ValueError, match="animated"):
+            native.decode_webp(data)
+    dec, _ = codec.decode(p)
+    assert dec.shape == (8, 8, 3)
+    assert abs(int(dec[0, 0, 0]) - 10) <= 2
+
+
+def test_webp_exif_orientation(tmp_path):
+    """EXIF orientation embedded in a webp must surface through the native
+    dispatch (header-only Pillow parse), as it does for jpeg."""
+    a = arr()
+    p = tmp_path / "o.webp"
+    exif = Image.Exif()
+    exif[274] = 6
+    Image.fromarray(a).save(p, "WEBP", lossless=True, exif=exif)
+    dec, o = codec.decode(p)
+    assert o == 6
+    np.testing.assert_array_equal(dec, a)
