@@ -131,20 +131,31 @@ _STEP_OVERHEAD_S = 1.2e-6      # per-grid-step dispatch/DMA-setup cost
 # single-job configs (config 3: 0.93 -> 1.21 ms) — hence two constants,
 # not one (benchmarks/profile_stepfusion.py, round 3).
 _STEP_OVERHEAD_BATCHED_S = 2.5e-6
+# Column-subtile fusion candidates for batched grids: each grid step runs
+# n_sub independent (band DMA + contraction + store) column subtiles, paying
+# ONE dispatch overhead — ~42% of config 5's batch was per-step overhead at
+# the round-3 calibration (VERDICT r3 #3).  Single-job grids keep n_sub=1
+# (few steps; the batched picks measurably regress them, see round-3 notes).
+_N_SUB_BATCHED = (1, 2, 4)
 
 
-def _vmem_bytes(th: int, tw: int, bh: int, bw: int, channels: int = 3) -> int:
+def _vmem_bytes(th: int, tw: int, bh: int, bw: int, channels: int = 3,
+                n_sub: int = 1) -> int:
     # double-buffered uint8 bands + f32/bf16 band copies, hi/lo weight
     # blocks, f32+bf16 intermediates, int32+uint8 output tile — all channels
-    # resident per step (channel-fused kernel)
+    # resident per step (channel-fused kernel).  n_sub > 1 widens the col
+    # weight blocks and the resident output tile by the fusion factor (the
+    # per-subtile intermediates stay transient).
     return (channels * bh * bw * 8
             + (th * bh + bw * tw) * 6
-            + channels * th * (bw * 8 + tw * 5))
+            + channels * th * (bw * 8 + tw * 5)
+            + (n_sub - 1) * (bw * tw * 6 + channels * th * tw))
 
 
 def _model_step_time(th: int, tw: int, bh: int, bw: int,
                      channels: int = 3, col_first: bool = False,
-                     overhead: Optional[float] = None) -> float:
+                     overhead: Optional[float] = None,
+                     n_sub: int = 1) -> float:
     """Split-bf16 contraction cost for one grid step, either order.
 
     Row-first: 2 passes of (Th x Bh)@(Bh x Bw) then 3 of (Th x Bw)@(Bw x Tw).
@@ -153,6 +164,10 @@ def _model_step_time(th: int, tw: int, bh: int, bw: int,
     runs over the full (Bh x Bw) band, so dividing it by the bigger tile
     side minimizes per-pixel flops.  VPU term covers the uint8->f32 band
     casts and hi/lo splits (elementwise, proportional to band size).
+
+    ``n_sub`` column subtiles share one grid step (and one dispatch
+    overhead): work terms scale by n_sub, overhead does not — the whole
+    point of the fusion (VERDICT r3 #3).
     """
     if col_first:
         flops = channels * (4 * max(bh, 128) * bw * tw
@@ -164,8 +179,8 @@ def _model_step_time(th: int, tw: int, bh: int, bw: int,
         inter = th * bw
     vpu = channels * (4 * bh * bw + 4 * inter + 4 * th * tw)
     dma = channels * (bh * bw + th * tw)
-    return (flops / _MXU_EFF_FLOPS + vpu / _VPU_EFF_OPS
-            + dma / _HBM_BPS
+    return (n_sub * (flops / _MXU_EFF_FLOPS + vpu / _VPU_EFF_OPS
+                     + dma / _HBM_BPS)
             + (_STEP_OVERHEAD_S if overhead is None else overhead))
 
 
@@ -173,15 +188,19 @@ def _choose_tiles(ri0: np.ndarray, ci0: np.ndarray, k_rows: int, k_cols: int,
                   n_rows: int, n_cols: int, m_h_pad: int, m_w_pad: int,
                   th_fixed: Optional[int] = None,
                   overhead: Optional[float] = None,
-                  ) -> Tuple[int, int, int, int, bool]:
-    """Pick (th, tw, bh, bw, col_first) minimizing modeled total time under
-    the VMEM cap.
+                  n_sub_cands: Tuple[int, ...] = (1,),
+                  ) -> Tuple[int, int, int, int, bool, int]:
+    """Pick (th, tw, bh, bw, col_first, n_sub) minimizing modeled total time
+    under the VMEM cap.
 
     Per tile: split-bf16 contractions cost ``4*M*Bh*Bw + 6*M*Bw*Tw`` flops
     (2-pass row, 3-pass col; M padded to the 128-wide MXU), DMA moves
     ``Bh*Bw`` band bytes plus the output tile, and each grid step pays a
     fixed dispatch overhead.  Edge waste is captured by minimizing the TOTAL
-    over the ceil-divided grid, not a per-pixel ratio.
+    over the ceil-divided grid, not a per-pixel ratio.  ``n_sub`` column
+    subtiles per grid step amortize the dispatch overhead WITHOUT growing
+    the band (unlike a wider tw, which grows bw ~ tw/scale) — each subtile
+    keeps its own band DMA and contraction.
     """
     th_max = min(_TILE_ROWS, _round_up(n_rows, 8))
     tw_max = min(_TILE_COLS, _round_up(n_cols, 128))
@@ -196,20 +215,25 @@ def _choose_tiles(ri0: np.ndarray, ci0: np.ndarray, k_rows: int, k_cols: int,
         bh = _Schedule._band_size(ri0, k_rows, th, m_h_pad, 8)
         for tw in tw_cands:
             bw = _Schedule._band_size(ci0, k_cols, tw, m_w_pad, 128)
-            if _vmem_bytes(th, tw, bh, bw) > _MAX_BAND_BYTES:
-                continue
-            tiles = _cdiv(n_rows, th) * _cdiv(n_cols, tw)
-            for cf in (False, True):
-                total = tiles * _model_step_time(th, tw, bh, bw,
-                                                 col_first=cf,
-                                                 overhead=overhead)
-                if best is None or total < best[0]:
-                    best = (total, th, tw, bh, bw, cf)
+            for n_sub in n_sub_cands:
+                if n_sub > 1 and n_sub * tw > _round_up(n_cols, 128):
+                    continue            # fusion wider than the whole job
+                if _vmem_bytes(th, tw, bh, bw,
+                               n_sub=n_sub) > _MAX_BAND_BYTES:
+                    continue
+                tiles = _cdiv(n_rows, th) * _cdiv(n_cols, n_sub * tw)
+                for cf in (False, True):
+                    total = tiles * _model_step_time(th, tw, bh, bw,
+                                                     col_first=cf,
+                                                     overhead=overhead,
+                                                     n_sub=n_sub)
+                    if best is None or total < best[0]:
+                        best = (total, th, tw, bh, bw, cf, n_sub)
     if best is None:
         raise Infeasible(
             "source band too large for VMEM even at 32x128 tiles "
             "(extreme downscale; use the XLA engine)")
-    return best[1], best[2], best[3], best[4], best[5]
+    return best[1], best[2], best[3], best[4], best[5], best[6]
 
 # The static geometry one compiled pallas_call is keyed on.  Everything else
 # (taps, band starts, the source itself) is a runtime argument, so placements
@@ -217,7 +241,8 @@ def _choose_tiles(ri0: np.ndarray, ci0: np.ndarray, k_rows: int, k_cols: int,
 _SchedStatic = collections.namedtuple(
     "_SchedStatic",
     "m_h m_w m_h_pad m_w_pad th tw bh bw grid_r grid_c "
-    "k_rows k_cols rows_pad cols_pad col_first")
+    "k_rows k_cols rows_pad cols_pad col_first n_sub",
+    defaults=(1,))      # n_sub: column subtiles fused into one grid step
 
 
 class _Schedule:
@@ -228,7 +253,10 @@ class _Schedule:
     """
 
     def __init__(self, p: Placement, filter_kind: str,
-                 batched: bool = False):
+                 batched: bool = False,
+                 n_sub_force: Optional[int] = None):
+        # ``n_sub_force`` pins the column-subtile fusion factor (tests and
+        # the step-fusion profiler); None = model-chosen.
         self.p = p
         self.batched = batched
         disp_w, disp_h = geometry.display_size(p.raw_w, p.raw_h, p.orientation)
@@ -259,33 +287,38 @@ class _Schedule:
 
         # Pick tile sizes + contraction order by the time model; batched
         # grids carry a higher calibrated per-step overhead, biasing them
-        # toward fewer, larger tiles (see _STEP_OVERHEAD_BATCHED_S).
-        (self.th, self.tw, self.bh, self.bw,
-         self.col_first) = _choose_tiles(
+        # toward fewer, larger tiles (_STEP_OVERHEAD_BATCHED_S) and making
+        # column-subtile fusion (n_sub) worth its VMEM.
+        (self.th, self.tw, self.bh, self.bw, self.col_first,
+         self.n_sub) = _choose_tiles(
             ri0, ci0, self.k_rows, self.k_cols, self.n_rows, self.n_cols,
             self.m_h_pad, self.m_w_pad,
-            overhead=_STEP_OVERHEAD_BATCHED_S if batched else None)
-        th, tw = self.th, self.tw
+            overhead=_STEP_OVERHEAD_BATCHED_S if batched else None,
+            n_sub_cands=((n_sub_force,) if n_sub_force is not None
+                         else _N_SUB_BATCHED if batched else (1,)))
+        th, tw, n_sub = self.th, self.tw, self.n_sub
         self.grid_r = _cdiv(self.n_rows, th)
-        self.grid_c = _cdiv(self.n_cols, tw)
+        # grid_c counts GRID STEPS (each covering n_sub subtiles of tw cols)
+        self.grid_c = _cdiv(self.n_cols, n_sub * tw)
+        n_tiles_c = self.grid_c * n_sub          # col subtiles incl. padding
 
         # Tap arrays padded to tile multiples.  Rows ride the sublane axis,
         # cols the lane axis — blocks then already have the broadcast shape
         # the kernel needs, with no on-device transposes.
         self.rows_pad = self.grid_r * th
-        self.cols_pad = self.grid_c * tw
+        self.cols_pad = n_tiles_c * tw
         self.row_i0 = _pad_to(ri0, self.rows_pad).reshape(-1, 1)
         self.row_w = _pad_to(rw.astype(np.float32), self.rows_pad)
         self.col_i0 = _pad_to(ci0, self.cols_pad).reshape(1, -1)
         self.col_w = np.ascontiguousarray(
             _pad_to(cw.astype(np.float32), self.cols_pad).T)   # (K, cols_pad)
 
-        # Band starts per tile: aligned down to the slice alignment and
+        # Band starts per (sub)tile: aligned down to the slice alignment and
         # clamped so a full static-size band always fits in the padded source.
         self.row_starts = self._band_starts(ri0, self.k_rows, self.grid_r,
                                             th, self.bh, self.m_h,
                                             self.m_h_pad, 8)
-        self.col_starts = self._band_starts(ci0, self.k_cols, self.grid_c,
+        self.col_starts = self._band_starts(ci0, self.k_cols, n_tiles_c,
                                             tw, self.bw, self.m_w,
                                             self.m_w_pad, 128)
 
@@ -328,7 +361,8 @@ class _Schedule:
         return _SchedStatic(
             self.m_h, self.m_w, self.m_h_pad, self.m_w_pad, self.th, self.tw,
             self.bh, self.bw, self.grid_r, self.grid_c, self.k_rows,
-            self.k_cols, self.rows_pad, self.cols_pad, self.col_first)
+            self.k_cols, self.rows_pad, self.cols_pad, self.col_first,
+            self.n_sub)
 
 
 def _pad_to(arr: np.ndarray, n: int) -> np.ndarray:
@@ -345,14 +379,19 @@ def _make_kernel(s: _SchedStatic, batched: bool, channels: int, batch: int,
                  exact_f32: bool = False):
     bh, bw = s.bh, s.bw
     grid_r, grid_c = s.grid_r, s.grid_c
-    total = max(1, batch) * grid_r * grid_c
+    n_sub = s.n_sub
+    # DMA pipelining runs over VIRTUAL steps: one per column subtile, n_sub
+    # of them per grid step.  With n_sub=1 this is exactly the grid step.
+    total_vs = max(1, batch) * grid_r * grid_c * n_sub
 
     def kernel(ints, src, row_i0, row_w, col_i0, col_w, out, band, sem):
         # grid is (gr, gc) single-job or (B, gr, gc) batched — ALL channels
         # of a tile are processed in one step (one weight build, one band
         # DMA, a 3x-taller fused col matmul).  Grid steps run sequentially
-        # (all dims "arbitrary"), so the source band for step k+1 is DMA'd
-        # into the other buffer slot while step k computes.
+        # (all dims "arbitrary"), so the source band for virtual step k+1 is
+        # DMA'd into another buffer slot while step k computes.  n_sub > 1
+        # fuses that many column subtiles into one grid step — one dispatch
+        # overhead, n_sub independent (DMA + contraction + store) bodies.
         off = 1 if batched else 0
         i = pl.program_id(off)
         j = pl.program_id(off + 1)
@@ -360,16 +399,18 @@ def _make_kernel(s: _SchedStatic, batched: bool, channels: int, batch: int,
             step = (pl.program_id(0) * grid_r + i) * grid_c + j
         else:
             step = i * grid_c + j
-        slot = jax.lax.rem(step, _DMA_SLOTS)
+        base_vs = step * n_sub
 
-        def dma_for(st, slot_):
-            j_ = jax.lax.rem(st, grid_c)
-            r = jax.lax.div(st, grid_c)
+        def dma_for(vs, slot_):
+            u_ = jax.lax.rem(vs, n_sub)
+            t = jax.lax.div(vs, n_sub)
+            j_ = jax.lax.rem(t, grid_c)
+            r = jax.lax.div(t, grid_c)
             i_ = jax.lax.rem(r, grid_r)
             # Band starts are host-aligned to the (8, 128) slice tiling; the
             # multiple_of hints let Mosaic prove it for the dynamic slice.
             rs_ = pl.multiple_of(ints[i_], 8)
-            cs_ = pl.multiple_of(ints[grid_r + j_], 128)
+            cs_ = pl.multiple_of(ints[grid_r + j_ * n_sub + u_], 128)
             if batched:
                 b_ = jax.lax.div(r, grid_r)
                 sl = src.at[b_, :, pl.ds(rs_, bh), pl.ds(cs_, bw)]
@@ -377,127 +418,150 @@ def _make_kernel(s: _SchedStatic, batched: bool, channels: int, batch: int,
                 sl = src.at[:, pl.ds(rs_, bh), pl.ds(cs_, bw)]
             return pltpu.make_async_copy(sl, band.at[slot_], sem.at[slot_])
 
-        # issue distance = _DMA_SLOTS - 1: band DMAs run that many steps
-        # ahead of compute, hiding DMA latency longer than one step's work
+        # issue distance = _DMA_SLOTS - 1: band DMAs run that many virtual
+        # steps ahead of compute, hiding DMA latency longer than one body
         @pl.when(step == 0)
         def _():
-            dma_for(step, slot).start()
-            for d in range(1, _DMA_SLOTS - 1):
-                @pl.when(d < total)
+            for d in range(_DMA_SLOTS - 1):
+                @pl.when(d < total_vs)
                 def _(d=d):
-                    dma_for(d, jax.lax.rem(step + d, _DMA_SLOTS)).start()
-
-        @pl.when(step + _DMA_SLOTS - 1 < total)
-        def _():
-            dma_for(step + _DMA_SLOTS - 1,
-                    jax.lax.rem(step + _DMA_SLOTS - 1, _DMA_SLOTS)).start()
+                    dma_for(d, d % _DMA_SLOTS).start()
 
         rs = pl.multiple_of(ints[i], 8)
-        cs = pl.multiple_of(ints[grid_r + j], 128)
 
-        # Weight blocks: source-absolute iota compared against the K-tap
+        # Row-weight block: source-absolute iota compared against the K-tap
         # windows (host-exact f64 taps, geometry.filter_taps); bilinear is
         # K=2.  Static K -> the loop unrolls into K vectorized selects.
-        # Built ONCE per step and shared by every channel.
+        # Built ONCE per grid step and shared by every channel AND subtile.
         b_rows = jax.lax.broadcasted_iota(jnp.int32, (s.th, bh), 1) + rs
         i0r = row_i0[...]                    # (Th, 1)
         wr = jnp.zeros((s.th, bh), jnp.float32)
         for k in range(s.k_rows):
             wr = wr + jnp.where(b_rows == i0r + k, row_w[:, k][:, None], 0.0)
+        if not exact_f32:
+            wr_hi = wr.astype(jnp.bfloat16)
+            wr_lo = (wr - wr_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
-        b_cols = jax.lax.broadcasted_iota(jnp.int32, (bw, s.tw), 0) + cs
-        i0c = col_i0[...]                    # (1, Tw)
-        wc = jnp.zeros((bw, s.tw), jnp.float32)
-        for k in range(s.k_cols):
-            wc = wc + jnp.where(b_cols == i0c + k, col_w[k, :][None, :], 0.0)
+        for u in range(n_sub):
+            vs = base_vs + u
+            slot = jax.lax.rem(vs, _DMA_SLOTS)
 
-        dma_for(step, slot).wait()
-        # Precision: the MXU's native pass is bf16 (~8 mantissa bits), which
-        # alone costs +-2 uint8 levels vs the float64 oracle; fp32-HIGHEST
-        # contractions fix parity but run ~6 bf16 passes.  Instead split each
-        # f32 operand into a bf16 (hi, lo) pair: uint8 pixel values are EXACT
-        # in bf16, and hi+lo carries ~16 mantissa bits of the weights, so the
-        # residual error is ~255 * 2^-17 << the 0.5 quantization step — at
-        # 2 + 3 native-speed passes instead of 12.
-        if exact_f32:
-            # interpret mode: XLA:CPU's default-precision f32 matmul is
-            # bf16-grade (measured 0.25% relative error -> up to +-2 uint8
-            # levels where real hardware stays within 1, because the MXU's
-            # split-bf16 scheme accumulates in exact f32).  HIGHEST forces
-            # a true f32 contraction, making interpret a faithful parity
-            # proxy for the hardware path (residual ~255*2^-17).
-            hi = jax.lax.Precision.HIGHEST
-            outs = []
-            for c in range(channels):
-                bandf = band[slot, c].astype(jnp.int32).astype(jnp.float32)
-                if s.col_first:
-                    outs.append(jnp.matmul(
-                        wr, jnp.matmul(bandf, wc, precision=hi),
-                        precision=hi))
-                else:
-                    outs.append(jnp.matmul(
-                        jnp.matmul(wr, bandf, precision=hi), wc,
-                        precision=hi))
-            res = outs[0] if channels == 1 else jnp.concatenate(outs, axis=0)
-            _store(res, out)
-            return
-        wr_hi = wr.astype(jnp.bfloat16)
-        wr_lo = (wr - wr_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        wc_hi = wc.astype(jnp.bfloat16)
-        wc_lo = (wc - wc_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        if s.col_first:
-            # contract cols first (2 passes over the band), then rows (3):
-            # cheaper when the band is wide relative to the tile (see
-            # _model_step_time).
-            outs = []
-            for c in range(channels):
-                # Mosaic has no direct uint8 casts; route via int32.  Pixels
-                # 0-255 are exact in bf16, so skip the f32 intermediate (one
-                # fewer VPU pass over the band).
-                band16 = band[slot, c].astype(jnp.int32).astype(jnp.bfloat16)
-                t2 = (jnp.dot(band16, wc_hi,
-                              preferred_element_type=jnp.float32)
-                      + jnp.dot(band16, wc_lo,
-                                preferred_element_type=jnp.float32))
-                t2_hi = t2.astype(jnp.bfloat16)
-                t2_lo = (t2 - t2_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-                outs.append(
-                    jnp.dot(wr_hi, t2_hi, preferred_element_type=jnp.float32)
-                    + jnp.dot(wr_hi, t2_lo,
-                              preferred_element_type=jnp.float32)
-                    + jnp.dot(wr_lo, t2_hi,
-                              preferred_element_type=jnp.float32))
-            res = outs[0] if channels == 1 else jnp.concatenate(outs, axis=0)
-        else:
-            tmps = []
-            for c in range(channels):
-                band16 = band[slot, c].astype(jnp.int32).astype(jnp.bfloat16)
-                tmps.append(
-                    jnp.dot(wr_hi, band16,
-                            preferred_element_type=jnp.float32)
-                    + jnp.dot(wr_lo, band16,
-                              preferred_element_type=jnp.float32))
-            # (C*Th, Bw): channels stacked on the sublane axis so the col
-            # pass is ONE tall matmul (M = C*Th) instead of C narrow ones.
-            tmp = tmps[0] if channels == 1 else jnp.concatenate(tmps, axis=0)
-            tmp_hi = tmp.astype(jnp.bfloat16)
-            tmp_lo = (tmp - tmp_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            res = (jnp.dot(tmp_hi, wc_hi, preferred_element_type=jnp.float32)
-                   + jnp.dot(tmp_hi, wc_lo,
-                             preferred_element_type=jnp.float32)
-                   + jnp.dot(tmp_lo, wc_hi,
-                             preferred_element_type=jnp.float32))
-        _store(res, out)
+            @pl.when(vs + _DMA_SLOTS - 1 < total_vs)
+            def _(vs=vs):
+                dma_for(vs + _DMA_SLOTS - 1,
+                        jax.lax.rem(vs + _DMA_SLOTS - 1, _DMA_SLOTS)).start()
 
-    def _store(res, out):
+            cs = pl.multiple_of(ints[grid_r + j * n_sub + u], 128)
+            b_cols = jax.lax.broadcasted_iota(jnp.int32, (bw, s.tw), 0) + cs
+            i0c = col_i0[:, u * s.tw:(u + 1) * s.tw]        # (1, Tw)
+            wc = jnp.zeros((bw, s.tw), jnp.float32)
+            for k in range(s.k_cols):
+                wc = wc + jnp.where(b_cols == i0c + k,
+                                    col_w[k, u * s.tw:(u + 1) * s.tw][None, :],
+                                    0.0)
+
+            dma_for(vs, slot).wait()
+            # Precision: the MXU's native pass is bf16 (~8 mantissa bits),
+            # which alone costs +-2 uint8 levels vs the float64 oracle;
+            # fp32-HIGHEST contractions fix parity but run ~6 bf16 passes.
+            # Instead split each f32 operand into a bf16 (hi, lo) pair:
+            # uint8 pixel values are EXACT in bf16, and hi+lo carries ~16
+            # mantissa bits of the weights, so the residual error is
+            # ~255 * 2^-17 << the 0.5 quantization step — at 2 + 3
+            # native-speed passes instead of 12.
+            if exact_f32:
+                # interpret mode: XLA:CPU's default-precision f32 matmul is
+                # bf16-grade (measured 0.25% relative error -> up to +-2
+                # uint8 levels where real hardware stays within 1, because
+                # the MXU's split-bf16 scheme accumulates in exact f32).
+                # HIGHEST forces a true f32 contraction, making interpret a
+                # faithful parity proxy for the hardware path.
+                hi = jax.lax.Precision.HIGHEST
+                outs = []
+                for c in range(channels):
+                    bandf = band[slot, c].astype(jnp.int32) \
+                                         .astype(jnp.float32)
+                    if s.col_first:
+                        outs.append(jnp.matmul(
+                            wr, jnp.matmul(bandf, wc, precision=hi),
+                            precision=hi))
+                    else:
+                        outs.append(jnp.matmul(
+                            jnp.matmul(wr, bandf, precision=hi), wc,
+                            precision=hi))
+                res = (outs[0] if channels == 1
+                       else jnp.concatenate(outs, axis=0))
+                _store(res, out, u)
+                continue
+            wc_hi = wc.astype(jnp.bfloat16)
+            wc_lo = (wc - wc_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            if s.col_first:
+                # contract cols first (2 passes over the band), then rows
+                # (3): cheaper when the band is wide relative to the tile
+                # (see _model_step_time).
+                outs = []
+                for c in range(channels):
+                    # Mosaic has no direct uint8 casts; route via int32.
+                    # Pixels 0-255 are exact in bf16, so skip the f32
+                    # intermediate (one fewer VPU pass over the band).
+                    band16 = band[slot, c].astype(jnp.int32) \
+                                          .astype(jnp.bfloat16)
+                    t2 = (jnp.dot(band16, wc_hi,
+                                  preferred_element_type=jnp.float32)
+                          + jnp.dot(band16, wc_lo,
+                                    preferred_element_type=jnp.float32))
+                    t2_hi = t2.astype(jnp.bfloat16)
+                    t2_lo = (t2 - t2_hi.astype(jnp.float32)) \
+                        .astype(jnp.bfloat16)
+                    outs.append(
+                        jnp.dot(wr_hi, t2_hi,
+                                preferred_element_type=jnp.float32)
+                        + jnp.dot(wr_hi, t2_lo,
+                                  preferred_element_type=jnp.float32)
+                        + jnp.dot(wr_lo, t2_hi,
+                                  preferred_element_type=jnp.float32))
+                res = (outs[0] if channels == 1
+                       else jnp.concatenate(outs, axis=0))
+            else:
+                tmps = []
+                for c in range(channels):
+                    band16 = band[slot, c].astype(jnp.int32) \
+                                          .astype(jnp.bfloat16)
+                    tmps.append(
+                        jnp.dot(wr_hi, band16,
+                                preferred_element_type=jnp.float32)
+                        + jnp.dot(wr_lo, band16,
+                                  preferred_element_type=jnp.float32))
+                # (C*Th, Bw): channels stacked on the sublane axis so the
+                # col pass is ONE tall matmul (M = C*Th) instead of C
+                # narrow ones.
+                tmp = tmps[0] if channels == 1 \
+                    else jnp.concatenate(tmps, axis=0)
+                tmp_hi = tmp.astype(jnp.bfloat16)
+                tmp_lo = (tmp - tmp_hi.astype(jnp.float32)) \
+                    .astype(jnp.bfloat16)
+                res = (jnp.dot(tmp_hi, wc_hi,
+                               preferred_element_type=jnp.float32)
+                       + jnp.dot(tmp_hi, wc_lo,
+                                 preferred_element_type=jnp.float32)
+                       + jnp.dot(tmp_lo, wc_hi,
+                                 preferred_element_type=jnp.float32))
+            _store(res, out, u)
+
+    def _store(res, out, u):
         # one quantize/store tail for both precision paths: clip/round is
         # the framework-wide uint8 contract (oracle.to_uint8 twin)
         q = jnp.clip(jnp.floor(res + 0.5), 0.0, 255.0).astype(jnp.int32)
         q = q.astype(jnp.uint8).reshape(channels, s.th, s.tw)
-        if batched:
-            out[0] = q
+        if n_sub == 1:              # byte-identical to the pre-fusion path
+            if batched:
+                out[0] = q
+            else:
+                out[...] = q
+        elif batched:
+            out[0, :, :, u * s.tw:(u + 1) * s.tw] = q
         else:
-            out[...] = q
+            out[:, :, u * s.tw:(u + 1) * s.tw] = q
 
     return kernel
 
@@ -528,11 +592,13 @@ def _build_call_static(s: _SchedStatic, channels: int, interpret: bool,
     """Build the pallas_call for one static schedule geometry (cached)."""
     batched = batch > 0
 
+    # col blocks span the full fused step: n_sub subtiles of tw columns
+    step_w = s.n_sub * s.tw
     if batched:
         grid = (batch, s.grid_r, s.grid_c)
         row_map = lambda b, i, j, ints: (i, 0)             # noqa: E731
         col_map = lambda b, i, j, ints: (0, j)             # noqa: E731
-        out_spec = pl.BlockSpec((1, channels, s.th, s.tw),
+        out_spec = pl.BlockSpec((1, channels, s.th, step_w),
                                 lambda b, i, j, ints: (b, 0, i, j))
         out_shape = jax.ShapeDtypeStruct(
             (batch, channels, s.rows_pad, s.cols_pad), jnp.uint8)
@@ -543,7 +609,7 @@ def _build_call_static(s: _SchedStatic, channels: int, interpret: bool,
         grid = (s.grid_r, s.grid_c)
         row_map = lambda i, j, ints: (i, 0)                # noqa: E731
         col_map = lambda i, j, ints: (0, j)                # noqa: E731
-        out_spec = pl.BlockSpec((channels, s.th, s.tw),
+        out_spec = pl.BlockSpec((channels, s.th, step_w),
                                 lambda i, j, ints: (0, i, j))
         out_shape = jax.ShapeDtypeStruct(
             (channels, s.rows_pad, s.cols_pad), jnp.uint8)
@@ -556,8 +622,8 @@ def _build_call_static(s: _SchedStatic, channels: int, interpret: bool,
             pl.BlockSpec(memory_space=pl.ANY),             # src
             pl.BlockSpec((s.th, 1), row_map),              # row_i0
             pl.BlockSpec((s.th, s.k_rows), row_map),       # row_w
-            pl.BlockSpec((1, s.tw), col_map),              # col_i0
-            pl.BlockSpec((s.k_cols, s.tw), col_map),       # col_w
+            pl.BlockSpec((1, step_w), col_map),            # col_i0
+            pl.BlockSpec((s.k_cols, step_w), col_map),     # col_w
         ],
         out_specs=out_spec,
         scratch_shapes=[
@@ -727,7 +793,7 @@ class _WindowPlan:
         cols_pad = grid_c * tw
         self.static = _SchedStatic(
             self.crop_rows, disp_w, crop_pad, m_w_pad, th, tw, bh, bw,
-            1, grid_c, k_rows, k_cols, th, cols_pad, col_first)
+            1, grid_c, k_rows, k_cols, th, cols_pad, col_first, 1)
         self.col_i0 = _pad_to(ci0, cols_pad).reshape(1, -1)
         self.col_w = np.ascontiguousarray(
             _pad_to(cw.astype(np.float32), cols_pad).T)

@@ -172,3 +172,55 @@ def test_upscale_parity_interpret_exact_f32():
     want = api.stitch_arrays(arrs, options=opts,
                              config=RuntimeConfig(engine="oracle"))
     assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
+
+
+@pytest.mark.parametrize("filt", ["bilinear", "triangle", "lanczos3"])
+def test_column_subtile_fusion_parity(filt):
+    """n_sub > 1 fuses multiple column subtiles into one grid step (one
+    dispatch overhead, per-subtile band DMAs).  Every fusion factor must
+    stay within 1 uint8 step of the float64 oracle — including a grid
+    whose column count does not divide by n_sub*tw (padded subtiles carry
+    zero weights and clamped band starts)."""
+    import jax.numpy as jnp
+
+    from imagestitching_tpu.core import geometry
+
+    specs = [ImageSpec(777, 400), ImageSpec(1521, 999)]
+    plan = plan_for(specs, mode="min", filter=filt, max_images=None)
+    imgs = [rand_img(s.raw_w, s.raw_h) for s in specs]
+    want = oracle.stitch(plan, imgs)
+    p = plan.placements[1]                       # the downscaled one
+    oriented = geometry.orient_array(imgs[1], p.orientation)
+    r0, r1 = p.row_span
+    c0, c1 = p.col_span
+    want_reg = want[r0:r1, c0:c1].transpose(2, 0, 1)
+    for n_sub in (1, 2, 4):
+        s = pallas_resize._Schedule(p, filt, batched=True,
+                                    n_sub_force=n_sub)
+        assert s.n_sub == n_sub
+        assert s.static.n_sub == n_sub           # the round-4 static bug
+        call = pallas_resize._build_call_static(s.static, 3, True, batch=2)
+        src = np.zeros((2, 3, s.m_h_pad, s.m_w_pad), np.uint8)
+        src[:, :, :oriented.shape[0], :oriented.shape[1]] = \
+            oriented.transpose(2, 0, 1)
+        r = np.asarray(call(jnp.asarray(s.ints), jnp.asarray(src),
+                            jnp.asarray(s.row_i0), jnp.asarray(s.row_w),
+                            jnp.asarray(s.col_i0), jnp.asarray(s.col_w)))
+        np.testing.assert_array_equal(r[0], r[1])
+        got = r[0, :, :s.n_rows, :s.n_cols]
+        d = np.abs(got.astype(np.int16) - want_reg.astype(np.int16)).max()
+        assert d <= 1, f"n_sub={n_sub} filt={filt}: {d}"
+
+
+def test_batched_model_considers_fusion():
+    """The batched tile search includes n_sub candidates; whatever it picks
+    must round-trip through the schedule into the static key."""
+    specs = [ImageSpec(1024, 600), ImageSpec(1920, 1080)]
+    plan = plan_for(specs, mode="min", max_images=None)
+    s = pallas_resize._Schedule(plan.placements[1], "bilinear", batched=True)
+    assert s.static.n_sub == s.n_sub >= 1
+    assert s.cols_pad == s.grid_c * s.n_sub * s.tw
+    # single-job schedules never fuse (measured regression, round-3 notes)
+    s1 = pallas_resize._Schedule(plan.placements[1], "bilinear",
+                                 batched=False)
+    assert s1.n_sub == 1
