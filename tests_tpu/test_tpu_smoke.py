@@ -7,14 +7,38 @@ virtual CPU mesh by design — this module is the on-hardware parity spot
 check (VERDICT r1 noted real-TPU pytest coverage was zero by construction).
 """
 
+import threading
+
 import numpy as np
 import pytest
 
 import jax
 
+
+def _bounded_backend(timeout_s: float = 120.0) -> str:
+    """First backend touch, bounded: a wedged tunnel/PJRT init would
+    otherwise hang pytest COLLECTION forever (observed round 4 with the
+    relay down).  On timeout the module skips instead of hanging."""
+    out = {}
+    done = threading.Event()
+
+    def probe():
+        try:
+            out["b"] = jax.default_backend()
+        except BaseException as e:  # noqa: BLE001 — record, skip below
+            out["b"] = f"init-failed({type(e).__name__})"
+        finally:
+            done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    return out["b"] if done.wait(timeout_s) else "init-timeout"
+
+
+_BACKEND = _bounded_backend()
 pytestmark = pytest.mark.skipif(
-    jax.default_backend() != "tpu",
-    reason="needs a real TPU backend (run outside tests/' CPU conftest)")
+    _BACKEND != "tpu",
+    reason=f"needs a real TPU backend, got {_BACKEND!r} "
+           "(run outside tests/' CPU conftest)")
 
 from imagestitching_tpu import api  # noqa: E402
 from imagestitching_tpu.config import (MemoryBudget, RuntimeConfig,  # noqa: E402
