@@ -109,37 +109,54 @@ class DecodePool:
         if n:
             for _ in range(workers):
                 self._spawn()
-        self._gen = self._iterate()
+        # generator created lazily on first use: an eager generator's frame
+        # references self (a self-cycle only a gc pass collects), so a pool
+        # that is created but never iterated would keep its daemon workers
+        # busy-polling until then (ADVICE r3); consumers that DO iterate
+        # must still close() via try/finally — the cycle exists while live.
+        self._gen = None
 
     # ------------------------------------------------------------ workers
 
-    def _worker(self) -> None:
-        while not self._cancelled.is_set():
-            if self._permits is not None:
+    @staticmethod
+    def _worker(cancelled: threading.Event, permits, jobq, resq,
+                started: dict) -> None:
+        # The thread references the pool's COMPONENTS, never the pool: a
+        # bound-method target would keep an abandoned pool (consumer
+        # dropped it without close()) alive while its workers busy-poll
+        # the permit semaphore forever, so the __del__ leak guard could
+        # never fire (ADVICE r3).  With no back-reference, refcounting
+        # frees the pool the moment the consumer drops it, __del__ sets
+        # ``cancelled``, and the workers exit here.
+        while not cancelled.is_set():
+            if permits is not None:
                 # bounded acquire so cancellation is honored while blocked
-                if not self._permits.acquire(timeout=0.1):
+                if not permits.acquire(timeout=0.1):
                     continue
             try:
-                i, fn = self._jobq.get_nowait()
+                i, fn = jobq.get_nowait()
             except queue.Empty:
-                if self._permits is not None:
-                    self._permits.release()
+                if permits is not None:
+                    permits.release()
                 return
-            self._started[i] = time.monotonic()
+            started[i] = time.monotonic()
             try:
-                self._resq.put((i, fn(), None))
+                resq.put((i, fn(), None))
             except Exception as e:  # noqa: BLE001 — isolation boundary
-                self._resq.put((i, None, e))
+                resq.put((i, None, e))
             except BaseException as e:
-                self._resq.put((i, None, e))
+                resq.put((i, None, e))
                 raise
             # NOTE: the window slot acquired for this job is NOT released
             # here — it transfers to the yielded result and is freed by the
             # consumer's ack() (or by the watchdog transfer on timeout).
 
     def _spawn(self) -> None:
-        t = threading.Thread(target=self._worker, daemon=True,
-                             name="stitch-decode")
+        t = threading.Thread(
+            target=DecodePool._worker,
+            args=(self._cancelled, self._permits, self._jobq, self._resq,
+                  self._started),
+            daemon=True, name="stitch-decode")
         t.start()
 
     # ----------------------------------------------------------- consumer
@@ -155,14 +172,18 @@ class DecodePool:
         return self
 
     def __next__(self) -> DecodeResult:
+        if self._gen is None:
+            self._gen = self._iterate()
         return next(self._gen)
 
     def close(self) -> None:
-        # cancel directly too: on a never-iterated pool the generator's
-        # finally has not been entered yet, so closing it alone would leave
-        # the eagerly-started workers decoding (docstring contract)
+        # cancel directly too: on a never-iterated pool there is no
+        # generator at all (and even a live one's finally may not have been
+        # entered), so closing the generator alone would leave the
+        # eagerly-started workers decoding (docstring contract)
         self._cancelled.set()
-        self._gen.close()
+        if self._gen is not None:
+            self._gen.close()
 
     def _ext(self, i: int) -> int:
         """Pool-local job slot -> the caller's reported index."""

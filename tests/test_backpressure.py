@@ -245,3 +245,33 @@ def test_stream_blit_decode_error_still_aborts(tmp_path):
         export.stream_blit_to_file(plan, loaders, str(out), "png", 1,
                                    copies, decode_threads=3, window=3)
     assert not out.exists()
+
+
+def test_abandoned_pool_freed_by_refcount_alone():
+    """A consumer that drops the pool without close() must not leak its
+    daemon workers: workers hold only a weak reference between jobs, so
+    refcounting alone frees the pool and trips the __del__ cancel guard —
+    no gc cycle pass needed (ADVICE r3)."""
+    import threading
+    import time
+    import weakref
+
+    from imagestitching_tpu.runtime import decoding
+
+    gate = threading.Event()
+
+    def slow():
+        gate.wait(10)
+        return 1
+
+    pool = decoding.iter_decoded([slow] * 8, workers=2, timeout_s=None,
+                                 window=2)
+    cancelled = pool._cancelled
+    ref = weakref.ref(pool)
+    del pool        # never iterated, never closed; NO gc.collect()
+    gate.set()
+    deadline = time.monotonic() + 5.0
+    while ref() is not None and time.monotonic() < deadline:
+        time.sleep(0.02)
+    assert ref() is None, "pool still referenced after consumer dropped it"
+    assert cancelled.is_set()
