@@ -39,7 +39,10 @@ import traceback
 # ``--tpu`` keeps the process on the real chip (the whole point of that
 # mode is exercising the Mosaic-compiled kernel, not interpret emulation);
 # every other mode forces the 8-device virtual CPU mesh.
-_ON_TPU = "--tpu" in sys.argv[1:]
+# ISX_TPU_SOAK_FORCE=1 demotes --tpu to the CPU mesh too (validating the
+# case generator while the chip/tunnel is down — not a chip burn).
+_ON_TPU = ("--tpu" in sys.argv[1:]
+           and os.environ.get("ISX_TPU_SOAK_FORCE") != "1")
 if not _ON_TPU:
     os.environ["JAX_PLATFORMS"] = "cpu"
     if "xla_force_host_platform_device_count" not in os.environ.get(
@@ -1054,9 +1057,14 @@ def run_tpu(n_cases: int, base: int = 140_000) -> int:
     is the real-TPU contract: <=1 uint8 step vs the float64 oracle."""
     dev = jax.devices()[0]
     print(f"platform: {dev.platform} ({dev.device_kind})", flush=True)
-    if dev.platform == "cpu":
+    # ISX_TPU_SOAK_FORCE=1: run the same case generator on CPU in interpret
+    # mode — validates the soak's own logic when the chip is down, but is
+    # NOT a chip burn (never ledger a forced run as one)
+    forced_cpu = os.environ.get("ISX_TPU_SOAK_FORCE") == "1"
+    if dev.platform == "cpu" and not forced_cpu:
         print("no TPU in this process; --tpu soak skipped", flush=True)
         return 0
+    interpret = dev.platform == "cpu"
     from imagestitching_tpu.runtime import jaxcfg
     jaxcfg.ensure_compile_cache()
     fails = 0
@@ -1064,16 +1072,33 @@ def run_tpu(n_cases: int, base: int = 140_000) -> int:
     for seed in range(n_cases):
         rng = np.random.default_rng(base + seed)
         try:
-            n = int(rng.integers(1, 7))
-            equalize = rng.random() < 0.35     # some pure-blit plans
+            # case slices (VERDICT r3 #4): photo-scale sides (the headline
+            # geometry class, D2H-bounded so rare), tight-budget (drives
+            # the streamed/banded demotion ladder — _WindowPlan's VMEM
+            # boundaries — on real Mosaic), sharded (ShardedStitch's
+            # shard_map + canvas-band-aligned kernel windows on the chip;
+            # one device = one shard, the code path is what's under test)
+            roll = rng.random()
+            big = roll < 0.06
+            sharded = 0.06 <= roll < 0.18
+            tight = 0.18 <= roll < 0.36
+            n = int(rng.integers(1, 4 if big else 7))
+            equalize = (not big) and rng.random() < 0.35  # pure-blit plans
             direction = str(rng.choice(["vertical", "horizontal"]))
-            common = _boundary_biased(rng, 32, 384)
+            if big:
+                # forced-CPU validation shrinks photo-scale sides: the
+                # interpret-mode kernel on a 12 MP canvas is minutes/case
+                lo, hi = (2800, 4100) if not forced_cpu else (900, 1400)
+            else:
+                lo, hi = 32, 512
+            common = _boundary_biased(rng, lo, min(hi, 384) if not big
+                                      else hi)
             specs, imgs = [], []
             for _ in range(n):
                 w = (common if (equalize and direction == "vertical")
-                     else _boundary_biased(rng, 32, 512))
+                     else _boundary_biased(rng, lo, hi))
                 h = (common if (equalize and direction == "horizontal")
-                     else _boundary_biased(rng, 32, 512))
+                     else _boundary_biased(rng, lo, hi))
                 o = int(rng.integers(1, 9))
                 specs.append(ImageSpec(w, h, o))
                 imgs.append(rng.integers(0, 256, (h, w, 3), np.uint8))
@@ -1084,27 +1109,55 @@ def run_tpu(n_cases: int, base: int = 140_000) -> int:
                 filter=str(rng.choice(["bilinear", "bilinear", "triangle",
                                        "box", "lanczos3"])),
                 background=tuple(int(x) for x in rng.integers(0, 256, 3)),
-                supersample=bool(rng.random() < 0.1))
+                supersample=bool((not big) and rng.random() < 0.1))
             plan = solve(specs, options)
             want = oracle.stitch(plan, imgs)
-            engine = str(rng.choice(["pallas", "pallas", "auto", "xla"]))
-            cfg = RuntimeConfig(engine=engine)
-            try:
-                out = api.stitch_arrays(imgs, specs, options, cfg)
-            except NotImplementedError:
-                if engine != "pallas":
-                    raise
-                # documented contract (same as the large soak): an
-                # explicit kernel engine surfaces Infeasible; auto demotes
-                engine = "auto(demoted)"
-                out = api.stitch_arrays(imgs, specs, options,
-                                        RuntimeConfig(engine="auto"))
+            if sharded:
+                from imagestitching_tpu.parallel.mesh import make_mesh
+                from imagestitching_tpu.parallel.sharding import \
+                    ShardedStitch
+                # all devices on the space axis: (1, 1) on the single real
+                # chip (the code path is what's under test), (1, 8) under
+                # the forced-CPU validation mesh
+                mesh = make_mesh((1, len(jax.devices())))
+                try:
+                    out = ShardedStitch(plan, mesh, 3, engine="pallas",
+                                        interpret=interpret)(imgs)
+                    engine = f"sharded-pallas@{mesh.shape['space']}"
+                except NotImplementedError:
+                    out = ShardedStitch(plan, mesh, 3)(imgs)
+                    engine = "sharded-xla"
+            else:
+                engine = str(rng.choice(["pallas", "pallas", "auto",
+                                         "xla"]))
+                kw = {"interpret": interpret} if interpret else {}
+                if tight:
+                    canvas = plan.canvas_w * plan.canvas_h * 3
+                    kw["budget"] = MemoryBudget(
+                        hbm_bytes=max(150_000, canvas // 2))
+                try:
+                    out = api.stitch_arrays(imgs, specs, options,
+                                            RuntimeConfig(engine=engine,
+                                                          **kw))
+                except NotImplementedError:
+                    if engine != "pallas":
+                        raise
+                    # documented contract (same as the large soak): an
+                    # explicit kernel engine surfaces Infeasible; auto
+                    # demotes
+                    engine = "auto(demoted)"
+                    out = api.stitch_arrays(imgs, specs, options,
+                                            RuntimeConfig(engine="auto",
+                                                          **kw))
+                if tight:
+                    engine += "+tight"
             assert out.shape == want.shape, (out.shape, want.shape)
             diff = np.abs(out.astype(int) - want.astype(int)).max()
             assert diff <= 1, f"diff={diff}"
             print(f"seed {base + seed}: ok ({engine}, n={n}, "
                   f"canvas={plan.canvas_w}x{plan.canvas_h}, "
-                  f"{options.filter}, diff={diff})", flush=True)
+                  f"{options.filter}{', BIG' if big else ''}, "
+                  f"diff={diff})", flush=True)
         except Exception:
             fails += 1
             print(f"FAIL seed={base + seed}", flush=True)
