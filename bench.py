@@ -107,10 +107,18 @@ def _remaining_s() -> float:
 
 def _install_emergency_emitters(deadline_s: float) -> None:
     def _on_signal(signum, frame):  # noqa: ARG001
+        # The handler can land mid-write inside one of bench's buffered
+        # stderr prints; a print() HERE then raises the reentrant-IO
+        # RuntimeError at the interrupted frame and the emit never runs.
+        # Emit first, then log via raw os.write only.
         name = signal.Signals(signum).name
-        log(f"bench: caught {name} — emitting partial result line")
         if not _LIVE["final"]:
             _emergency_emit({"aborted": name})
+        try:
+            os.write(2, f"\nbench: caught {name} — emitted partial "
+                        "result line\n".encode())
+        except OSError:  # pragma: no cover — stderr gone
+            pass
         os._exit(128 + signum)
 
     for s in (signal.SIGTERM, signal.SIGINT):

@@ -81,6 +81,11 @@ def main(B: int = 64) -> None:
             results.append((name, steps, None, None))
             continue
 
+        # Deliberately the SAME instrument as run_all.py's config-5 chain5
+        # (python-loop chain, data-dependent through the carried bump `c`,
+        # dispatches pipeline async) — NOT bench._slope_time's scan-over-xs.
+        # Variants are only compared against each other and against
+        # run_all's config-5 row, so the instruments must match.
         def chain(k):
             c = jnp.uint8(0)
             t0 = time.perf_counter()

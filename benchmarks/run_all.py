@@ -148,12 +148,8 @@ def main() -> None:
                 or _geom.placement_copy_offsets(p, plan5.filter) is not None):
             continue
         s = pallas_resize._Schedule(p, plan5.filter, batched=True)
-        if s.col_first:
-            f = 3 * (4 * max(s.bh, 128) * s.bw * s.tw
-                     + 6 * max(s.th, 128) * s.bh * s.tw)
-        else:
-            f = 3 * (4 * max(s.th, 128) * s.bh * s.bw
-                     + 6 * max(s.th, 128) * s.bw * s.tw)
+        f = pallas_resize._model_flops(s.th, s.tw, s.bh, s.bw,
+                                       col_first=s.col_first)
         flops5 += f * s.n_sub * s.grid_r * s.grid_c
         picks5.append(f"{s.th}x{s.tw}x{s.n_sub}")
     flops5 *= B

@@ -152,6 +152,22 @@ def _vmem_bytes(th: int, tw: int, bh: int, bw: int, channels: int = 3,
             + (n_sub - 1) * (bw * tw * 6 + channels * th * tw))
 
 
+def _model_flops(th: int, tw: int, bh: int, bw: int,
+                 channels: int = 3, col_first: bool = False) -> int:
+    """Split-bf16 contraction model flops for ONE (th x tw) output tile.
+
+    The single source of truth for the model-flop formula — the tile
+    chooser prices candidates with it and benchmarks/run_all.py computes
+    the published MFU line from it; changing a pass count or contraction
+    order here updates both.
+    """
+    if col_first:
+        return channels * (4 * max(bh, 128) * bw * tw
+                           + 6 * max(th, 128) * bh * tw)
+    return channels * (4 * max(th, 128) * bh * bw
+                       + 6 * max(th, 128) * bw * tw)
+
+
 def _model_step_time(th: int, tw: int, bh: int, bw: int,
                      channels: int = 3, col_first: bool = False,
                      overhead: Optional[float] = None,
@@ -169,14 +185,8 @@ def _model_step_time(th: int, tw: int, bh: int, bw: int,
     overhead): work terms scale by n_sub, overhead does not — the whole
     point of the fusion (VERDICT r3 #3).
     """
-    if col_first:
-        flops = channels * (4 * max(bh, 128) * bw * tw
-                            + 6 * max(th, 128) * bh * tw)
-        inter = bh * tw
-    else:
-        flops = channels * (4 * max(th, 128) * bh * bw
-                            + 6 * max(th, 128) * bw * tw)
-        inter = th * bw
+    flops = _model_flops(th, tw, bh, bw, channels, col_first)
+    inter = bh * tw if col_first else th * bw
     vpu = channels * (4 * bh * bw + 4 * inter + 4 * th * tw)
     dma = channels * (bh * bw + th * tw)
     return (n_sub * (flops / _MXU_EFF_FLOPS + vpu / _VPU_EFF_OPS

@@ -173,6 +173,12 @@ class DecodePool:
 
     def __next__(self) -> DecodeResult:
         if self._gen is None:
+            if self._cancelled.is_set():
+                # closed (or __del__'d) before first iteration: the workers
+                # are gone, so a fresh generator would wait forever for
+                # results that will never arrive — match the closed-eager-
+                # generator behavior this path replaced
+                raise StopIteration
             self._gen = self._iterate()
         return next(self._gen)
 

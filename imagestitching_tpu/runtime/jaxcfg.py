@@ -40,13 +40,31 @@ def host_cpu_tag() -> str:
     return hashlib.sha1(feats.encode()).hexdigest()[:10]
 
 
+def _primary_platform() -> str:
+    """The platform this process will resolve to, best-effort, WITHOUT
+    initializing a backend ('' when auto-selecting among plugins)."""
+    p = None
+    try:
+        import jax
+        p = jax.config.jax_platforms      # in-process override wins (the
+    except Exception:                     # TPU plugin's sitecustomize
+        pass                              # overrides the env var)
+    if not p:
+        p = os.environ.get("JAX_PLATFORMS") or ""
+    return p.split(",")[0].strip().lower()
+
+
 def ensure_compile_cache(path: str | None = None) -> None:
     """Enable JAX's persistent compilation cache (idempotent, respectful).
 
     Precedence for the cache ROOT: explicit ``path`` >
     ``JAX_COMPILATION_CACHE_DIR`` env > ``~/.cache/imagestitching_tpu/jax``.
-    A ``cpu-<tag>`` subdirectory keyed by :func:`host_cpu_tag` is always
-    appended under the root (see its docstring for why).
+    For CPU-platform processes a ``cpu-<tag>`` subdirectory keyed by
+    :func:`host_cpu_tag` is appended under the root (see its docstring) —
+    the SIGILL hazard is specific to XLA:CPU AOT executables, and keying
+    unconditionally would orphan the whole TPU cache (20-90 s re-compile
+    per layout signature through the tunnel) every time a cpuinfo flag
+    name churns across kernel upgrades.
     """
     global _configured
     if _configured:
@@ -59,7 +77,8 @@ def ensure_compile_cache(path: str | None = None) -> None:
     if path is None:
         path = os.path.join(os.path.expanduser("~"), ".cache",
                             "imagestitching_tpu", "jax")
-    path = os.path.join(path, f"cpu-{host_cpu_tag()}")
+    if _primary_platform() == "cpu":
+        path = os.path.join(path, f"cpu-{host_cpu_tag()}")
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)

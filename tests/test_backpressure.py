@@ -161,6 +161,15 @@ def test_pool_close_before_iteration_stops_workers():
     assert done == []               # no queued job was picked up after close
 
 
+def test_pool_close_then_iterate_raises_stopiteration():
+    """Iterating a pool AFTER close() must end immediately, not block: the
+    lazily-created generator would otherwise wait forever on a result queue
+    whose workers were all cancelled (review finding, round 4)."""
+    pool = decoding.iter_decoded([lambda: 1, lambda: 2], workers=1)
+    pool.close()
+    assert list(pool) == []
+
+
 def test_stream_blit_peak_residency_bounded(tmp_path):
     """A tall vertical strip streams with peak decoded sources ~= window,
     not O(n) — the property that replaced api._BLIT_MAX_SRC_BYTES."""

@@ -136,8 +136,18 @@ def test_compile_cache_keyed_by_host_cpu_features(tmp_path, monkeypatch):
     try:
         jaxcfg.ensure_compile_cache(str(tmp_path / "root"))
         got = jax.config.jax_compilation_cache_dir
+        # conftest forces the cpu platform, so the feature tag applies here
         assert got == str(tmp_path / "root" / f"cpu-{tag}")
         assert os.path.isdir(got)
+
+        # TPU-platform processes must NOT get the tag: the SIGILL hazard is
+        # CPU-AOT-specific, and keying the TPU cache by cpuinfo flags would
+        # orphan it (20-90 s recompiles) on any kernel flag-name churn
+        monkeypatch.setattr(jaxcfg, "_primary_platform", lambda: "axon")
+        monkeypatch.setattr(jaxcfg, "_configured", False)
+        jaxcfg.ensure_compile_cache(str(tmp_path / "root2"))
+        assert (jax.config.jax_compilation_cache_dir
+                == str(tmp_path / "root2"))
     finally:
         monkeypatch.setattr(jaxcfg, "_configured", False)
         jax.config.update("jax_compilation_cache_dir", old)
