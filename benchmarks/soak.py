@@ -402,11 +402,29 @@ def run_formats(n_cases: int, base: int = 110_000) -> int:
                     quality=int(rng.integers(30, 101)))
                 data = buf.getvalue()
             elif kind == "bmp":
-                Image.fromarray(noise).save(buf, "BMP")
+                mode = str(rng.choice(["RGB", "P", "L"]))
+                img = Image.fromarray(noise)
+                if mode == "P":
+                    img = img.convert("P", palette=Image.ADAPTIVE,
+                                      colors=int(rng.integers(2, 257)))
+                elif mode == "L":
+                    img = img.convert("L")
+                img.save(buf, "BMP")
                 data = buf.getvalue()
             elif kind == "gif":
-                Image.fromarray(noise).convert(
-                    "P", palette=Image.ADAPTIVE).save(buf, "GIF")
+                img = Image.fromarray(noise).convert(
+                    "P", palette=Image.ADAPTIVE,
+                    colors=int(rng.integers(2, 257)))
+                kw = {"interlace": bool(rng.random() < 0.4)}
+                if rng.random() < 0.4:      # GCE transparency -> white
+                    kw["transparency"] = int(rng.integers(0, 4))
+                if rng.random() < 0.3:      # animated: frame 0 contract
+                    f1 = Image.fromarray(rng.integers(
+                        0, 256, (h, w, 3), np.uint8)).convert(
+                        "P", palette=Image.ADAPTIVE)
+                    kw.update(save_all=True, append_images=[f1],
+                              duration=50)
+                img.save(buf, "GIF", **kw)
                 data = buf.getvalue()
             elif kind == "heic":
                 if not heif.available():

@@ -119,6 +119,10 @@ def _sniff(data: bytes) -> str:
         return "png"
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         return "webp"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if data[:2] == b"BM":
+        return "bmp"
     return ""
 
 
@@ -187,7 +191,8 @@ def decode(src: PathOrBytes,
     """Decode to raw (un-oriented) RGB uint8 HWC + EXIF orientation.
 
     Uses the native codec (native/codec.cpp via ctypes; GIL-free decode on
-    the prepare pool) for JPEG/PNG/WEBP, falling back to Pillow for
+    the prepare pool) for JPEG/PNG/WEBP/BMP/GIF — the reference runtime's
+    full native whitelist (index.js:4) — falling back to Pillow for
     everything else or when the native library is unavailable.
 
     ``max_pixels``: if set and the image exceeds it, JPEGs are decoded with
@@ -231,6 +236,13 @@ def decode(src: PathOrBytes,
                     orientation = 1
                 arr = native.decode_webp(data)   # None without libwebp;
                 #                 raises on animated -> Pillow first-frame
+            elif fmt == "bmp":
+                # reference whitelists bmp/gif natively too (index.js:4);
+                # neither container carries EXIF -> orientation stays 1
+                arr = native.decode_bmp(data)
+            elif fmt == "gif":
+                arr = native.decode_gif(data)    # first frame (= Pillow's
+                #              no-seek open); raises on partial-frame GIFs
             else:
                 arr = native.decode_png(data)
         except Exception:

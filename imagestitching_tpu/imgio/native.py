@@ -101,6 +101,14 @@ def _register_symbols(lib: ctypes.CDLL) -> None:
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
     except AttributeError:
         pass
+    for name in ("isx_decode_bmp", "isx_decode_gif"):
+        try:    # ...or the bmp/gif decoders (stale .so tolerance)
+            getattr(lib, name).argtypes = [
+                u8p, ctypes.c_size_t,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        except AttributeError:
+            pass
     for fmt in ("png", "jpeg"):
         getattr(lib, f"isx_{fmt}_stream_open").restype = ctypes.c_void_p
         getattr(lib, f"isx_{fmt}_stream_open").argtypes = [
@@ -182,6 +190,37 @@ def decode_webp(data: bytes) -> Optional[np.ndarray]:
         raise ValueError(f"webp decode: {lib.isx_last_error().decode()}")
     flat = _take(lib, out, w.value * h.value * 3)
     return flat.reshape(h.value, w.value, 3)
+
+
+def _decode_simple(fn_name: str, data: bytes) -> Optional[np.ndarray]:
+    """Shared driver for the (data) -> RGB8 decoders (bmp/gif)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, fn_name):
+        return None             # stale .so predating the decoder
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    w, h = ctypes.c_int(), ctypes.c_int()
+    rc = getattr(lib, fn_name)(_as_u8p(data), len(data), ctypes.byref(out),
+                               ctypes.byref(w), ctypes.byref(h))
+    if rc != 0:
+        raise ValueError(
+            f"{fn_name[len('isx_decode_'):]} decode: "
+            f"{lib.isx_last_error().decode()}")
+    flat = _take(lib, out, w.value * h.value * 3)
+    return flat.reshape(h.value, w.value, 3)
+
+
+def decode_bmp(data: bytes) -> Optional[np.ndarray]:
+    """Decode an uncompressed 8/24/32-bit BMP to RGB8; None when the codec
+    is unavailable; raises on RLE/V4+/exotic variants (the caller's Pillow
+    ladder handles those)."""
+    return _decode_simple("isx_decode_bmp", data)
+
+
+def decode_gif(data: bytes) -> Optional[np.ndarray]:
+    """Decode a GIF's first frame to white-composited RGB8 (matches
+    Pillow's no-seek open for animated files); None when the codec is
+    unavailable; raises on partial-first-frame/corrupt input."""
+    return _decode_simple("isx_decode_gif", data)
 
 
 def encode_jpeg(rgb: np.ndarray, quality: int = 95) -> Optional[bytes]:

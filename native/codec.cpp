@@ -674,6 +674,312 @@ int isx_decode_webp(const uint8_t* data, size_t len,
 #endif
 }
 
+// ---------------------------------------------------------------- BMP
+//
+// Native BMP decode (the reference's runtime whitelists bmp,
+// pages/index/index.js:4).  Handles the shapes Pillow maps to plain RGB —
+// BITMAPINFOHEADER (40-byte), BI_RGB, 8-bit palette / 24-bit / 32-bit,
+// bottom-up or top-down — and errors out on everything else (OS/2 or V4/V5
+// headers, RLE, bitfields, 1/4/16-bit) so the caller's Pillow ladder takes
+// those.  32-bit BI_RGB ignores the 4th byte (Pillow raw mode "BGRX");
+// BMP has no alpha here, so no compositing is involved.
+
+static uint32_t rd_u32(const uint8_t* p) {
+    return static_cast<uint32_t>(p[0]) | (static_cast<uint32_t>(p[1]) << 8)
+         | (static_cast<uint32_t>(p[2]) << 16)
+         | (static_cast<uint32_t>(p[3]) << 24);
+}
+static uint16_t rd_u16(const uint8_t* p) {
+    return static_cast<uint16_t>(p[0] | (p[1] << 8));
+}
+
+int isx_decode_bmp(const uint8_t* data, size_t len,
+                   uint8_t** out, int* out_w, int* out_h) {
+    *out = nullptr;
+    if (len < 54 || data[0] != 'B' || data[1] != 'M') {
+        set_err("bmp: bad signature");
+        return 1;
+    }
+    const uint32_t pix_off = rd_u32(data + 10);
+    const uint32_t hdr = rd_u32(data + 14);
+    if (hdr != 40) { set_err("bmp: unsupported DIB header"); return 1; }
+    const int32_t w = static_cast<int32_t>(rd_u32(data + 18));
+    const int32_t h_raw = static_cast<int32_t>(rd_u32(data + 22));
+    const uint16_t bpp = rd_u16(data + 28);
+    const uint32_t comp = rd_u32(data + 30);
+    uint32_t colors = rd_u32(data + 46);
+    const bool top_down = h_raw < 0;
+    const int64_t h64 = top_down ? -static_cast<int64_t>(h_raw) : h_raw;
+    if (comp != 0) { set_err("bmp: compressed (not BI_RGB)"); return 1; }
+    if (bpp != 8 && bpp != 24 && bpp != 32) {
+        set_err("bmp: unsupported bit depth");
+        return 1;
+    }
+    if (w <= 0 || h64 <= 0 || w > (1 << 24) || h64 > (1 << 24)) {
+        set_err("bmp: bad dimensions");
+        return 1;
+    }
+    const int h = static_cast<int>(h64);
+    // palette: BGRX quads right after the 54-byte headers
+    uint8_t pal[256][3];
+    if (bpp == 8) {
+        if (colors == 0 || colors > 256) colors = 256;
+        if (54 + 4 * static_cast<size_t>(colors) > len) {
+            set_err("bmp: truncated palette");
+            return 1;
+        }
+        std::memset(pal, 0, sizeof(pal));   // oob indices -> black (Pillow
+        for (uint32_t i = 0; i < colors; ++i) {  // zero-pads its palette)
+            const uint8_t* q = data + 54 + 4 * i;
+            pal[i][0] = q[2]; pal[i][1] = q[1]; pal[i][2] = q[0];
+        }
+    }
+    const size_t stride =
+        ((static_cast<size_t>(w) * bpp + 31) / 32) * 4;   // 4-byte row pad
+    if (pix_off > len || stride * h > len - pix_off) {
+        set_err("bmp: truncated pixel data");
+        return 1;
+    }
+    uint8_t* buf = static_cast<uint8_t*>(
+        std::malloc(static_cast<size_t>(w) * h * 3));
+    if (!buf) { set_err("oom"); return 1; }
+    for (int y = 0; y < h; ++y) {
+        const uint8_t* src = data + pix_off
+                             + stride * (top_down ? y : (h - 1 - y));
+        uint8_t* dst = buf + static_cast<size_t>(y) * w * 3;
+        if (bpp == 8) {
+            for (int x = 0; x < w; ++x) {
+                const uint8_t* c = pal[src[x]];
+                dst[3 * x] = c[0]; dst[3 * x + 1] = c[1];
+                dst[3 * x + 2] = c[2];
+            }
+        } else if (bpp == 24) {
+            for (int x = 0; x < w; ++x) {           // BGR -> RGB
+                dst[3 * x] = src[3 * x + 2];
+                dst[3 * x + 1] = src[3 * x + 1];
+                dst[3 * x + 2] = src[3 * x];
+            }
+        } else {                                    // 32-bit BGRX
+            for (int x = 0; x < w; ++x) {
+                dst[3 * x] = src[4 * x + 2];
+                dst[3 * x + 1] = src[4 * x + 1];
+                dst[3 * x + 2] = src[4 * x];
+            }
+        }
+    }
+    *out = buf;
+    *out_w = w;
+    *out_h = h;
+    return 0;
+}
+
+// ---------------------------------------------------------------- GIF
+//
+// Native GIF decode, first frame only (the reference's runtime whitelists
+// gif, pages/index/index.js:4; Pillow's no-seek open also yields frame 0,
+// so parity holds for animated files too).  Supported: 87a/89a, global or
+// local color table, interlace, GCE transparency (composited to the white
+// canvas like every other alpha path).  The first image descriptor must
+// cover the full logical screen at (0,0) — offset first frames depend on
+// Pillow's background/disposal semantics, so those error out and take the
+// Pillow ladder.  Out-of-range palette indices map to black, matching
+// Pillow's zero-padded 256-entry palette.
+
+// GIF-variant LZW: codes start at min_code_size+1 bits, dictionary capped
+// at 4096 entries, CLEAR resets, code width grows at dictionary fill.
+// Decodes exactly n_pixels indices; surplus compressed data is ignored
+// (encoders may pad), missing data is an error (strict, like Pillow with
+// LOAD_TRUNCATED_IMAGES=False).
+static bool gif_lzw(const uint8_t* data, size_t len, size_t* pos_io,
+                    int min_code, uint8_t* idx_out, size_t n_pixels) {
+    if (min_code < 1 || min_code > 11) return false;
+    const int clear = 1 << min_code;
+    const int eoi = clear + 1;
+    // dictionary as (prefix link, last byte): entry i < clear is literal i
+    static thread_local int16_t prefix[4096];
+    static thread_local uint8_t last[4096];
+    static thread_local uint8_t tail[4096];   // expansion scratch (depth
+    int next_code = eoi + 1;                  // <= 4096 by construction)
+    int code_bits = min_code + 1;
+    int prev = -1;
+    uint32_t acc = 0;
+    int acc_bits = 0;
+    size_t pos = *pos_io;
+    size_t produced = 0;
+    int sub_left = 0;        // bytes remaining in the current sub-block
+    while (produced < n_pixels) {
+        while (acc_bits < code_bits) {
+            if (sub_left == 0) {
+                if (pos >= len) return false;
+                sub_left = data[pos++];
+                if (sub_left == 0) return false;    // terminator, data short
+            }
+            if (pos >= len) return false;
+            acc |= static_cast<uint32_t>(data[pos++]) << acc_bits;
+            acc_bits += 8;
+            --sub_left;
+        }
+        const int code = static_cast<int>(acc & ((1u << code_bits) - 1));
+        acc >>= code_bits;
+        acc_bits -= code_bits;
+        if (code == clear) {
+            next_code = eoi + 1;
+            code_bits = min_code + 1;
+            prev = -1;
+            continue;
+        }
+        if (code == eoi) return false;              // EOI before all pixels
+        if (code >= next_code + (prev >= 0 ? 1 : 0) || code >= 4096)
+            return false;                           // corrupt stream
+        // expand `code` (or prev+first(code) for the KwKwK case)
+        int expand = code;
+        if (code == next_code) expand = prev;       // KwKwK: prev + first
+        int depth = 0;
+        int c = expand;
+        while (c >= clear) { tail[depth++] = last[c]; c = prefix[c]; }
+        tail[depth++] = static_cast<uint8_t>(c);
+        const uint8_t first = static_cast<uint8_t>(c);
+        // emit in source order (tail[] holds it reversed)
+        for (int k = depth - 1; k >= 0 && produced < n_pixels; --k)
+            idx_out[produced++] = tail[k];
+        if (code == next_code && produced < n_pixels)
+            idx_out[produced++] = first;
+        if (prev >= 0 && next_code < 4096) {
+            prefix[next_code] = static_cast<int16_t>(prev);
+            last[next_code] = first;
+            ++next_code;
+            if (next_code == (1 << code_bits) && code_bits < 12)
+                ++code_bits;
+        }
+        prev = code;
+    }
+    *pos_io = pos;
+    return true;
+}
+
+int isx_decode_gif(const uint8_t* data, size_t len,
+                   uint8_t** out, int* out_w, int* out_h) {
+    *out = nullptr;
+    if (len < 13 || std::memcmp(data, "GIF8", 4) != 0
+            || (data[4] != '7' && data[4] != '9') || data[5] != 'a') {
+        set_err("gif: bad signature");
+        return 1;
+    }
+    const int lsw = rd_u16(data + 6);
+    const int lsh = rd_u16(data + 8);
+    if (lsw <= 0 || lsh <= 0) { set_err("gif: bad dimensions"); return 1; }
+    uint8_t pal[256][3];
+    std::memset(pal, 0, sizeof(pal));   // oob indices -> black (Pillow
+    bool have_pal = false;              // zero-pads its palette)
+    size_t pos = 13;
+    if (data[10] & 0x80) {              // global color table
+        const int n = 2 << (data[10] & 7);
+        if (pos + 3 * static_cast<size_t>(n) > len) {
+            set_err("gif: truncated color table");
+            return 1;
+        }
+        for (int i = 0; i < n; ++i) {
+            pal[i][0] = data[pos + 3 * i];
+            pal[i][1] = data[pos + 3 * i + 1];
+            pal[i][2] = data[pos + 3 * i + 2];
+        }
+        pos += 3 * static_cast<size_t>(n);
+        have_pal = true;
+    }
+    int transparent = -1;               // from the GCE preceding the image
+    while (true) {
+        if (pos >= len) { set_err("gif: truncated"); return 1; }
+        const uint8_t block = data[pos++];
+        if (block == 0x3B) { set_err("gif: no image data"); return 1; }
+        if (block == 0x21) {            // extension
+            if (pos >= len) { set_err("gif: truncated"); return 1; }
+            const uint8_t label = data[pos++];
+            if (label == 0xF9 && pos + 6 <= len && data[pos] == 4) {
+                if (data[pos + 1] & 1)          // transparent-color flag
+                    transparent = data[pos + 4];
+            }
+            while (true) {              // skip sub-blocks
+                if (pos >= len) { set_err("gif: truncated"); return 1; }
+                const uint8_t n = data[pos++];
+                if (n == 0) break;
+                pos += n;
+                if (pos > len) { set_err("gif: truncated"); return 1; }
+            }
+            continue;
+        }
+        if (block != 0x2C) { set_err("gif: unknown block"); return 1; }
+        break;                          // image descriptor
+    }
+    if (pos + 9 > len) { set_err("gif: truncated"); return 1; }
+    const int left = rd_u16(data + pos);
+    const int top = rd_u16(data + pos + 2);
+    const int iw = rd_u16(data + pos + 4);
+    const int ih = rd_u16(data + pos + 6);
+    const uint8_t iflags = data[pos + 8];
+    pos += 9;
+    if (left != 0 || top != 0 || iw != lsw || ih != lsh) {
+        // partial first frame: Pillow composes it onto background/disposal
+        // state — rare, and exactly what the Pillow ladder is for
+        set_err("gif: first frame does not cover the screen");
+        return 1;
+    }
+    if (iflags & 0x80) {                // local color table overrides
+        const int n = 2 << (iflags & 7);
+        if (pos + 3 * static_cast<size_t>(n) > len) {
+            set_err("gif: truncated color table");
+            return 1;
+        }
+        std::memset(pal, 0, sizeof(pal));
+        for (int i = 0; i < n; ++i) {
+            pal[i][0] = data[pos + 3 * i];
+            pal[i][1] = data[pos + 3 * i + 1];
+            pal[i][2] = data[pos + 3 * i + 2];
+        }
+        pos += 3 * static_cast<size_t>(n);
+        have_pal = true;
+    }
+    if (!have_pal) { set_err("gif: no color table"); return 1; }
+    if (pos >= len) { set_err("gif: truncated"); return 1; }
+    const int min_code = data[pos++];
+    const size_t n_px = static_cast<size_t>(iw) * ih;
+    uint8_t* idx = static_cast<uint8_t*>(std::malloc(n_px));
+    if (!idx) { set_err("oom"); return 1; }
+    if (!gif_lzw(data, len, &pos, min_code, idx, n_px)) {
+        std::free(idx);
+        set_err("gif: corrupt LZW stream");
+        return 1;
+    }
+    uint8_t* buf = static_cast<uint8_t*>(std::malloc(n_px * 3));
+    if (!buf) { std::free(idx); set_err("oom"); return 1; }
+    // interlace passes: rows 0,8,16.. then 4,12.. then 2,6.. then 1,3..
+    static const int i0[4] = {0, 4, 2, 1};
+    static const int istep[4] = {8, 8, 4, 2};
+    size_t src_row = 0;
+    for (int pass = 0; pass < ((iflags & 0x40) ? 4 : 1); ++pass) {
+        const int y0 = (iflags & 0x40) ? i0[pass] : 0;
+        const int step = (iflags & 0x40) ? istep[pass] : 1;
+        for (int y = y0; y < ih; y += step, ++src_row) {
+            const uint8_t* s = idx + src_row * iw;
+            uint8_t* dst = buf + static_cast<size_t>(y) * iw * 3;
+            for (int x = 0; x < iw; ++x) {
+                if (s[x] == transparent) {      // alpha 0 -> white canvas
+                    dst[3 * x] = 255; dst[3 * x + 1] = 255;
+                    dst[3 * x + 2] = 255;
+                } else {
+                    const uint8_t* c = pal[s[x]];
+                    dst[3 * x] = c[0]; dst[3 * x + 1] = c[1];
+                    dst[3 * x + 2] = c[2];
+                }
+            }
+        }
+    }
+    std::free(idx);
+    *out = buf;
+    *out_w = iw;
+    *out_h = ih;
+    return 0;
+}
+
 // ------------------------------------------------- PNG (fast encode path)
 //
 // libdeflate-backed encoder: hand-rolled fixed Up filter (Sub on the first

@@ -231,3 +231,185 @@ def test_webp_exif_orientation(tmp_path):
     dec, o = codec.decode(p)
     assert o == 6
     np.testing.assert_array_equal(dec, a)
+
+
+def _pil_strict_rgb(data: bytes) -> np.ndarray:
+    import io
+    with Image.open(io.BytesIO(data)) as img:
+        return np.ascontiguousarray(codec._img_to_rgb(img))
+
+
+def test_native_bmp_matches_pillow():
+    """The native BMP decoder (codec.cpp) must agree with the Pillow rung
+    bit-for-bit across the shapes it accepts: 24-bit, 8-bit palette,
+    8-bit grayscale-palette (Pillow mode L), plus hand-built 32-bit BGRX
+    and top-down row order (Pillow never writes those)."""
+    import io
+    import struct
+
+    from imagestitching_tpu.imgio import native
+
+    if not native.available():
+        pytest.skip("native codec unavailable")
+    rng_ = np.random.default_rng(21)
+    a = rng_.integers(0, 256, (13, 21, 3), np.uint8)
+    cases = []
+    for conv in (None, "P", "L"):
+        img = Image.fromarray(a)
+        if conv == "P":
+            img = img.convert("P", palette=Image.ADAPTIVE, colors=17)
+        elif conv == "L":
+            img = img.convert("L")
+        buf = io.BytesIO()
+        img.save(buf, "BMP")
+        cases.append((f"pillow-{conv}", buf.getvalue()))
+
+    def make_bmp(arr_, bpp, top_down):
+        h, w = arr_.shape[:2]
+        stride = ((w * bpp + 31) // 32) * 4
+        rows = []
+        for y in (range(h) if top_down else range(h - 1, -1, -1)):
+            row = bytearray()
+            for x in range(w):
+                r, g, b = arr_[y, x]
+                row += bytes([b, g, r] + ([0] if bpp == 32 else []))
+            row += b"\0" * (stride - len(row))
+            rows.append(bytes(row))
+        pix = b"".join(rows)
+        dib = struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h,
+                          1, bpp, 0, len(pix), 2835, 2835, 0, 0)
+        return struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54) \
+            + dib + pix
+
+    for bpp in (24, 32):
+        for td in (False, True):
+            cases.append((f"manual-{bpp}-{'td' if td else 'bu'}",
+                          make_bmp(a, bpp, td)))
+    for tag, data in cases:
+        nat = native.decode_bmp(data)
+        assert nat is not None, tag
+        np.testing.assert_array_equal(nat, _pil_strict_rgb(data), err_msg=tag)
+        got, o = codec.decode(data)        # dispatches to the native path
+        assert o == 1
+        np.testing.assert_array_equal(got, nat, err_msg=tag)
+
+
+def test_native_bmp_rejects_exotic_variants_to_ladder():
+    """RLE/16-bit/V4+ BMPs must raise in the native decoder (never return
+    wrong pixels) and the ladder must still answer via Pillow."""
+    import io
+    import struct
+
+    from imagestitching_tpu.imgio import native
+
+    if not native.available():
+        pytest.skip("native codec unavailable")
+    rng_ = np.random.default_rng(22)
+    a = rng_.integers(0, 256, (6, 9, 3), np.uint8)
+
+    # 16-bit 555 (Pillow reads it; native must refuse -> Pillow rung)
+    h, w = a.shape[:2]
+    stride = ((w * 16 + 31) // 32) * 4
+    rows = []
+    for y in range(h - 1, -1, -1):
+        row = bytearray()
+        for x in range(w):
+            r, g, b = (int(v) for v in a[y, x])
+            row += struct.pack("<H",
+                               ((r >> 3) << 10) | ((g >> 3) << 5) | (b >> 3))
+        row += b"\0" * (stride - len(row))
+        rows.append(bytes(row))
+    pix = b"".join(rows)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 16, 0, len(pix),
+                      2835, 2835, 0, 0)
+    d16 = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54) + dib + pix
+    with pytest.raises(ValueError, match="bit depth"):
+        native.decode_bmp(d16)
+    got, o = codec.decode(d16)
+    assert o == 1
+    np.testing.assert_array_equal(got, _pil_strict_rgb(d16))
+
+    # RLE8 compression flag: refuse before touching pixel data
+    buf = io.BytesIO()
+    Image.fromarray(a).convert("P").save(buf, "BMP")
+    rle = bytearray(buf.getvalue())
+    rle[30:34] = struct.pack("<I", 1)
+    with pytest.raises(ValueError, match="compressed"):
+        native.decode_bmp(bytes(rle))
+
+
+def test_native_gif_matches_pillow():
+    """The native GIF decoder must agree with the Pillow rung bit-for-bit:
+    plain palettes, small palettes, interlace, GCE transparency (white
+    composite), animation (first frame = Pillow's no-seek open), and
+    out-of-palette transparent indices."""
+    import io
+
+    from imagestitching_tpu.imgio import native
+
+    if not native.available():
+        pytest.skip("native codec unavailable")
+    rng_ = np.random.default_rng(23)
+    a = rng_.integers(0, 256, (17, 23, 3), np.uint8)
+    cases = []
+    for colors in (2, 5, 256):
+        img = Image.fromarray(a).convert("P", palette=Image.ADAPTIVE,
+                                         colors=colors)
+        for interlace in (False, True):
+            for trans in (None, 0, 1):
+                buf = io.BytesIO()
+                kw = {"interlace": interlace}
+                if trans is not None:
+                    kw["transparency"] = trans
+                img.save(buf, "GIF", **kw)
+                cases.append((f"c{colors}-il{interlace}-t{trans}",
+                              buf.getvalue()))
+    # animated: frame 0 must match Pillow's no-seek open
+    f0 = Image.fromarray(a).convert("P", palette=Image.ADAPTIVE)
+    f1 = Image.fromarray(rng_.integers(0, 256, (17, 23, 3), np.uint8)) \
+        .convert("P", palette=Image.ADAPTIVE)
+    buf = io.BytesIO()
+    f0.save(buf, "GIF", save_all=True, append_images=[f1], duration=50)
+    cases.append(("animated", buf.getvalue()))
+    for tag, data in cases:
+        nat = native.decode_gif(data)
+        assert nat is not None, tag
+        np.testing.assert_array_equal(nat, _pil_strict_rgb(data), err_msg=tag)
+        got, o = codec.decode(data)        # dispatches to the native path
+        assert o == 1
+        np.testing.assert_array_equal(got, nat, err_msg=tag)
+
+
+def test_native_gif_rejects_partial_and_corrupt_to_ladder():
+    """Partial first frames and truncated LZW streams must raise (the
+    Pillow ladder owns background/disposal semantics and salvage)."""
+    import io
+    import struct
+
+    from imagestitching_tpu.imgio import native
+
+    if not native.available():
+        pytest.skip("native codec unavailable")
+    rng_ = np.random.default_rng(24)
+    a = rng_.integers(0, 256, (9, 11, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(a).convert("P", palette=Image.ADAPTIVE).save(buf, "GIF")
+    g = bytearray(buf.getvalue())
+    # walk to the image descriptor (palette bytes can alias 0x2C)
+    pos = 13
+    if g[10] & 0x80:
+        pos += 3 * (2 << (g[10] & 7))
+    while g[pos] == 0x21:
+        pos += 2
+        while g[pos] != 0:
+            pos += 1 + g[pos]
+        pos += 1
+    assert g[pos] == 0x2C
+    iw = struct.unpack("<H", bytes(g[pos + 5:pos + 7]))[0]
+    g[pos + 5:pos + 7] = struct.pack("<H", iw - 1)
+    with pytest.raises(ValueError, match="cover the screen"):
+        native.decode_gif(bytes(g))
+
+    whole = buf.getvalue()
+    with pytest.raises(ValueError):
+        native.decode_gif(whole[:len(whole) // 2])
