@@ -391,10 +391,15 @@ def main(n_images: int = 9, w: int = 4000, h: int = 3000,
                 errors["e2e"] = repr(e)
                 log(f"e2e bench failed: {e!r}")
     finally:
-        _LIVE["final"] = True
         if errors:
             result["errors"] = errors
         print(json.dumps(result), flush=True)
+        # Disarm the emergency emitters only AFTER the final line is safely
+        # out: a SIGTERM landing mid-print with final already True would
+        # leave a torn, unparseable last line with no repair emit.  A signal
+        # in the window after the print just duplicates the final line —
+        # harmless, the driver reads the last parseable one.
+        _LIVE["final"] = True
 
 
 def _backend_or_timeout(timeout_s: float):
@@ -676,8 +681,12 @@ def _fixture_paths(sizes, quality: int = 90):
     d = os.path.join(base, key)
     names = [f"{i}.jpg" for i in range(len(sizes))]
     paths = [os.path.join(d, n) for n in names]
-    if os.path.exists(os.path.join(d, "COMPLETE")) and all(
-            os.path.exists(p) and os.path.getsize(p) > 0 for p in paths):
+
+    def _valid() -> bool:
+        return os.path.exists(os.path.join(d, "COMPLETE")) and all(
+            os.path.exists(p) and os.path.getsize(p) > 0 for p in paths)
+
+    if _valid():
         return paths, True
     os.makedirs(base, exist_ok=True)
     tmp = tempfile.mkdtemp(dir=base, prefix=key + ".tmp.")
@@ -688,11 +697,23 @@ def _fixture_paths(sizes, quality: int = 90):
         codec.encode(os.path.join(tmp, names[i]), arr, quality=quality)
     with open(os.path.join(tmp, "COMPLETE"), "w"):
         pass
-    shutil.rmtree(d, ignore_errors=True)
     try:
         os.rename(tmp, d)
-    except OSError:                     # concurrent generator won the race
-        shutil.rmtree(tmp, ignore_errors=True)
+    except OSError:
+        # d already exists.  NEVER delete a VALID dir here — a concurrent
+        # bench that passed the validity check may be mid-read of its
+        # JPEGs (an unconditional rmtree-before-rename yanked a live cache
+        # out from under it); adopt the winner's copy instead.  An invalid
+        # leftover (stale partial, corrupt COMPLETE) has no possible live
+        # reader — its check would have failed too — so replacing is safe.
+        if _valid():
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            shutil.rmtree(d, ignore_errors=True)
+            try:
+                os.rename(tmp, d)
+            except OSError:             # concurrent generator won after all
+                shutil.rmtree(tmp, ignore_errors=True)
     log(f"fixtures: generated {len(sizes)} JPEGs in "
         f"{time.perf_counter() - t0:.1f}s -> {d}")
     return paths, False

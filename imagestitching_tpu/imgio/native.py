@@ -153,17 +153,7 @@ def decode_jpeg(data: bytes, scale_denom: int = 1) -> Optional[np.ndarray]:
 
 
 def decode_png(data: bytes) -> Optional[np.ndarray]:
-    lib = get_lib()
-    if lib is None:
-        return None
-    out = ctypes.POINTER(ctypes.c_uint8)()
-    w, h = ctypes.c_int(), ctypes.c_int()
-    rc = lib.isx_decode_png(_as_u8p(data), len(data), ctypes.byref(out),
-                            ctypes.byref(w), ctypes.byref(h))
-    if rc != 0:
-        raise ValueError(f"png decode: {lib.isx_last_error().decode()}")
-    flat = _take(lib, out, w.value * h.value * 3)
-    return flat.reshape(h.value, w.value, 3)
+    return _decode_simple("isx_decode_png", data)
 
 
 def webp_available() -> bool:
@@ -179,21 +169,13 @@ def decode_webp(data: bytes) -> Optional[np.ndarray]:
     """Decode a static WEBP to white-composited RGB8; None when the codec
     lacks libwebp; raises on animated/corrupt input (the caller's Pillow
     ladder handles those)."""
-    if not webp_available():
-        return None
-    lib = get_lib()
-    out = ctypes.POINTER(ctypes.c_uint8)()
-    w, h = ctypes.c_int(), ctypes.c_int()
-    rc = lib.isx_decode_webp(_as_u8p(data), len(data), ctypes.byref(out),
-                             ctypes.byref(w), ctypes.byref(h))
-    if rc != 0:
-        raise ValueError(f"webp decode: {lib.isx_last_error().decode()}")
-    flat = _take(lib, out, w.value * h.value * 3)
-    return flat.reshape(h.value, w.value, 3)
+    if not webp_available():    # gate on the build capability, not just the
+        return None             # symbol: a stub without libwebp exports it
+    return _decode_simple("isx_decode_webp", data)
 
 
 def _decode_simple(fn_name: str, data: bytes) -> Optional[np.ndarray]:
-    """Shared driver for the (data) -> RGB8 decoders (bmp/gif)."""
+    """Shared driver for the (data) -> RGB8 decoders (png/webp/bmp/gif)."""
     lib = get_lib()
     if lib is None or not hasattr(lib, fn_name):
         return None             # stale .so predating the decoder

@@ -54,6 +54,33 @@ def _primary_platform() -> str:
     return p.split(",")[0].strip().lower()
 
 
+def _resolves_to_cpu() -> bool:
+    """True when this process will run XLA:CPU, decided WITHOUT backend
+    init (init can hang >180 s on a wedged tunnel).  Explicit config wins;
+    under auto-selection ('') the process is CPU iff no accelerator plugin
+    is discoverable — an unconfigured host with no plugin silently resolves
+    to cpu, and its AOT executables must land in the ISA-keyed subdir too
+    (the original SIGILL hazard is exactly such a host)."""
+    p = _primary_platform()
+    if p:
+        return p == "cpu"
+    try:                                  # PJRT plugins via entry points
+        from importlib.metadata import entry_points
+        if list(entry_points(group="jax_plugins")):
+            return False
+    except Exception:  # pragma: no cover — metadata backend quirks
+        pass
+    try:                                  # plugins via namespace package
+        import pkgutil
+
+        import jax_plugins  # type: ignore[import-not-found]
+        if any(pkgutil.iter_modules(jax_plugins.__path__)):
+            return False
+    except Exception:
+        pass
+    return True
+
+
 def ensure_compile_cache(path: str | None = None) -> None:
     """Enable JAX's persistent compilation cache (idempotent, respectful).
 
@@ -77,7 +104,7 @@ def ensure_compile_cache(path: str | None = None) -> None:
     if path is None:
         path = os.path.join(os.path.expanduser("~"), ".cache",
                             "imagestitching_tpu", "jax")
-    if _primary_platform() == "cpu":
+    if _resolves_to_cpu():
         path = os.path.join(path, f"cpu-{host_cpu_tag()}")
     try:
         os.makedirs(path, exist_ok=True)

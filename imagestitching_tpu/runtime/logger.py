@@ -31,7 +31,13 @@ class StitchLogger:
         self._lock = threading.Lock()
         self._path = path
         self._max_bytes = max_bytes
-        self._onced: set = set()
+        # Bounded FIFO, not a bare set: once-keys may carry per-signature
+        # suffixes (serve engine demotions), and a long-lived server fed a
+        # stream of unique signatures must not grow this without bound.
+        # Evicting the oldest key merely re-arms its dedup — acceptable.
+        self._onced: "collections.OrderedDict[str, None]" = \
+            collections.OrderedDict()
+        self._once_cap = 1024
         if path:
             self._init_file()
 
@@ -69,7 +75,9 @@ class StitchLogger:
         with self._lock:
             if tag in self._onced:
                 return False
-            self._onced.add(tag)
+            self._onced[tag] = None
+            while len(self._onced) > self._once_cap:
+                self._onced.popitem(last=False)
         self.event(tag, **payload)
         return True
 

@@ -868,6 +868,14 @@ int isx_decode_gif(const uint8_t* data, size_t len,
     const int lsw = rd_u16(data + 6);
     const int lsh = rd_u16(data + 8);
     if (lsw <= 0 || lsh <= 0) { set_err("gif: bad dimensions"); return 1; }
+    // Decompression-bomb guard: a few-KB GIF can declare 65535x65535 and
+    // expand to ~17 GB of RGB.  Above Pillow's default MAX_IMAGE_PIXELS we
+    // refuse so the Pillow ladder's own bomb policy (warn/raise, user-
+    // configurable) governs — the pre-native behavior.
+    if (static_cast<uint64_t>(lsw) * lsh > 178956970ULL) {
+        set_err("gif: exceeds pixel limit");
+        return 1;
+    }
     uint8_t pal[256][3];
     std::memset(pal, 0, sizeof(pal));   // oob indices -> black (Pillow
     bool have_pal = false;              // zero-pads its palette)

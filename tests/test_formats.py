@@ -413,3 +413,19 @@ def test_native_gif_rejects_partial_and_corrupt_to_ladder():
     whole = buf.getvalue()
     with pytest.raises(ValueError):
         native.decode_gif(whole[:len(whole) // 2])
+
+
+def test_native_gif_refuses_decompression_bomb():
+    """A few-KB GIF declaring a huge logical screen must be refused by the
+    native layer (it would expand to ~17 GB of RGB) so the Pillow ladder's
+    MAX_IMAGE_PIXELS bomb policy governs, as it did pre-native."""
+    import struct
+
+    from imagestitching_tpu.imgio import native
+
+    if not native.available():
+        pytest.skip("native codec unavailable")
+    hdr = (b"GIF89a" + struct.pack("<HH", 65535, 65535)
+           + bytes([0x00, 0, 0]))           # no global palette
+    with pytest.raises(ValueError, match="pixel limit"):
+        native.decode_gif(hdr + b"\x2c" + b"\x00" * 9)
