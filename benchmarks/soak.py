@@ -9,6 +9,7 @@ Usage:  python benchmarks/soak.py [N] [SEED_BASE]          (default 200, base 10
         python benchmarks/soak.py --http [N] [SEED_BASE]     (default 40, base 160000)
         python benchmarks/soak.py --tpu [N] [SEED_BASE]      (default 30, base 140000; real chip)
         python benchmarks/soak.py --preview [N] [SEED_BASE]  (default 200, base 170000)
+        python benchmarks/soak.py --export [N] [SEED_BASE]   (default 150, base 180000)
 
 ``--large`` probes the geometry the small soak cannot reach (VERDICT r2 #4):
 sides 256-2048 biased to tile/band boundary crossings (the 128/256/512/
@@ -1255,8 +1256,158 @@ def run_preview(n_cases: int, base: int = 170_000) -> int:
     return fails
 
 
+def run_export(n_cases: int, base: int = 180_000) -> int:
+    """Randomized soak of the export surface: ``api.stitch_to_file``'s
+    stream/monolithic fork and the banded streaming encoders in
+    ``runtime/export`` — the one public surface without a dedicated slice
+    (the job-shaped modes only ever hit ``stream="auto"`` PNG).
+
+    Invariants per case:
+      * streamed and monolithic exports of the SAME job are byte-identical
+        for JPEG (both feed libjpeg identical canvas rows at identical
+        settings — export.py's documented contract) and decode-identical
+        for PNG (filter/compressor choices legitimately differ; pixels
+        may not), each within 1 uint8 step of the float64 oracle;
+      * the export layer round-trips random canvases bit-exactly at
+        adversarial ``band_rows`` (1, 3, h-1, h, h+7, 64 — band seams are
+        where a row-order bug would live), host- and device-resident;
+      * ``stream=True`` raises the documented errors for non-streamable
+        formats.
+    """
+    from imagestitching_tpu.imgio import codec, native
+    from imagestitching_tpu.runtime import export
+
+    if not native.available():
+        print("native codec unavailable — export soak is vacuous")
+        return 1
+    fails = 0
+    seed = -1
+    for seed in range(n_cases):
+        rng = np.random.default_rng(base + seed)
+        try:
+            kind = rng.random()
+            if kind < 0.55:          # full jobs through stitch_to_file
+                n = int(rng.integers(1, 6))
+                equalize = rng.random() < 0.4
+                direction = str(rng.choice(["vertical", "horizontal"]))
+                common = int(rng.integers(8, 90))
+                specs, imgs = [], []
+                for _ in range(n):
+                    w = (common if (equalize and direction == "vertical")
+                         else int(rng.integers(4, 90)))
+                    h = (common if (equalize and direction == "horizontal")
+                         else int(rng.integers(4, 90)))
+                    o = int(rng.integers(1, 9))
+                    specs.append(ImageSpec(w, h, o))
+                    imgs.append(rng.integers(0, 256, (h, w, 3), np.uint8))
+                options = StitchOptions(
+                    direction=direction,
+                    mode=str(rng.choice(["min", "max", "original"])),
+                    gap=float(rng.integers(0, 9)),
+                    filter=str(rng.choice(["bilinear", "triangle",
+                                           "box", "lanczos3"])),
+                    background=tuple(int(x)
+                                     for x in rng.integers(0, 256, 3)))
+                plan = solve(specs, options)
+                want = oracle.stitch(plan, imgs)
+                cfg = RuntimeConfig(interpret=True)
+                items = [(a, s.orientation) for a, s in zip(imgs, specs)]
+                ext = str(rng.choice(["png", "jpg"]))
+                q = int(rng.integers(60, 96))
+                lvl = int(rng.choice([0, 1, 6]))
+                with tempfile.TemporaryDirectory() as d:
+                    pm = os.path.join(d, f"m.{ext}")
+                    ps = os.path.join(d, f"s.{ext}")
+                    api.stitch_to_file(items, pm, stream=False, quality=q,
+                                       png_compression=lvl, options=options,
+                                       config=cfg)
+                    _, met = api.stitch_to_file(
+                        items, ps, stream=True, quality=q,
+                        png_compression=lvl, options=options, config=cfg,
+                        return_metrics=True)
+                    assert met.export_s >= 0
+                    bm = open(pm, "rb").read()
+                    bs = open(ps, "rb").read()
+                    am = np.asarray(Image.open(pm).convert("RGB"))
+                    if ext == "jpg":
+                        assert bm == bs, (
+                            f"jpeg stream/monolithic bytes differ "
+                            f"({len(bm)} vs {len(bs)})")
+                    else:
+                        a_s = np.asarray(Image.open(ps).convert("RGB"))
+                        assert np.array_equal(am, a_s), \
+                            "png stream/monolithic pixels differ"
+                        diff = np.abs(am.astype(int)
+                                      - want.astype(int)).max()
+                        assert diff <= 1, f"png diff={diff}"
+                    assert am.shape == want.shape, (am.shape, want.shape)
+                note = f"job {ext} n={n}"
+            elif kind < 0.9:         # export layer at adversarial bands
+                h = int(rng.integers(1, 220))
+                w = int(rng.integers(1, 220))
+                canvas = rng.integers(0, 256, (h, w, 3), np.uint8)
+                br = rng.choice([1, 3, max(1, h - 1), h, h + 7, 64, 0])
+                br = int(br) or None      # 0 -> None (auto sizing)
+                on_device = rng.random() < 0.4
+                src = jax.numpy.asarray(canvas) if on_device else canvas
+                fmt = str(rng.choice(["png", "jpg"]))
+                q = int(rng.integers(60, 96))
+                lvl = int(rng.choice([0, 1, 6]))
+                with tempfile.TemporaryDirectory() as d:
+                    p = os.path.join(d, f"o.{fmt}")
+                    if fmt == "png":
+                        export.stream_to_png(src, p, lvl, band_rows=br)
+                        got = np.asarray(Image.open(p).convert("RGB"))
+                        assert np.array_equal(got, canvas), \
+                            f"png band round-trip mismatch (band_rows={br})"
+                    else:
+                        export.stream_to_jpeg(src, p, q, band_rows=br)
+                        p2 = os.path.join(d, "whole.jpg")
+                        codec.encode(p2, canvas, quality=q)
+                        assert (open(p, "rb").read()
+                                == open(p2, "rb").read()), \
+                            f"jpeg banded != monolithic (band_rows={br})"
+                note = (f"bands {fmt} {w}x{h} br={br}"
+                        f"{' dev' if on_device else ''}")
+            else:                    # documented error contracts
+                img = rng.integers(0, 256, (12, 13, 3), np.uint8)
+                with tempfile.TemporaryDirectory() as d:
+                    try:
+                        api.stitch_to_file([(img, 1)],
+                                           os.path.join(d, "o.webp"),
+                                           stream=True)
+                        raise AssertionError(
+                            "stream=True accepted a non-streamable format")
+                    except ValueError:
+                        pass
+                    try:
+                        api.stitch_to_file([(img, 1)],
+                                           os.path.join(d, "o.png"),
+                                           stream="yes")
+                        raise AssertionError("bad stream value accepted")
+                    except ValueError:
+                        pass
+                note = "error contracts"
+            if seed % 25 == 0:
+                print(f"seed {base + seed}: ok ({note})", flush=True)
+        except Exception:
+            fails += 1
+            print(f"FAIL seed={base + seed}", flush=True)
+            traceback.print_exc()
+            if fails >= 3:
+                break
+    ran = seed + 1 if n_cases else 0
+    print(f"done: {ran}/{n_cases} export cases, {fails} failures",
+          flush=True)
+    return fails
+
+
 if __name__ == "__main__":
     argv = sys.argv[1:]
+    if argv and argv[0] == "--export":
+        sys.exit(1 if run_export(
+            int(argv[1]) if len(argv) > 1 else 150,
+            int(argv[2]) if len(argv) > 2 else 180_000) else 0)
     if argv and argv[0] == "--preview":
         sys.exit(1 if run_preview(
             int(argv[1]) if len(argv) > 1 else 200,
