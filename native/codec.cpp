@@ -55,6 +55,17 @@ static void set_err(const char* msg) {
 
 void isx_free(void* p) { std::free(p); }
 
+// ------------------------------------------------ decompression bombs
+//
+// A few-KB compressed file (JPEG/PNG/GIF/WEBP all allow it) can declare
+// huge dimensions and expand to GBs of RGB.  Above Pillow's
+// DecompressionBombError threshold (2x MAX_IMAGE_PIXELS = 178,956,970 px)
+// every native decoder refuses, so the Pillow ladder's own bomb policy
+// (warn/raise, user-configurable) governs — the pre-native behavior.
+static bool exceeds_pixel_limit(uint64_t w, uint64_t h) {
+    return w * h > 178956970ULL;
+}
+
 // ---------------------------------------------------------------- JPEG
 
 struct JpegErr {
@@ -89,6 +100,10 @@ int isx_decode_jpeg(const uint8_t* data, size_t len, int scale_denom,
     jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data),
                  static_cast<unsigned long>(len));
     jpeg_read_header(&cinfo, TRUE);
+    if (exceeds_pixel_limit(cinfo.image_width, cinfo.image_height)) {
+        set_err("jpeg: exceeds pixel limit");
+        longjmp(jerr.jump, 1);
+    }
     cinfo.out_color_space = JCS_RGB;
     if (scale_denom == 2 || scale_denom == 4 || scale_denom == 8) {
         cinfo.scale_num = 1;
@@ -378,6 +393,10 @@ static int decode_png_fast(const uint8_t* data, size_t len,
     default: return -1;
     }
     if (w == 0 || h == 0 || w > (1u << 24) || h > (1u << 24)) return -1;
+    if (exceeds_pixel_limit(w, h)) {
+        set_err("png: exceeds pixel limit");
+        return 1;
+    }
 
     // walk chunks: total IDAT size, palette, transparency
     uint8_t pal[256][3];
@@ -571,6 +590,11 @@ int isx_decode_png(const uint8_t* data, size_t len,
     PngReadCtx ctx{data, len, 0};
     png_set_read_fn(png, &ctx, png_read_fn);
     png_read_info(png, info);
+    if (exceeds_pixel_limit(png_get_image_width(png, info),
+                            png_get_image_height(png, info))) {
+        set_err("png: exceeds pixel limit");
+        longjmp(png_jmpbuf(png), 1);
+    }
     png_set_expand(png);                    // palette/gray/tRNS -> 8-bit
     png_set_strip_16(png);
     png_set_gray_to_rgb(png);
@@ -642,6 +666,10 @@ int isx_decode_webp(const uint8_t* data, size_t len,
     const int w = feat.width;
     const int h = feat.height;
     if (w <= 0 || h <= 0) { set_err("webp: bad dimensions"); return 1; }
+    if (exceeds_pixel_limit(w, h)) {
+        set_err("webp: exceeds pixel limit");
+        return 1;
+    }
     const size_t n = static_cast<size_t>(w) * static_cast<size_t>(h);
     uint8_t* buf = static_cast<uint8_t*>(std::malloc(n * 3));
     if (!buf) { set_err("oom"); return 1; }
@@ -868,11 +896,7 @@ int isx_decode_gif(const uint8_t* data, size_t len,
     const int lsw = rd_u16(data + 6);
     const int lsh = rd_u16(data + 8);
     if (lsw <= 0 || lsh <= 0) { set_err("gif: bad dimensions"); return 1; }
-    // Decompression-bomb guard: a few-KB GIF can declare 65535x65535 and
-    // expand to ~17 GB of RGB.  Above Pillow's default MAX_IMAGE_PIXELS we
-    // refuse so the Pillow ladder's own bomb policy (warn/raise, user-
-    // configurable) governs — the pre-native behavior.
-    if (static_cast<uint64_t>(lsw) * lsh > 178956970ULL) {
+    if (exceeds_pixel_limit(lsw, lsh)) {
         set_err("gif: exceeds pixel limit");
         return 1;
     }

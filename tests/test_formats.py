@@ -199,7 +199,7 @@ def test_native_webp_matches_pillow(tmp_path):
             else:
                 ref = np.asarray(pim.convert("RGB"))
             np.testing.assert_array_equal(
-                nat, ref), f"lossless={lossless} alpha={alpha}"
+                nat, ref, err_msg=f"lossless={lossless} alpha={alpha}")
 
 
 def test_animated_webp_falls_back_to_first_frame(tmp_path):
@@ -429,3 +429,50 @@ def test_native_gif_refuses_decompression_bomb():
            + bytes([0x00, 0, 0]))           # no global palette
     with pytest.raises(ValueError, match="pixel limit"):
         native.decode_gif(hdr + b"\x2c" + b"\x00" * 9)
+
+
+def test_native_decoders_refuse_decompression_bombs(monkeypatch):
+    """A few-KB JPEG/PNG/WEBP declaring huge dimensions must be refused by
+    the native layer (it would expand to GBs of RGB) so the Pillow ladder's
+    MAX_IMAGE_PIXELS bomb policy governs, as it did pre-native.  GIF has
+    its own test above."""
+    import io
+    import struct
+    import zlib
+
+    from imagestitching_tpu.imgio import native
+
+    if not native.available():
+        pytest.skip("native codec unavailable")
+
+    # JPEG: real small file with the SOF0 dimensions patched to 20000x20000
+    buf = io.BytesIO()
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(buf, "JPEG")
+    j = bytearray(buf.getvalue())
+    sof = j.find(b"\xff\xc0")
+    assert sof >= 0
+    struct.pack_into(">HH", j, sof + 5, 20000, 20000)
+    with pytest.raises(ValueError, match="pixel limit"):
+        native.decode_jpeg(bytes(j))
+
+    # PNG declaring 20000x20000: valid IHDR CRC so the fast path parses it
+    # (rather than deferring to libpng) — then again on the libpng path
+    ihdr = b"IHDR" + struct.pack(">II", 20000, 20000) + bytes([8, 2, 0, 0, 0])
+    png = b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + ihdr
+    png += struct.pack(">I", zlib.crc32(ihdr))
+    for tag in (b"IDAT", b"IEND"):
+        png += struct.pack(">I", 0) + tag + struct.pack(">I", zlib.crc32(tag))
+    with pytest.raises(ValueError, match="pixel limit"):
+        native.decode_png(png)
+    monkeypatch.setenv("ISX_PNG_FAST", "0")
+    with pytest.raises(ValueError, match="pixel limit"):
+        native.decode_png(png)
+
+    # WEBP: hand-built VP8L header declaring 16383x16383 (268 Mpx)
+    if native.webp_available():
+        dims = 16382 | (16382 << 14)        # width-1 | height-1, 14b each
+        payload = b"\x2f" + struct.pack("<I", dims) + b"\x00" * 16
+        vp8l = b"VP8L" + struct.pack("<I", len(payload)) + payload
+        webp = b"RIFF" + struct.pack("<I", 4 + len(vp8l)) + b"WEBP" + vp8l
+        with pytest.raises(ValueError, match="pixel limit"):
+            native.decode_webp(webp)
