@@ -403,31 +403,18 @@ def main(n_images: int = 9, w: int = 4000, h: int = 3000,
 
 
 def _backend_or_timeout(timeout_s: float):
-    """First backend touch, bounded: ``jax.default_backend()`` on a daemon
-    thread so a wedged PJRT init (where in-process signal handlers cannot
-    fire) costs ``timeout_s``, not the driver's whole budget.  The e2e blit
-    variant still runs after a timeout — it never touches the device."""
-    out: dict = {}
-    done = threading.Event()
+    """Bounded first backend touch (shared probe in runtime.jaxcfg): the
+    e2e blit variant still runs after a timeout — it never touches the
+    device.  Timeout re-raised as RuntimeError (the classification the
+    device-phase error handling expects)."""
+    from imagestitching_tpu.runtime.jaxcfg import bounded_backend_probe
 
-    def probe():
-        try:
-            import jax
-            out["backend"] = jax.default_backend()
-            out["devices"] = repr(jax.devices())
-        except BaseException as e:  # noqa: BLE001 — re-raised on the caller
-            out["err"] = e
-        finally:
-            done.set()
-
-    threading.Thread(target=probe, daemon=True,
-                     name="bench-backend-init").start()
-    if not done.wait(timeout_s):
-        raise RuntimeError(
-            f"backend init did not complete within {timeout_s:.0f}s")
-    if "err" in out:
-        raise out["err"]
-    return out["backend"], out["devices"]
+    backend, devices, err = bounded_backend_probe(timeout_s)
+    if isinstance(err, TimeoutError):
+        raise RuntimeError(str(err))
+    if err is not None:
+        raise err
+    return backend, devices
 
 
 def _bench_device(result: dict, errors: dict,

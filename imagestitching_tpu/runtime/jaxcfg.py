@@ -40,9 +40,9 @@ def host_cpu_tag() -> str:
     return hashlib.sha1(feats.encode()).hexdigest()[:10]
 
 
-def _primary_platform() -> str:
-    """The platform this process will resolve to, best-effort, WITHOUT
-    initializing a backend ('' when auto-selecting among plugins)."""
+def _platform_list() -> list[str]:
+    """The configured platform priority list, best-effort, WITHOUT
+    initializing a backend ([] when auto-selecting among plugins)."""
     p = None
     try:
         import jax
@@ -51,34 +51,23 @@ def _primary_platform() -> str:
         pass                              # overrides the env var)
     if not p:
         p = os.environ.get("JAX_PLATFORMS") or ""
-    return p.split(",")[0].strip().lower()
+    return [s.strip().lower() for s in p.split(",") if s.strip()]
 
 
-def _resolves_to_cpu() -> bool:
-    """True when this process will run XLA:CPU, decided WITHOUT backend
-    init (init can hang >180 s on a wedged tunnel).  Explicit config wins;
-    under auto-selection ('') the process is CPU iff no accelerator plugin
-    is discoverable — an unconfigured host with no plugin silently resolves
-    to cpu, and its AOT executables must land in the ISA-keyed subdir too
-    (the original SIGILL hazard is exactly such a host)."""
-    p = _primary_platform()
+def _may_run_cpu() -> bool:
+    """True when this process MAY run XLA:CPU, decided WITHOUT backend
+    init (init can hang >180 s on a wedged tunnel).
+
+    "May" is the bar, not "will" (r4 review): with a priority list like
+    ``"axon,cpu"`` (the axon sitecustomize default) a dead tunnel silently
+    falls back to the cpu backend, and under auto-selection ('') a
+    discoverable plugin whose init fails does the same — only an explicit
+    platform list WITHOUT cpu is guaranteed never to produce XLA:CPU AOT
+    executables (there, init failure raises instead of falling back)."""
+    p = _platform_list()
     if p:
-        return p == "cpu"
-    try:                                  # PJRT plugins via entry points
-        from importlib.metadata import entry_points
-        if list(entry_points(group="jax_plugins")):
-            return False
-    except Exception:  # pragma: no cover — metadata backend quirks
-        pass
-    try:                                  # plugins via namespace package
-        import pkgutil
-
-        import jax_plugins  # type: ignore[import-not-found]
-        if any(pkgutil.iter_modules(jax_plugins.__path__)):
-            return False
-    except Exception:
-        pass
-    return True
+        return "cpu" in p
+    return True   # auto-selection can always fall back to cpu
 
 
 def ensure_compile_cache(path: str | None = None) -> None:
@@ -86,12 +75,14 @@ def ensure_compile_cache(path: str | None = None) -> None:
 
     Precedence for the cache ROOT: explicit ``path`` >
     ``JAX_COMPILATION_CACHE_DIR`` env > ``~/.cache/imagestitching_tpu/jax``.
-    For CPU-platform processes a ``cpu-<tag>`` subdirectory keyed by
-    :func:`host_cpu_tag` is appended under the root (see its docstring) —
-    the SIGILL hazard is specific to XLA:CPU AOT executables, and keying
-    unconditionally would orphan the whole TPU cache (20-90 s re-compile
-    per layout signature through the tunnel) every time a cpuinfo flag
-    name churns across kernel upgrades.
+    For processes that MAY run XLA:CPU (cpu anywhere in the platform
+    priority list, or auto-selection) a ``cpu-<tag>`` subdirectory keyed
+    by :func:`host_cpu_tag` is appended under the root (see its
+    docstring).  Only an explicit accelerator-only platform list keeps
+    the unkeyed root: there the SIGILL-hazardous XLA:CPU AOT executables
+    are structurally impossible, and the tag would merely orphan the TPU
+    cache (20-90 s re-compile per layout signature through the tunnel)
+    every time a cpuinfo flag name churns across kernel upgrades.
     """
     global _configured
     if _configured:
@@ -104,7 +95,7 @@ def ensure_compile_cache(path: str | None = None) -> None:
     if path is None:
         path = os.path.join(os.path.expanduser("~"), ".cache",
                             "imagestitching_tpu", "jax")
-    if _resolves_to_cpu():
+    if _may_run_cpu():
         path = os.path.join(path, f"cpu-{host_cpu_tag()}")
     try:
         os.makedirs(path, exist_ok=True)
@@ -112,6 +103,44 @@ def ensure_compile_cache(path: str | None = None) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass  # cache is an optimization; never fail a job over it
+
+
+def bounded_backend_probe(timeout_s: float):
+    """First backend touch, bounded: ``jax.default_backend()`` on a daemon
+    thread, so a wedged PJRT init (where in-process signal handlers cannot
+    fire) costs ``timeout_s``, not the caller's whole budget (observed
+    round 4 with the relay down: init hangs >180 s).
+
+    Returns ``(backend, devices_repr, err)``: ``err`` is ``None`` on
+    success, the raised exception on init failure, or a ``TimeoutError``
+    on timeout.  Never raises — bench.py and tests_tpu map ``err`` onto
+    their own policies (abort-with-JSON vs skip-the-module).  The one
+    shared implementation of the wedge handling (r4 review: two sibling
+    probes had already diverged on timeout defaults).
+    """
+    import threading
+
+    out: dict = {}
+    done = threading.Event()
+
+    def probe():
+        try:
+            import jax
+            out["backend"] = jax.default_backend()
+            out["devices"] = repr(jax.devices())
+        except BaseException as e:  # noqa: BLE001 — returned to the caller
+            out["err"] = e
+        finally:
+            done.set()
+
+    threading.Thread(target=probe, daemon=True,
+                     name="bounded-backend-probe").start()
+    if not done.wait(timeout_s):
+        return None, None, TimeoutError(
+            f"backend init did not complete within {timeout_s:.0f}s")
+    if "err" in out:
+        return None, None, out["err"]
+    return out["backend"], out["devices"], None
 
 
 def is_device_array(x) -> bool:

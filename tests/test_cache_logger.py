@@ -140,14 +140,26 @@ def test_compile_cache_keyed_by_host_cpu_features(tmp_path, monkeypatch):
         assert got == str(tmp_path / "root" / f"cpu-{tag}")
         assert os.path.isdir(got)
 
-        # TPU-platform processes must NOT get the tag: the SIGILL hazard is
-        # CPU-AOT-specific, and keying the TPU cache by cpuinfo flags would
-        # orphan it (20-90 s recompiles) on any kernel flag-name churn
-        monkeypatch.setattr(jaxcfg, "_primary_platform", lambda: "axon")
+        # Explicitly-accelerator-only processes must NOT get the tag: the
+        # SIGILL hazard is CPU-AOT-specific (an explicit list without cpu
+        # can never fall back to XLA:CPU), and keying the TPU cache by
+        # cpuinfo flags would orphan it (20-90 s recompiles) on any kernel
+        # flag-name churn
+        monkeypatch.setattr(jaxcfg, "_platform_list", lambda: ["axon"])
         monkeypatch.setattr(jaxcfg, "_configured", False)
         jaxcfg.ensure_compile_cache(str(tmp_path / "root2"))
         assert (jax.config.jax_compilation_cache_dir
                 == str(tmp_path / "root2"))
+
+        # ...but a priority list WITH a cpu fallback (the axon
+        # sitecustomize default "axon,cpu") may silently run XLA:CPU on a
+        # dead tunnel, so it must be keyed (r4 review)
+        monkeypatch.setattr(jaxcfg, "_platform_list",
+                            lambda: ["axon", "cpu"])
+        monkeypatch.setattr(jaxcfg, "_configured", False)
+        jaxcfg.ensure_compile_cache(str(tmp_path / "root3"))
+        assert (jax.config.jax_compilation_cache_dir
+                == str(tmp_path / "root3" / f"cpu-{tag}"))
     finally:
         monkeypatch.setattr(jaxcfg, "_configured", False)
         jax.config.update("jax_compilation_cache_dir", old)
@@ -166,22 +178,18 @@ def test_logger_once_keys_bounded():
     assert log.once("k0") is True        # evicted key re-arms — documented
 
 
-def test_cpu_cache_keying_covers_autoselected_cpu(monkeypatch):
-    """A host with NO accelerator plugin resolves to cpu under
-    auto-selection ('' platform) and must still get the ISA-keyed cache
-    subdir — the original cross-host SIGILL hazard is exactly such a host
-    (VERDICT r3 weak #5; r4 review)."""
-    import importlib.metadata as md
-    import pkgutil
-
+def test_cpu_cache_keying_covers_every_cpu_fallback(monkeypatch):
+    """Any process that MAY run XLA:CPU must get the ISA-keyed cache
+    subdir: explicit cpu, auto-selection (a plugin whose init fails falls
+    back to cpu), and a priority list with a cpu fallback entry.  Only an
+    explicit accelerator-only list is exempt — there init failure raises
+    instead of falling back (VERDICT r3 weak #5; r4 review)."""
     from imagestitching_tpu.runtime import jaxcfg
 
-    assert jaxcfg._resolves_to_cpu() is True      # conftest forces cpu
-    monkeypatch.setattr(jaxcfg, "_primary_platform", lambda: "")
-    monkeypatch.setattr(md, "entry_points", lambda **kw: [])
-    monkeypatch.setattr(pkgutil, "iter_modules", lambda *a, **k: [])
-    assert jaxcfg._resolves_to_cpu() is True      # auto, no plugins -> cpu
-    monkeypatch.setattr(md, "entry_points", lambda **kw: ["tpu-plugin"])
-    assert jaxcfg._resolves_to_cpu() is False     # a plugin may win auto
-    monkeypatch.setattr(jaxcfg, "_primary_platform", lambda: "axon")
-    assert jaxcfg._resolves_to_cpu() is False     # explicit accelerator
+    assert jaxcfg._may_run_cpu() is True          # conftest forces cpu
+    monkeypatch.setattr(jaxcfg, "_platform_list", lambda: [])
+    assert jaxcfg._may_run_cpu() is True          # auto: fallback possible
+    monkeypatch.setattr(jaxcfg, "_platform_list", lambda: ["axon", "cpu"])
+    assert jaxcfg._may_run_cpu() is True          # dead tunnel -> cpu
+    monkeypatch.setattr(jaxcfg, "_platform_list", lambda: ["axon"])
+    assert jaxcfg._may_run_cpu() is False         # explicit accelerator

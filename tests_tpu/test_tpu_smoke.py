@@ -7,8 +7,6 @@ virtual CPU mesh by design — this module is the on-hardware parity spot
 check (VERDICT r1 noted real-TPU pytest coverage was zero by construction).
 """
 
-import threading
-
 import numpy as np
 import pytest
 
@@ -16,22 +14,18 @@ import jax
 
 
 def _bounded_backend(timeout_s: float = 120.0) -> str:
-    """First backend touch, bounded: a wedged tunnel/PJRT init would
-    otherwise hang pytest COLLECTION forever (observed round 4 with the
-    relay down).  On timeout the module skips instead of hanging."""
-    out = {}
-    done = threading.Event()
+    """First backend touch, bounded (shared probe in runtime.jaxcfg): a
+    wedged tunnel/PJRT init would otherwise hang pytest COLLECTION forever
+    (observed round 4 with the relay down).  On timeout/failure the module
+    skips instead of hanging."""
+    from imagestitching_tpu.runtime.jaxcfg import bounded_backend_probe
 
-    def probe():
-        try:
-            out["b"] = jax.default_backend()
-        except BaseException as e:  # noqa: BLE001 — record, skip below
-            out["b"] = f"init-failed({type(e).__name__})"
-        finally:
-            done.set()
-
-    threading.Thread(target=probe, daemon=True).start()
-    return out["b"] if done.wait(timeout_s) else "init-timeout"
+    backend, _, err = bounded_backend_probe(timeout_s)
+    if isinstance(err, TimeoutError):
+        return "init-timeout"
+    if err is not None:
+        return f"init-failed({type(err).__name__})"
+    return backend
 
 
 _BACKEND = _bounded_backend()
