@@ -140,16 +140,28 @@ _N_SUB_BATCHED = (1, 2, 4)
 
 
 def _vmem_bytes(th: int, tw: int, bh: int, bw: int, channels: int = 3,
-                n_sub: int = 1) -> int:
+                n_sub: int = 1, k_cols: int = 0) -> int:
     # double-buffered uint8 bands + f32/bf16 band copies, hi/lo weight
     # blocks, f32+bf16 intermediates, int32+uint8 output tile — all channels
-    # resident per step (channel-fused kernel).  n_sub > 1 widens the col
-    # weight blocks and the resident output tile by the fusion factor (the
-    # per-subtile intermediates stay transient).
+    # resident per step (channel-fused kernel).  The n_sub=1 base formula is
+    # chip-validated as-is (every pre-fusion pick ran under it); do not
+    # retune it without a real-TPU burn.
+    #
+    # n_sub > 1 widens, PER EXTRA SUBTILE (r4 review — the first cut
+    # under-modeled this; only interpret-mode validation existed):
+    #   * the dense (bw, tw) col weight hi/lo blocks (6 B/px);
+    #   * the (channels, th, n_sub*tw) uint8 OUT grid block, which the
+    #     Pallas pipeline double-buffers (2 B/px, not 1);
+    #   * the (k_cols, n_sub*tw) f32 col_w input grid block, also
+    #     double-buffered (8 B/px of tw) — material at deep-downscale
+    #     wide-K where k_cols reaches tens of taps.
+    # Per-subtile f32 intermediates die before the next subtile's store and
+    # stay transient (single allocation Mosaic reuses across the unroll).
     return (channels * bh * bw * 8
             + (th * bh + bw * tw) * 6
             + channels * th * (bw * 8 + tw * 5)
-            + (n_sub - 1) * (bw * tw * 6 + channels * th * tw))
+            + (n_sub - 1) * (bw * tw * 6 + 2 * channels * th * tw
+                             + 8 * k_cols * tw))
 
 
 def _model_flops(th: int, tw: int, bh: int, bw: int,
@@ -228,8 +240,8 @@ def _choose_tiles(ri0: np.ndarray, ci0: np.ndarray, k_rows: int, k_cols: int,
             for n_sub in n_sub_cands:
                 if n_sub > 1 and n_sub * tw > _round_up(n_cols, 128):
                     continue            # fusion wider than the whole job
-                if _vmem_bytes(th, tw, bh, bw,
-                               n_sub=n_sub) > _MAX_BAND_BYTES:
+                if _vmem_bytes(th, tw, bh, bw, n_sub=n_sub,
+                               k_cols=k_cols) > _MAX_BAND_BYTES:
                     continue
                 tiles = _cdiv(n_rows, th) * _cdiv(n_cols, n_sub * tw)
                 for cf in (False, True):

@@ -24,8 +24,21 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+@pytest.fixture(autouse=True)
+def _isolated_bench_fixture_dir(tmp_path_factory, monkeypatch):
+    """Keep bench.py's content-keyed fixture cache out of ~/.cache during
+    tests: any test that reaches bench._fixture_paths without setting
+    BENCH_FIXTURE_DIR would otherwise persist JPEG fixture dirs across
+    runs, breaking test isolation (r4 review)."""
+    if "BENCH_FIXTURE_DIR" not in os.environ:
+        monkeypatch.setenv(
+            "BENCH_FIXTURE_DIR",
+            str(tmp_path_factory.getbasetemp() / "bench_fixtures"))
 
 
 def pytest_sessionstart(session):

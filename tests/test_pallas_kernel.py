@@ -224,3 +224,22 @@ def test_batched_model_considers_fusion():
     s1 = pallas_resize._Schedule(plan.placements[1], "bilinear",
                                  batched=False)
     assert s1.n_sub == 1
+
+
+def test_vmem_model_counts_nsub_pipeline_buffers():
+    """n_sub>1 residency must include the Pallas pipeline's double buffer
+    of the widened OUT grid block and the (k_cols, n_sub*tw) f32 col_w
+    input block (r4 review: the first cut under-modeled these; a pick at
+    the VMEM cap could then fail Mosaic compile on chip, where
+    interpret-mode soaks can't catch it — the round-3 sharded-kernel
+    Infeasible class).  The n_sub=1 base formula is chip-validated and
+    pinned unchanged."""
+    th, tw, bh, bw, k_cols = 256, 512, 64, 256, 24
+    base = pallas_resize._vmem_bytes(th, tw, bh, bw, n_sub=1, k_cols=k_cols)
+    # k_cols only matters through the widened col_w block: zero at n_sub=1
+    assert base == pallas_resize._vmem_bytes(th, tw, bh, bw, n_sub=1)
+    fused = pallas_resize._vmem_bytes(th, tw, bh, bw, n_sub=2, k_cols=k_cols)
+    inc = fused - base
+    assert inc == (bw * tw * 6              # dense col weight hi/lo blocks
+                   + 2 * 3 * th * tw        # out block u8, double-buffered
+                   + 8 * k_cols * tw)       # col_w f32, double-buffered
