@@ -476,3 +476,8 @@ def test_native_decoders_refuse_decompression_bombs(monkeypatch):
         webp = b"RIFF" + struct.pack("<I", 4 + len(vp8l)) + b"WEBP" + vp8l
         with pytest.raises(ValueError, match="pixel limit"):
             native.decode_webp(webp)
+        # the FULL ladder also refuses: the Pillow rungs keep their own
+        # MAX_IMAGE_PIXELS policy (salvage only toggles truncation
+        # tolerance), so no rung ever allocates the declared gigabytes
+        with pytest.raises(Exception):
+            codec.decode(webp)
