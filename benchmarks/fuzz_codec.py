@@ -1,0 +1,192 @@
+"""Native-codec fuzzer: mutated containers through the C decoders, isolated.
+
+The --formats soak corrupts ~30% of its cases and compares against Pillow;
+this harness is the volume complement for the native layer ALONE — the
+hand-written binary parsers in native/codec.cpp (PNG fast-path chunk walker,
+GIF LZW, BMP header, WEBP/JPEG/PNG dimension parsing) are the one place in
+the framework where untrusted bytes meet C++ pointer arithmetic, so they get
+orders of magnitude more corrupt inputs than the soak can afford
+(reference analog: the decode fallback ladder is the reference's *only*
+corruption handling, pages/index/index.js:1464-1509 — here the native layer
+must additionally never crash the process).
+
+Contract per case: decode raises a clean Python exception OR returns a
+well-formed (h, w, 3) uint8 array with h, w > 0.  Segfaults/aborts/hangs are
+what the harness exists to catch, so cases run in BATCHED SUBPROCESSES: a
+batch that dies on a signal (or times out) is re-run case-by-case to isolate
+the crashing seed, and the offending input is written next to the log.
+
+Usage:
+    python benchmarks/fuzz_codec.py [N] [SEED_BASE]       # parent (default 5000)
+    python benchmarks/fuzz_codec.py --child SEED COUNT    # internal
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BATCH = 500
+CHILD_TIMEOUT_S = 240          # a whole batch; ~10s typical on the 1-core host
+CASE_TIMEOUT_S = 30            # single-case isolation reruns
+
+_FORMATS = ("jpeg", "png", "png_fast", "webp", "bmp", "gif")
+
+
+def _make_valid(rng, fmt: str) -> bytes:
+    """A small valid container to mutate (Pillow encodes; native decodes)."""
+    import numpy as np
+    from PIL import Image
+
+    h = int(rng.integers(1, 40))
+    w = int(rng.integers(1, 40))
+    arr = rng.integers(0, 256, (h, w, 3), np.uint8)
+    img = Image.fromarray(arr)
+    buf = io.BytesIO()
+    if fmt == "jpeg":
+        img.save(buf, "JPEG", quality=int(rng.integers(5, 99)))
+    elif fmt in ("png", "png_fast"):
+        if rng.random() < 0.3:
+            img = img.convert("P", palette=Image.ADAPTIVE)
+        elif rng.random() < 0.3:
+            img = img.convert("RGBA")
+        img.save(buf, "PNG")
+    elif fmt == "webp":
+        img.save(buf, "WEBP", lossless=bool(rng.random() < 0.5),
+                 quality=int(rng.integers(5, 99)))
+    elif fmt == "bmp":
+        img.save(buf, "BMP")
+    else:
+        img.convert("P", palette=Image.ADAPTIVE).save(buf, "GIF")
+    return buf.getvalue()
+
+
+def _mutate(rng, data: bytes) -> bytes:
+    """1-3 mutations, biased toward headers (dimension/palette/chunk
+    parsing lives in the first dozens of bytes)."""
+    b = bytearray(data)
+    for _ in range(int(rng.integers(1, 4))):
+        kind = int(rng.integers(0, 5))
+        if kind == 0 and len(b) > 12:                    # truncate
+            b = b[:int(rng.integers(8, len(b)))]
+        elif kind == 1:                                  # header byte flips
+            for _ in range(int(rng.integers(1, 8))):
+                at = int(rng.integers(0, min(64, len(b))))
+                b[at] ^= int(rng.integers(1, 256))
+        elif kind == 2 and len(b) > 20:                  # body byte flips
+            for _ in range(int(rng.integers(1, 12))):
+                b[int(rng.integers(8, len(b)))] ^= int(rng.integers(1, 256))
+        elif kind == 3 and len(b) > 32:                  # zero a window
+            at = int(rng.integers(0, len(b) - 16))
+            ln = int(rng.integers(4, min(128, len(b) - at)))
+            b[at:at + ln] = bytes(ln)
+        else:                                            # splice random tail
+            at = int(rng.integers(0, len(b)))
+            b = b[:at] + bytes(rng.integers(0, 256,
+                                            int(rng.integers(4, 96)),
+                                            dtype="uint8"))
+    return bytes(b)
+
+
+def _case_bytes(seed: int):
+    """Deterministic (fmt, mutated bytes) for one seed."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    fmt = _FORMATS[int(rng.integers(0, len(_FORMATS)))]
+    data = _make_valid(rng, fmt)
+    if rng.random() < 0.06:      # pure-noise slice with a valid magic prefix
+        magic = data[:int(rng.integers(2, 16))]
+        data = magic + bytes(rng.integers(0, 256, int(rng.integers(8, 512)),
+                                          dtype="uint8"))
+    else:
+        data = _mutate(rng, data)
+    return fmt, data
+
+
+def _run_case(seed: int) -> None:
+    from imagestitching_tpu.imgio import native
+
+    fmt, data = _case_bytes(seed)
+    os.environ["ISX_PNG_FAST"] = "0" if fmt == "png" else "1"
+    fn = {"jpeg": native.decode_jpeg, "png": native.decode_png,
+          "png_fast": native.decode_png, "webp": native.decode_webp,
+          "bmp": native.decode_bmp, "gif": native.decode_gif}[fmt]
+    try:
+        out = fn(data)
+    except Exception:
+        return                    # clean refusal is a pass
+    if out is None:               # codec/libwebp unavailable
+        return
+    assert out.ndim == 3 and out.shape[2] == 3 and out.dtype.name == "uint8"
+    assert out.shape[0] > 0 and out.shape[1] > 0
+
+
+def _child(seed0: int, count: int) -> int:
+    for s in range(seed0, seed0 + count):
+        _run_case(s)
+    return 0
+
+
+def _parent(n: int, base: int) -> int:
+    from imagestitching_tpu.imgio import native
+    if not native.available():
+        print("native codec unavailable — nothing to fuzz")
+        return 1
+    env = dict(os.environ)
+    fails = 0
+    done = 0
+    while done < n:
+        cnt = min(BATCH, n - done)
+        seed0 = base + done
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--child", str(seed0), str(cnt)]
+        try:
+            r = subprocess.run(cmd, env=env, timeout=CHILD_TIMEOUT_S,
+                               capture_output=True, text=True)
+        except subprocess.TimeoutExpired:
+            r = None
+        if r is not None and r.returncode == 0:
+            done += cnt
+            print(f"batch {seed0}..{seed0 + cnt - 1} ok "
+                  f"({done}/{n})", flush=True)
+            continue
+        # isolate: re-run the batch case-by-case
+        why = "timeout" if r is None else f"rc={r.returncode}"
+        print(f"batch {seed0}.. {why} — isolating", flush=True)
+        for s in range(seed0, seed0 + cnt):
+            try:
+                rr = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--child", str(s), "1"],
+                    env=env, timeout=CASE_TIMEOUT_S,
+                    capture_output=True, text=True)
+                bad = rr.returncode != 0
+                tag = f"rc={rr.returncode}"
+                err = rr.stderr[-800:]
+            except subprocess.TimeoutExpired:
+                bad, tag, err = True, "timeout", ""
+            if bad:
+                fails += 1
+                fmt, data = _case_bytes(s)
+                path = f"/tmp/fuzz_codec_fail_{s}.{fmt}.bin"
+                with open(path, "wb") as f:
+                    f.write(data)
+                print(f"FAIL seed={s} fmt={fmt} {tag} input={path}\n{err}",
+                      flush=True)
+        done += cnt
+        if fails >= 5:
+            break
+    print(f"done: {done}/{n} fuzz cases, {fails} failures", flush=True)
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--child":
+        sys.exit(_child(int(argv[1]), int(argv[2])))
+    sys.exit(_parent(int(argv[0]) if argv else 5000,
+                     int(argv[1]) if len(argv) > 1 else 500_000))
