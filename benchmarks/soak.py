@@ -1152,8 +1152,17 @@ def run_tpu(n_cases: int, base: int = 140_000) -> int:
                 kw = {"interpret": interpret} if interpret else {}
                 if tight:
                     canvas = plan.canvas_w * plan.canvas_h * 3
+                    # floor at the tiler's own minimum feasible peak: a
+                    # large source over a small canvas can need more than
+                    # canvas//2 even at 8-row bands, and then the clean
+                    # "raise the budget" MemoryError is the CORRECT
+                    # product response, not ladder coverage (seed 991000)
+                    from imagestitching_tpu.runtime import tiler
+                    floor = min(tiler._banded_peak(plan, b, 3)
+                                for b in tiler._band_candidates(
+                                    plan.canvas_h))
                     kw["budget"] = MemoryBudget(
-                        hbm_bytes=max(150_000, canvas // 2))
+                        hbm_bytes=max(150_000, canvas // 2, floor))
                 try:
                     out = api.stitch_arrays(imgs, specs, options,
                                             RuntimeConfig(engine=engine,
