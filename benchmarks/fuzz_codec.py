@@ -34,7 +34,7 @@ BATCH = 500
 CHILD_TIMEOUT_S = 240          # a whole batch; ~10s typical on the 1-core host
 CASE_TIMEOUT_S = 30            # single-case isolation reruns
 
-_FORMATS = ("jpeg", "png", "png_fast", "webp", "bmp", "gif")
+_FORMATS = ("jpeg", "png", "png_fast", "webp", "bmp", "gif", "heic")
 
 
 def _make_valid(rng, fmt: str) -> bytes:
@@ -42,9 +42,19 @@ def _make_valid(rng, fmt: str) -> bytes:
     import numpy as np
     from PIL import Image
 
-    h = int(rng.integers(1, 40))
-    w = int(rng.integers(1, 40))
+    # heic: HEVC needs non-degenerate dims; others go down to 1x1
+    h = int(rng.integers(16, 48) if fmt == "heic" else rng.integers(1, 40))
+    w = int(rng.integers(16, 48) if fmt == "heic" else rng.integers(1, 40))
     arr = rng.integers(0, 256, (h, w, 3), np.uint8)
+    if fmt == "heic":          # libheif encode (Pillow has no HEIF writer)
+        import tempfile
+
+        from imagestitching_tpu.imgio import heif
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "x.heic")
+            heif.encode_to_file(p, arr, quality=int(rng.integers(20, 95)))
+            with open(p, "rb") as f:
+                return f.read()
     img = Image.fromarray(arr)
     buf = io.BytesIO()
     if fmt == "jpeg":
@@ -97,6 +107,10 @@ def _case_bytes(seed: int):
     import numpy as np
     rng = np.random.default_rng(seed)
     fmt = _FORMATS[int(rng.integers(0, len(_FORMATS)))]
+    if fmt == "heic":
+        from imagestitching_tpu.imgio import heif
+        if not heif.available():
+            fmt = "png"        # deterministic stand-in off this host
     data = _make_valid(rng, fmt)
     if rng.random() < 0.06:      # pure-noise slice with a valid magic prefix
         magic = data[:int(rng.integers(2, 16))]
@@ -108,9 +122,18 @@ def _case_bytes(seed: int):
 
 
 def _run_case(seed: int) -> None:
-    from imagestitching_tpu.imgio import native
+    from imagestitching_tpu.imgio import heif, native
 
     fmt, data = _case_bytes(seed)
+    if fmt == "heic":
+        try:
+            heif.probe(data)               # header-only path
+            out = heif.decode(data)        # full libheif/HEVC path
+        except Exception:
+            return
+        assert out.ndim == 3 and out.shape[2] == 3
+        assert out.dtype.name == "uint8"
+        return
     os.environ["ISX_PNG_FAST"] = "0" if fmt == "png" else "1"
     fn = {"jpeg": native.decode_jpeg, "png": native.decode_png,
           "png_fast": native.decode_png, "webp": native.decode_webp,
