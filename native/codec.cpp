@@ -747,6 +747,14 @@ int isx_decode_bmp(const uint8_t* data, size_t len,
         set_err("bmp: bad dimensions");
         return 1;
     }
+    // BMP can't truly bomb (uncompressed pixels must be present, so the
+    // amplification is <=3x for 8-bit palette files), but Pillow refuses
+    // these sizes — keep the whole native surface on one policy.
+    if (exceeds_pixel_limit(static_cast<uint64_t>(w),
+                            static_cast<uint64_t>(h64))) {
+        set_err("bmp: exceeds pixel limit");
+        return 1;
+    }
     const int h = static_cast<int>(h64);
     // palette: BGRX quads right after the 54-byte headers
     uint8_t pal[256][3];

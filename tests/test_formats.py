@@ -468,6 +468,16 @@ def test_native_decoders_refuse_decompression_bombs(monkeypatch):
     with pytest.raises(ValueError, match="pixel limit"):
         native.decode_png(png)
 
+    # BMP declaring 16384x16384 (268 Mpx): policy parity with Pillow even
+    # though an uncompressed BMP can't truly bomb
+    bmp = bytearray(b"BM" + b"\x00" * 52)
+    struct.pack_into("<I", bmp, 10, 54)          # pixel offset
+    struct.pack_into("<I", bmp, 14, 40)          # BITMAPINFOHEADER
+    struct.pack_into("<ii", bmp, 18, 16384, 16384)
+    struct.pack_into("<H", bmp, 28, 24)          # 24-bit BI_RGB
+    with pytest.raises(ValueError, match="pixel limit"):
+        native.decode_bmp(bytes(bmp))
+
     # WEBP: hand-built VP8L header declaring 16383x16383 (268 Mpx)
     if native.webp_available():
         dims = 16382 | (16382 << 14)        # width-1 | height-1, 14b each
