@@ -34,7 +34,87 @@ BATCH = 500
 CHILD_TIMEOUT_S = 240          # a whole batch; ~10s typical on the 1-core host
 CASE_TIMEOUT_S = 30            # single-case isolation reruns
 
-_FORMATS = ("jpeg", "png", "png_fast", "webp", "bmp", "gif", "heic")
+_FORMATS = ("jpeg", "png", "png_fast", "png_struct", "webp", "bmp", "gif",
+            "heic")
+
+
+def _png_chunks(data: bytes):
+    """Parse a valid PNG into [(tag, body)]."""
+    import struct
+    out = []
+    pos = 8
+    while pos + 12 <= len(data):
+        ln = struct.unpack(">I", data[pos:pos + 4])[0]
+        tag = data[pos + 4:pos + 8]
+        out.append((tag, data[pos + 8:pos + 8 + ln]))
+        pos += 12 + ln
+    return out
+
+
+def _png_build(chunks) -> bytes:
+    import struct
+    import zlib
+    out = [b"\x89PNG\r\n\x1a\n"]
+    for tag, body in chunks:
+        out.append(struct.pack(">I", len(body)) + tag + body
+                   + struct.pack(">I", zlib.crc32(tag + body)))
+    return b"".join(out)
+
+
+def _mutate_png_struct(rng, data: bytes) -> bytes:
+    """Structure-aware PNG mutation: corrupt chunk CONTENTS but keep CRCs
+    valid, so inputs get PAST the fast path's CRC gates and into the
+    hand-written inflate/defilter/palette logic (random byte flips die at
+    the first CRC check and only ever fuzz the libpng fallback)."""
+    chunks = _png_chunks(data)
+    if not chunks:
+        return data
+    for _ in range(int(rng.integers(1, 4))):
+        kind = int(rng.integers(0, 6))
+        i = int(rng.integers(0, len(chunks)))
+        tag, body = chunks[i]
+        b = bytearray(body)
+        if kind == 0 and tag == b"IHDR" and len(b) == 13:
+            f = int(rng.integers(0, 5))           # depth/ctype/interlace/dims
+            if f == 0:
+                b[8] = int(rng.choice([1, 2, 4, 8, 16, 3, 250]))
+            elif f == 1:
+                b[9] = int(rng.choice([0, 2, 3, 4, 6, 1, 5, 7, 9]))
+            elif f == 2:
+                b[12] = int(rng.choice([0, 1, 2, 255]))
+            else:                                  # nudge a dimension
+                at = 0 if f == 3 else 4
+                import struct
+                w = struct.unpack(">I", bytes(b[at:at + 4]))[0]
+                w = max(0, w + int(rng.integers(-3, 30)))
+                b[at:at + 4] = struct.pack(">I", w)
+            chunks[i] = (tag, bytes(b))
+        elif kind == 1 and b:                      # flip body bytes (any tag)
+            for _ in range(int(rng.integers(1, 10))):
+                b[int(rng.integers(0, len(b)))] ^= int(rng.integers(1, 256))
+            chunks[i] = (tag, bytes(b))
+        elif kind == 2 and b:                      # truncate/extend body
+            if rng.random() < 0.5:
+                chunks[i] = (tag, bytes(b[:int(rng.integers(0, len(b)))]))
+            else:
+                chunks[i] = (tag, bytes(b) + bytes(
+                    rng.integers(0, 256, int(rng.integers(1, 64)),
+                                 dtype="uint8")))
+        elif kind == 3:                            # drop a chunk
+            if len(chunks) > 1:
+                chunks.pop(i)
+        elif kind == 4:                            # duplicate / reorder
+            chunks.insert(int(rng.integers(0, len(chunks) + 1)),
+                          chunks[i])
+        else:                                      # inject PLTE/tRNS/junk
+            tag2 = bytes(rng.choice([b"PLTE", b"tRNS", b"gAMA", b"IDAT"]))
+            body2 = bytes(rng.integers(0, 256,
+                                       int(rng.choice([0, 1, 3, 6, 255,
+                                                       768, 780])),
+                                       dtype="uint8"))
+            chunks.insert(int(rng.integers(0, len(chunks) + 1)),
+                          (tag2, body2))
+    return _png_build(chunks)
 
 
 def _make_valid(rng, fmt: str) -> bytes:
@@ -59,7 +139,7 @@ def _make_valid(rng, fmt: str) -> bytes:
     buf = io.BytesIO()
     if fmt == "jpeg":
         img.save(buf, "JPEG", quality=int(rng.integers(5, 99)))
-    elif fmt in ("png", "png_fast"):
+    elif fmt in ("png", "png_fast", "png_struct"):
         if rng.random() < 0.3:
             img = img.convert("P", palette=Image.ADAPTIVE)
         elif rng.random() < 0.3:
@@ -112,7 +192,9 @@ def _case_bytes(seed: int):
         if not heif.available():
             fmt = "png"        # deterministic stand-in off this host
     data = _make_valid(rng, fmt)
-    if rng.random() < 0.06:      # pure-noise slice with a valid magic prefix
+    if fmt == "png_struct":      # CRC-valid structural mutations
+        data = _mutate_png_struct(rng, data)
+    elif rng.random() < 0.06:    # pure-noise slice with a valid magic prefix
         magic = data[:int(rng.integers(2, 16))]
         data = magic + bytes(rng.integers(0, 256, int(rng.integers(8, 512)),
                                           dtype="uint8"))
@@ -133,6 +215,26 @@ def _run_case(seed: int) -> None:
             return
         assert out.ndim == 3 and out.shape[2] == 3
         assert out.dtype.name == "uint8"
+        return
+    if fmt == "png_struct":
+        # differential: the fast path (which silently falls back to libpng
+        # for shapes it refuses) must agree byte-for-byte with libpng
+        # whenever BOTH accept the input — the "pixel-identical" contract
+        import numpy as np
+        res = []
+        for flag in ("1", "0"):
+            os.environ["ISX_PNG_FAST"] = flag
+            try:
+                res.append(native.decode_png(data))
+            except Exception:
+                res.append(None)
+        fast, slow = res
+        if fast is not None:
+            assert fast.ndim == 3 and fast.shape[2] == 3
+            assert fast.dtype.name == "uint8"
+        if fast is not None and slow is not None:
+            assert fast.shape == slow.shape, (fast.shape, slow.shape)
+            assert np.array_equal(fast, slow)
         return
     os.environ["ISX_PNG_FAST"] = "0" if fmt == "png" else "1"
     fn = {"jpeg": native.decode_jpeg, "png": native.decode_png,
