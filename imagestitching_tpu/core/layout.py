@@ -105,9 +105,15 @@ class LayoutPlan:
         return self.canvas_w * self.canvas_h
 
     def signature(self) -> tuple:
-        """Compile-cache key: everything that changes traced shapes/indices."""
+        """Compile-cache key: everything that changes the traced program.
+
+        ``background`` belongs here even though it changes no shape:
+        assemble_canvas bakes it in as a compile-time CONSTANT, and every
+        compiled-program cache (serve bucketing/_compiled, xla_compose,
+        pipeline) keys on this tuple — omitting it handed same-geometry
+        jobs another job's background color (r4 serve review)."""
         return (
-            self.canvas_w, self.canvas_h, self.filter,
+            self.canvas_w, self.canvas_h, self.filter, self.background,
             tuple((p.col_span, p.row_span, p.raw_w, p.raw_h, p.orientation)
                   for p in self.placements),
         )

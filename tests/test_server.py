@@ -56,6 +56,30 @@ def test_server_mixed_signatures():
         assert rb.shape == (plan_b.canvas_h, plan_b.canvas_w, 3)
 
 
+def test_server_background_not_shared_across_jobs():
+    """Same-geometry jobs with DIFFERENT backgrounds must not share a
+    compiled program: assemble_canvas bakes plan.background in as a
+    constant, so plan.signature() must include it — omitting it handed
+    the second client the first client's background (r4 serve review)."""
+    o_black = StitchOptions(gap=6, background=(0, 0, 0))
+    o_red = StitchOptions(gap=6, background=(255, 0, 0))
+    specs = [ImageSpec(20, 12), ImageSpec(20, 10)]
+    assert (solve(specs, o_black).signature()
+            != solve(specs, o_red).signature())
+    with StitchServer(max_batch=8, max_wait_s=0.01, engine="xla") as s:
+        imgs1 = [rand_img(20, 12), rand_img(20, 10)]
+        imgs2 = [rand_img(20, 12), rand_img(20, 10)]
+        f1 = s.submit(imgs1, o_black)
+        f2 = s.submit(imgs2, o_red)
+        out1 = f1.result(timeout=60)
+        out2 = f2.result(timeout=60)
+        # the gap rows show the background
+        assert tuple(out1[12, 0]) == (0, 0, 0)
+        assert tuple(out2[12, 0]) == (255, 0, 0)
+        want2 = oracle.stitch(solve(specs, o_red), imgs2)
+        assert np.abs(out2.astype(int) - want2.astype(int)).max() <= 1
+
+
 def test_server_failure_isolation():
     with StitchServer(max_batch=4, max_wait_s=0.005, engine="xla") as s:
         good = [rand_img(16, 16)]
