@@ -107,14 +107,27 @@ class LayoutPlan:
     def signature(self) -> tuple:
         """Compile-cache key: everything that changes the traced program.
 
-        ``background`` belongs here even though it changes no shape:
-        assemble_canvas bakes it in as a compile-time CONSTANT, and every
-        compiled-program cache (serve bucketing/_compiled, xla_compose,
-        pipeline) keys on this tuple — omitting it handed same-geometry
-        jobs another job's background color (r4 serve review)."""
+        Two non-shape fields belong here because engines bake them into the
+        compiled program as CONSTANTS, and every compiled-program cache
+        (serve bucketing/_compiled, xla_compose, pallas_resize, pipeline)
+        keys on this tuple:
+
+        * ``background`` — assemble_canvas bakes the fill color in; omitting
+          it handed same-geometry jobs another job's background (r4 serve
+          review).
+        * the fractional placement rects ``(x0, y0, w, h)`` — tap weights are
+          computed from them, and the Pallas engine (and the serve layer's
+          per-signature BatchedStitch/CompiledStitch instances) bake the
+          weights in at trace time.  Integer pixel spans do NOT determine
+          them: e.g. gap=0.51 vs gap=0.69 on the same specs yields identical
+          spans but sub-pixel-shifted weights — collapsing those to one key
+          ran the second job with the first job's weights, 45 uint8 levels
+          off its oracle (r4 review; tests/test_layout.py,
+          test_engines.py regressions)."""
         return (
             self.canvas_w, self.canvas_h, self.filter, self.background,
-            tuple((p.col_span, p.row_span, p.raw_w, p.raw_h, p.orientation)
+            tuple((p.col_span, p.row_span, p.raw_w, p.raw_h, p.orientation,
+                   p.x0, p.y0, p.w, p.h)
                   for p in self.placements),
         )
 

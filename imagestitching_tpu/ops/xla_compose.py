@@ -9,8 +9,11 @@ This is the plain-XLA reference path of the device compute core (SURVEY.md
   under XLA fusion).
 * Bilinear resize   -> exact 2-tap separable gather: tap indices/weights are
   computed host-side by :mod:`..core.geometry` (the same math the NumPy
-  oracle uses) and shipped as tiny 1-D arrays, so no recompile when only
-  fractional offsets change and no dense weight matrices over the wire.
+  oracle uses) and shipped as tiny 1-D arrays rather than baked into the
+  program's constant pool.  (They are still PLAN-dependent: CompiledStitch
+  pins the params computed from its construction plan, so the cache key —
+  plan.signature() — includes the fractional placement rects the weights
+  derive from; see LayoutPlan.signature.)
 * General filters   -> dense weight-matrix matmuls (triangle/box AA).
 * Placement         -> ``lax.dynamic_update_slice`` at static offsets into the
   background-filled canvas (the ``fillRect`` analog, index.js:1423-1424).

@@ -181,3 +181,23 @@ def test_signature_stable_and_hashable():
     b = solve(specs, opts()).signature()
     assert a == b
     assert hash(a) == hash(b)
+
+
+def test_signature_separates_fractional_offsets():
+    """Same integer spans, different sub-pixel tap phase => different key.
+
+    gap=0.51 vs gap=0.69 on these specs round to identical pixel spans and
+    canvas dims, but the second image sits at y0=50.51 vs 50.69 — different
+    bilinear weights.  Engines bake weights per signature (Pallas at trace
+    time, CompiledStitch/BatchedStitch at construction), so collapsing these
+    to one key ran job B with job A's weights (45 uint8 levels off its
+    oracle; r4 review)."""
+    specs = [ImageSpec(100, 50), ImageSpec(100, 60)]
+    pa = solve(specs, StitchOptions(gap=0.51))
+    pb = solve(specs, StitchOptions(gap=0.69))
+    # the collision precondition: shape-identical plans
+    assert (pa.canvas_w, pa.canvas_h) == (pb.canvas_w, pb.canvas_h)
+    assert all(a.col_span == b.col_span and a.row_span == b.row_span
+               for a, b in zip(pa.placements, pb.placements))
+    assert pa.placements[1].y0 != pb.placements[1].y0
+    assert pa.signature() != pb.signature()

@@ -161,3 +161,17 @@ def test_lanczos3_constant_image_stays_constant():
                      CanvasLimits(max_side=limits_w))
         out = xla_compose.stitch(plan, [img])
         assert np.abs(out.astype(int) - 119).max() <= 1
+
+
+def test_cached_engine_not_shared_across_fractional_offsets():
+    """Two plans with identical pixel spans but different sub-pixel phases
+    (gap=0.51 vs 0.69) must each match THEIR OWN oracle through the
+    signature-keyed compiled cache.  Pre-fix, plan B reused plan A's tap
+    weights and came out 45 uint8 levels off (r4 review)."""
+    specs = [ImageSpec(100, 50), ImageSpec(100, 60)]
+    imgs = [rand_img(100, 50), rand_img(100, 60)]
+    pa = plan_for(specs, gap=0.51)
+    pb = plan_for(specs, gap=0.69)
+    assert pa.signature() != pb.signature()
+    assert_parity(pa, imgs)
+    assert_parity(pb, imgs)
