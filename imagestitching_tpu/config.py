@@ -128,6 +128,20 @@ class StitchOptions:
             raise ValueError(f"gap must be >= 0, got {self.gap}")
         if self.filter not in ("bilinear", "triangle", "box", "lanczos3"):
             raise ValueError(f"unknown filter {self.filter!r}")
+        # Normalize background to a hashable (int, int, int): it flows into
+        # plan.signature(), which every compiled-program cache hashes — a
+        # list/ndarray background must not blow up there (and must compare
+        # equal to its tuple twin so equal jobs share one compile).
+        try:
+            bg = tuple(int(v) for v in self.background)
+        except (TypeError, ValueError):
+            raise ValueError(f"background must be an RGB triple, "
+                             f"got {self.background!r}")
+        if len(bg) != 3 or any(not (0 <= v <= 255) for v in bg):
+            raise ValueError(f"background must be three ints in [0, 255], "
+                             f"got {self.background!r}")
+        if bg != self.background:
+            return dataclasses.replace(self, background=bg)
         return self
 
 

@@ -104,31 +104,37 @@ class LayoutPlan:
     def canvas_pixels(self) -> int:
         return self.canvas_w * self.canvas_h
 
-    def signature(self) -> tuple:
-        """Compile-cache key: everything that changes the traced program.
+    def shape_signature(self) -> tuple:
+        """Key of the traced program SHAPE: everything a compiled stitch
+        program depends on when tap weights arrive as runtime arguments
+        (the XLA engine's design — xla_compose ships taps as tiny jit args
+        precisely so same-shaped jobs share one compile).
 
-        Two non-shape fields belong here because engines bake them into the
-        compiled program as CONSTANTS, and every compiled-program cache
-        (serve bucketing/_compiled, xla_compose, pallas_resize, pipeline)
-        keys on this tuple:
-
-        * ``background`` — assemble_canvas bakes the fill color in; omitting
-          it handed same-geometry jobs another job's background (r4 serve
-          review).
-        * the fractional placement rects ``(x0, y0, w, h)`` — tap weights are
-          computed from them, and the Pallas engine (and the serve layer's
-          per-signature BatchedStitch/CompiledStitch instances) bake the
-          weights in at trace time.  Integer pixel spans do NOT determine
-          them: e.g. gap=0.51 vs gap=0.69 on the same specs yields identical
-          spans but sub-pixel-shifted weights — collapsing those to one key
-          ran the second job with the first job's weights, 45 uint8 levels
-          off its oracle (r4 review; tests/test_layout.py,
-          test_engines.py regressions)."""
+        ``background`` belongs here even though it changes no array shape:
+        assemble_canvas bakes the fill color in as a compile-time constant —
+        omitting it handed same-geometry jobs another job's background
+        (r4 serve review)."""
         return (
             self.canvas_w, self.canvas_h, self.filter, self.background,
-            tuple((p.col_span, p.row_span, p.raw_w, p.raw_h, p.orientation,
-                   p.x0, p.y0, p.w, p.h)
+            tuple((p.col_span, p.row_span, p.raw_w, p.raw_h, p.orientation)
                   for p in self.placements),
+        )
+
+    def signature(self) -> tuple:
+        """Full compile-cache/bucketing key: shape_signature PLUS the
+        fractional placement rects ``(x0, y0, w, h)``.
+
+        Tap weights derive from the fractional rects, and several layers
+        bake weights per key: the Pallas engine closes over the whole plan
+        at trace time, and serve/BatchedStitch/CompiledStitch instances pin
+        construction-plan params.  Integer pixel spans do NOT determine the
+        weights: e.g. gap=0.51 vs gap=0.69 on the same specs yields
+        identical spans but sub-pixel-shifted weights — collapsing those to
+        one key ran the second job with the first job's weights, 45 uint8
+        levels off its oracle (r4 review; regressions in tests/
+        test_layout.py and tests/test_xla_compose.py)."""
+        return self.shape_signature() + (
+            tuple((p.x0, p.y0, p.w, p.h) for p in self.placements),
         )
 
 

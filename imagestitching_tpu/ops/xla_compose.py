@@ -9,11 +9,12 @@ This is the plain-XLA reference path of the device compute core (SURVEY.md
   under XLA fusion).
 * Bilinear resize   -> exact 2-tap separable gather: tap indices/weights are
   computed host-side by :mod:`..core.geometry` (the same math the NumPy
-  oracle uses) and shipped as tiny 1-D arrays rather than baked into the
-  program's constant pool.  (They are still PLAN-dependent: CompiledStitch
-  pins the params computed from its construction plan, so the cache key —
-  plan.signature() — includes the fractional placement rects the weights
-  derive from; see LayoutPlan.signature.)
+  oracle uses) and shipped as tiny jit ARGUMENTS, so plans that differ only
+  in fractional offsets share one compiled program (keyed on
+  plan.shape_signature via _program_cache) while each CompiledStitch binds
+  its own plan's weights (keyed on the full plan.signature — the two-tier
+  keying is the fix for the r4 stale-weights collision; see
+  LayoutPlan.signature).
 * General filters   -> dense weight-matrix matmuls (triangle/box AA).
 * Placement         -> ``lax.dynamic_update_slice`` at static offsets into the
   background-filled canvas (the ``fillRect`` analog, index.js:1423-1424).
@@ -159,11 +160,11 @@ class CompiledStitch:
         self.channels = channels
         self.params = [placement_params(p, plan.filter)
                        for p in plan.placements]
-
-        def fn(images, params):
-            return _stitch_impl(plan, channels, images, params)
-
-        self._jitted = jax.jit(fn)
+        # The jitted PROGRAM is shared per shape_signature: taps are runtime
+        # args, so plans differing only in fractional offsets (same spans,
+        # shifted sub-pixel phase) reuse one compile — each CompiledStitch
+        # instance binds its OWN plan's params to the shared program.
+        self._jitted = _program_cache(_ShapeKey(plan), channels)
 
     def __call__(self, images: Sequence[np.ndarray],
                  device: bool = False) -> np.ndarray:
@@ -194,8 +195,22 @@ def _compiled_cache(plan_key: "_PlanKey", channels: int) -> CompiledStitch:
     return CompiledStitch(plan_key.plan, channels)
 
 
+@functools.lru_cache(maxsize=64)
+def _program_cache(shape_key: "_ShapeKey", channels: int):
+    """One jitted program per shape_signature.  Closing over the
+    representative plan is safe: the trace reads only fields the
+    shape_signature pins (spans, raw dims, orientation, canvas dims,
+    background, filter) — weights arrive as arguments."""
+    plan = shape_key.plan
+
+    def fn(images, params):
+        return _stitch_impl(plan, channels, images, params)
+
+    return jax.jit(fn)
+
+
 class _PlanKey:
-    """Hash/eq by signature so lru_cache can key on the plan's shape info."""
+    """Hash/eq by full signature so lru_cache can key on the plan."""
 
     __slots__ = ("plan", "_sig")
 
@@ -208,6 +223,22 @@ class _PlanKey:
 
     def __eq__(self, other):
         return isinstance(other, _PlanKey) and self._sig == other._sig
+
+
+class _ShapeKey:
+    """Hash/eq by shape_signature (the traced-program key)."""
+
+    __slots__ = ("plan", "_sig")
+
+    def __init__(self, plan: LayoutPlan):
+        self.plan = plan
+        self._sig = plan.shape_signature()
+
+    def __hash__(self):
+        return hash(self._sig)
+
+    def __eq__(self, other):
+        return isinstance(other, _ShapeKey) and self._sig == other._sig
 
 
 def get_compiled(plan: LayoutPlan, channels: int = 3) -> CompiledStitch:

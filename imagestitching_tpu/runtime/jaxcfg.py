@@ -24,20 +24,33 @@ def host_cpu_tag() -> str:
     (the exact warning in MULTICHIP_r03's tail).  Keying the cache dir by
     the feature set makes a cross-host hit structurally impossible while
     same-host reuse (the only reuse that ever happens here) is unaffected.
+
+    The tag hashes the MODEL identity (vendor/family/model/stepping/name)
+    as well as the flags: XLA also bakes model-derived tuning features
+    (``+prefer-no-gather``/``+prefer-no-scatter``) into AOT results, and a
+    VM migrated across physical hosts can present identical cpuinfo flags
+    with a different model — flags-only keying produced a cross-model hit
+    and the machine-feature mismatch warning again (r4 session 5).
     """
-    feats = ""
+    parts = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
-                    break
+                key = line.split(":", 1)[0].strip()
+                if key in ("vendor_id", "cpu family", "model",
+                           "model name", "stepping"):
+                    parts.append(line.strip())
+                elif key == "flags":
+                    parts.append(" ".join(sorted(
+                        line.split(":", 1)[1].split())))
+                elif key == "processor" and parts:
+                    break          # first logical CPU block is enough
     except OSError:  # pragma: no cover — non-linux
         pass
-    if not feats:
+    if not parts:
         import platform
-        feats = platform.machine() or "unknown"
-    return hashlib.sha1(feats.encode()).hexdigest()[:10]
+        parts = [platform.machine() or "unknown"]
+    return hashlib.sha1("\n".join(parts).encode()).hexdigest()[:10]
 
 
 def _platform_list() -> list[str]:

@@ -175,3 +175,39 @@ def test_cached_engine_not_shared_across_fractional_offsets():
     assert pa.signature() != pb.signature()
     assert_parity(pa, imgs)
     assert_parity(pb, imgs)
+
+
+def test_fractional_variants_share_one_compiled_program():
+    """Restored design property: taps are jit ARGS, so plans differing only
+    in fractional offsets share the jitted program (shape_signature-keyed)
+    while each CompiledStitch binds its own plan's weights."""
+    specs = [ImageSpec(100, 50), ImageSpec(100, 60)]
+    pa = plan_for(specs, gap=0.51)
+    pb = plan_for(specs, gap=0.69)
+    assert pa.shape_signature() == pb.shape_signature()
+    ca = xla_compose.get_compiled(pa)
+    cb = xla_compose.get_compiled(pb)
+    assert ca is not cb                      # distinct params bindings
+    assert ca._jitted is cb._jitted          # one shared program
+    wa = np.concatenate([t["rows"]["w"] for t in ca.params], axis=None)
+    wb = np.concatenate([t["rows"]["w"] for t in cb.params], axis=None)
+    assert not np.array_equal(wa, wb)        # genuinely different weights
+
+
+def test_list_background_normalized_and_hashable():
+    """StitchOptions.validate() canonicalizes background so a list/ndarray
+    background neither breaks signature hashing nor splits cache keys from
+    its tuple twin (r4 review)."""
+    specs = [ImageSpec(40, 20), ImageSpec(40, 30)]
+    pl_list = plan_for(specs, gap=2, background=[10, 20, 30])
+    pl_tup = plan_for(specs, gap=2, background=(10, 20, 30))
+    assert pl_list.background == (10, 20, 30)
+    assert hash(pl_list.signature()) == hash(pl_tup.signature())
+    imgs = [rand_img(40, 20), rand_img(40, 30)]
+    assert_parity(pl_list, imgs, atol=0)
+    with pytest.raises(ValueError):
+        plan_for(specs, background=(0, 0))
+    with pytest.raises(ValueError):
+        plan_for(specs, background=(0, 0, 999))
+    with pytest.raises(ValueError):
+        plan_for(specs, background="white")
