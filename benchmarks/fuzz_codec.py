@@ -251,7 +251,20 @@ def _run_case(seed: int) -> None:
 
 
 def _child(seed0: int, count: int) -> int:
+    # Isolation reruns set ISX_FUZZ_SAVE: write the EXACT bytes this process
+    # is about to decode before touching the native layer, so a segfault/hang
+    # still leaves the true repro input behind (regenerating in the parent is
+    # not equivalent — HEVC encode is not guaranteed bit-deterministic, and
+    # generation itself can fail on hosts without an encoder plugin).
+    save = os.environ.get("ISX_FUZZ_SAVE")
     for s in range(seed0, seed0 + count):
+        if save:
+            try:
+                _, data = _case_bytes(s)
+                with open(save, "wb") as f:
+                    f.write(data)
+            except Exception:
+                pass               # _run_case will surface the same error
         _run_case(s)
     return 0
 
@@ -283,11 +296,14 @@ def _parent(n: int, base: int) -> int:
         why = "timeout" if r is None else f"rc={r.returncode}"
         print(f"batch {seed0}.. {why} — isolating", flush=True)
         for s in range(seed0, seed0 + cnt):
+            path = f"/tmp/fuzz_codec_fail_{s}.bin"
+            env_case = dict(env)
+            env_case["ISX_FUZZ_SAVE"] = path
             try:
                 rr = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
                      "--child", str(s), "1"],
-                    env=env, timeout=CASE_TIMEOUT_S,
+                    env=env_case, timeout=CASE_TIMEOUT_S,
                     capture_output=True, text=True)
                 bad = rr.returncode != 0
                 tag = f"rc={rr.returncode}"
@@ -296,12 +312,22 @@ def _parent(n: int, base: int) -> int:
                 bad, tag, err = True, "timeout", ""
             if bad:
                 fails += 1
-                fmt, data = _case_bytes(s)
-                path = f"/tmp/fuzz_codec_fail_{s}.{fmt}.bin"
-                with open(path, "wb") as f:
-                    f.write(data)
-                print(f"FAIL seed={s} fmt={fmt} {tag} input={path}\n{err}",
-                      flush=True)
+                # prefer the child-saved bytes (exact); regeneration here is
+                # best-effort and must never kill the run — a seed whose
+                # failure is in case GENERATION still gets recorded
+                if os.path.exists(path):
+                    where = f"input={path}"
+                else:
+                    try:
+                        fmt, data = _case_bytes(s)
+                        with open(path, "wb") as f:
+                            f.write(data)
+                        where = f"input={path} (parent-regenerated)"
+                    except Exception as e:
+                        where = f"input unavailable (generation failed: {e})"
+                print(f"FAIL seed={s} {tag} {where}\n{err}", flush=True)
+            elif os.path.exists(path):
+                os.unlink(path)    # clean case: drop its pre-saved input
         done += cnt
         if fails >= 5:
             break
@@ -313,5 +339,15 @@ if __name__ == "__main__":
     argv = sys.argv[1:]
     if argv and argv[0] == "--child":
         sys.exit(_child(int(argv[1]), int(argv[2])))
-    sys.exit(_parent(int(argv[0]) if argv else 5000,
-                     int(argv[1]) if len(argv) > 1 else 500_000))
+    if len(argv) > 1:
+        base = int(argv[1])
+    else:
+        # Fresh-base discipline (CLAUDE.md): a bare invocation must not
+        # silently re-burn an already-ledgered range, so default to a
+        # time-derived base in the reserved >=1M band (ledgered manual
+        # bases live below 1M).  The printed base reproduces the run.
+        import time
+        base = 1_000_000 + int(time.time()) % 8_000_000
+        print(f"SEED_BASE not given — using fresh base {base} "
+              f"(pass N BASE to reproduce)", flush=True)
+    sys.exit(_parent(int(argv[0]) if argv else 5000, base))
