@@ -121,7 +121,7 @@ def run(n_cases: int, base: int = 10_000) -> int:
             diff = np.abs(out.astype(int) - want.astype(int)).max()
             assert diff <= 1, f"diff={diff}"
             if seed % 25 == 0:
-                print(f"seed {seed}: ok (mode={mode})", flush=True)
+                print(f"seed {base + seed}: ok (mode={mode})", flush=True)
         except Exception:
             fails += 1
             print(f"FAIL seed={base + seed}", flush=True)
@@ -1411,40 +1411,35 @@ def run_export(n_cases: int, base: int = 180_000) -> int:
     return fails
 
 
+def _fresh_base() -> int:
+    """Fresh-base discipline (CLAUDE.md): a bare invocation must not
+    silently re-burn an already-ledgered seed range, so when SEED_BASE
+    isn't given, default to a time-derived base in the reserved >=1M band
+    (ledgered manual bases live below 1M).  The printed base reproduces
+    the run."""
+    import time
+    base = 1_000_000 + int(time.time()) % 8_000_000
+    print(f"SEED_BASE not given — using fresh base {base} "
+          f"(pass N BASE to reproduce)", flush=True)
+    return base
+
+
 if __name__ == "__main__":
     argv = sys.argv[1:]
-    if argv and argv[0] == "--export":
-        sys.exit(1 if run_export(
-            int(argv[1]) if len(argv) > 1 else 150,
-            int(argv[2]) if len(argv) > 2 else 180_000) else 0)
-    if argv and argv[0] == "--preview":
-        sys.exit(1 if run_preview(
-            int(argv[1]) if len(argv) > 1 else 200,
-            int(argv[2]) if len(argv) > 2 else 170_000) else 0)
-    if argv and argv[0] == "--tpu":
-        sys.exit(1 if run_tpu(
-            int(argv[1]) if len(argv) > 1 else 30,
-            int(argv[2]) if len(argv) > 2 else 140_000) else 0)
-    if argv and argv[0] == "--http":
-        sys.exit(1 if run_http(
-            int(argv[1]) if len(argv) > 1 else 40,
-            int(argv[2]) if len(argv) > 2 else 160_000) else 0)
-    if argv and argv[0] == "--cli":
-        sys.exit(1 if run_cli(
-            int(argv[1]) if len(argv) > 1 else 150,
-            int(argv[2]) if len(argv) > 2 else 150_000) else 0)
-    if argv and argv[0] == "--serve":
-        sys.exit(1 if run_serve(
-            int(argv[1]) if len(argv) > 1 else 100,
-            int(argv[2]) if len(argv) > 2 else 120_000) else 0)
-    if argv and argv[0] == "--formats":
-        sys.exit(1 if run_formats(
-            int(argv[1]) if len(argv) > 1 else 200,
-            int(argv[2]) if len(argv) > 2 else 110_000) else 0)
-    if argv and argv[0] == "--large":
-        sys.exit(1 if run_large(
-            int(argv[1]) if len(argv) > 1 else 200,
-            int(argv[2]) if len(argv) > 2 else 80_000) else 0)
-    sys.exit(1 if run(int(argv[0]) if argv else 200,
-                      int(argv[1]) if len(argv) > 1 else 10_000)
-             else 0)
+    _MODES = {"--export": (run_export, 150), "--preview": (run_preview, 200),
+              "--tpu": (run_tpu, 30), "--http": (run_http, 40),
+              "--cli": (run_cli, 150), "--serve": (run_serve, 100),
+              "--formats": (run_formats, 200), "--large": (run_large, 200)}
+    if argv and argv[0].startswith("--") and argv[0] not in _MODES:
+        print(f"unknown mode {argv[0]}; usage: soak.py "
+              f"[{'|'.join(sorted(_MODES))}] [N] [SEED_BASE]",
+              file=sys.stderr)
+        sys.exit(2)
+    if argv and argv[0] in _MODES:
+        fn, default_n = _MODES[argv[0]]
+        n = int(argv[1]) if len(argv) > 1 else default_n
+        base = int(argv[2]) if len(argv) > 2 else _fresh_base()
+        sys.exit(1 if fn(n, base) else 0)
+    n = int(argv[0]) if argv else 200
+    base = int(argv[1]) if len(argv) > 1 else _fresh_base()
+    sys.exit(1 if run(n, base) else 0)
