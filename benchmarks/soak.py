@@ -71,6 +71,19 @@ from imagestitching_tpu.core import oracle  # noqa: E402
 from imagestitching_tpu.core.layout import ImageSpec, solve  # noqa: E402
 
 
+def _rand_gap(rng, hi: int) -> float:
+    """Integer gaps ~70% of the time, fractional the rest.  Sub-pixel gap
+    phases are what the r4s5 signature-collision class hid behind (two
+    plans with IDENTICAL pixel spans but shifted tap weights, collapsed to
+    one compiled-program cache key) — the generators' integer-only gaps
+    kept ~6k ledgered cases blind to it.  Fractional gaps also exercise
+    the float cursor accumulation against the oracle."""
+    g = float(rng.integers(0, hi))
+    if rng.random() < 0.3:
+        g += float(rng.random())
+    return g
+
+
 def run(n_cases: int, base: int = 10_000) -> int:
     fails = 0
     for seed in range(n_cases):
@@ -92,7 +105,7 @@ def run(n_cases: int, base: int = 10_000) -> int:
             options = StitchOptions(
                 direction=direction,
                 mode=str(rng.choice(["min", "max", "original"])),
-                gap=float(rng.integers(0, 11)),
+                gap=_rand_gap(rng, 11),
                 filter=str(rng.choice(["bilinear", "bilinear", "triangle",
                                        "box", "lanczos3"])),
                 background=tuple(int(x) for x in rng.integers(0, 256, 3)),
@@ -168,7 +181,7 @@ def run_large(n_cases: int, base: int = 80_000) -> int:
             options = StitchOptions(
                 direction=direction,
                 mode=str(rng.choice(["min", "max", "original"])),
-                gap=float(rng.integers(0, 33)),
+                gap=_rand_gap(rng, 33),
                 # wide-K over-represented: the banded-matmul shapes
                 filter=str(rng.choice(["bilinear", "triangle", "lanczos3",
                                        "lanczos3", "box"])),
@@ -546,7 +559,7 @@ def run_serve(n_cases: int, base: int = 120_000) -> int:
                 options = StitchOptions(
                     direction=str(rng.choice(["vertical", "horizontal"])),
                     mode=str(rng.choice(["min", "max", "original"])),
-                    gap=float(rng.integers(0, 9)),
+                    gap=_rand_gap(rng, 9),
                     filter=str(rng.choice(["bilinear", "triangle",
                                            "lanczos3"])),
                     supersample=False)
@@ -720,7 +733,7 @@ def run_http(n_cases: int, base: int = 160_000) -> int:
                         direction=str(rng.choice(["vertical",
                                                   "horizontal"])),
                         mode=str(rng.choice(["min", "max", "original"])),
-                        gap=float(rng.integers(0, 9)),
+                        gap=_rand_gap(rng, 9),
                         filter=str(rng.choice(["bilinear", "triangle",
                                                "lanczos3"])),
                         background=tuple(int(x)
@@ -915,7 +928,7 @@ def run_cli(n_cases: int, base: int = 150_000) -> int:
                 options = StitchOptions(
                     direction=str(rng.choice(["vertical", "horizontal"])),
                     mode=str(rng.choice(["min", "max", "original"])),
-                    gap=float(rng.integers(0, 13)),
+                    gap=_rand_gap(rng, 13),
                     filter=str(rng.choice(["bilinear", "bilinear",
                                            "triangle", "box", "lanczos3"])),
                     background=tuple(int(x) for x in rng.integers(0, 256, 3)),
@@ -1124,7 +1137,7 @@ def run_tpu(n_cases: int, base: int = 140_000) -> int:
             options = StitchOptions(
                 direction=direction,
                 mode=str(rng.choice(["min", "max", "original"])),
-                gap=float(rng.integers(0, 11)),
+                gap=_rand_gap(rng, 11),
                 filter=str(rng.choice(["bilinear", "bilinear", "triangle",
                                        "box", "lanczos3"])),
                 background=tuple(int(x) for x in rng.integers(0, 256, 3)),
@@ -1312,7 +1325,7 @@ def run_export(n_cases: int, base: int = 180_000) -> int:
                 options = StitchOptions(
                     direction=direction,
                     mode=str(rng.choice(["min", "max", "original"])),
-                    gap=float(rng.integers(0, 9)),
+                    gap=_rand_gap(rng, 9),
                     filter=str(rng.choice(["bilinear", "triangle",
                                            "box", "lanczos3"])),
                     background=tuple(int(x)
