@@ -243,3 +243,18 @@ def test_vmem_model_counts_nsub_pipeline_buffers():
     assert inc == (bw * tw * 6              # dense col weight hi/lo blocks
                    + 2 * 3 * th * tw        # out block u8, double-buffered
                    + 8 * k_cols * tw)       # col_w f32, double-buffered
+
+
+def test_fused_kernel_not_shared_across_fractional_offsets():
+    """The Pallas engine closes over the WHOLE plan at trace time (weights
+    become banded-matmul constants), so plans with identical pixel spans
+    but different sub-pixel phases (gap=0.51 vs 0.69) must compile
+    separately and each match THEIR OWN oracle (r4s5 signature fix)."""
+    specs = [ImageSpec(100, 50), ImageSpec(100, 60)]
+    imgs = [rand_img(100, 50), rand_img(100, 60)]
+    pa = plan_for(specs, gap=0.51)
+    pb = plan_for(specs, gap=0.69)
+    assert pa.shape_signature() == pb.shape_signature()
+    assert pa.signature() != pb.signature()
+    assert_parity(pa, imgs)
+    assert_parity(pb, imgs)
