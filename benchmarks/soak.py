@@ -10,6 +10,7 @@ Usage:  python benchmarks/soak.py [N] [SEED_BASE]          (default 200, base 10
         python benchmarks/soak.py --tpu [N] [SEED_BASE]      (default 30, base 140000; real chip)
         python benchmarks/soak.py --preview [N] [SEED_BASE]  (default 200, base 170000)
         python benchmarks/soak.py --export [N] [SEED_BASE]   (default 150, base 180000)
+        python benchmarks/soak.py --merge [N] [SEED_BASE]    (default 200, base 190000)
 
 ``--large`` probes the geometry the small soak cannot reach (VERDICT r2 #4):
 sides 256-2048 biased to tile/band boundary crossings (the 128/256/512/
@@ -32,6 +33,7 @@ Found in round 2: the interpret-mode kernel precision gap
 banded ladder on sub-8-row canvases (seeds 10064/10097).
 """
 
+import dataclasses
 import os
 import sys
 import tempfile
@@ -1424,6 +1426,152 @@ def run_export(n_cases: int, base: int = 180_000) -> int:
     return fails
 
 
+def run_merge(n_cases: int, base: int = 190_000) -> int:
+    """Randomized soak of the auto-overlap merge (``StitchOptions.
+    merge_overlap``, ops/overlap.py).  Each case builds a synthetic
+    screenshot chain in canonical space with KNOWN constructed overlaps —
+    exact duplicates, within-threshold noisy duplicates (+-1 level),
+    over-threshold perturbations (+-4, must be rejected), sub-strip
+    overlaps (<32 rows, undetectable by contract), beyond-cap overlaps
+    (> max_frac * min(h), undetectable by contract), width-mismatch and
+    fresh-content controls — then asserts:
+
+    1. device-scored ``detect_trims`` == the float64 numpy twin == the
+       constructed expectation (the exact-verify contract makes this
+       deterministic — no tolerance);
+    2. the full merged stitch equals the float64 oracle stitch of the
+       pre-trimmed chain within 1 uint8 step, across random direction /
+       mode / gap (fractional included) / filter / EXIF orientations /
+       canvas limits (forcing the resample engines) / engine choice.
+    """
+    from imagestitching_tpu.core import geometry
+    from imagestitching_tpu.ops import overlap as ovl
+
+    _ORIENT_GROUP = list(range(1, 9))
+
+    def _raw_for(display, orient):
+        """A raw array whose display form under EXIF tag ``orient`` is
+        ``display``: search the 8-element orientation group for g with
+        f_orient(g(display)) == display (D4 is closed, so one exists)."""
+        if orient == 1:
+            return display
+        for g in _ORIENT_GROUP:
+            cand = geometry.orient_array(display, g)
+            if (geometry.orient_array(cand, orient).shape == display.shape
+                    and np.array_equal(geometry.orient_array(cand, orient),
+                                       display)):
+                return np.ascontiguousarray(cand)
+        raise AssertionError(f"no inverse for orientation {orient}")
+
+    fails = 0
+    for seed in range(n_cases):
+        rng = np.random.default_rng(base + seed)
+        try:
+            direction = ("vertical" if rng.random() < 0.7 else "horizontal")
+            n = int(rng.integers(2, 6))
+            cur_w = int(rng.integers(24, 180))
+            h0 = int(rng.integers(90, 380))
+            parts = [rng.integers(0, 256, (h0, cur_w, 3), np.uint8)]
+            expected = [0]
+            kinds = ["seed"]
+            for _ in range(1, n):
+                h = int(rng.integers(90, 380))
+                ha = parts[-1].shape[0]
+                o_cap = min(int(0.5 * min(ha, h)), h - 1, ha)
+                r = float(rng.random())
+                fresh = rng.integers(0, 256, (h, cur_w, 3), np.uint8)
+                if r < 0.12:                        # width change: no match
+                    cur_w = max(8, cur_w + int(rng.integers(5, 25)))
+                    parts.append(rng.integers(0, 256, (h, cur_w, 3),
+                                              np.uint8))
+                    expected.append(0)
+                    kinds.append("width")
+                    continue
+                if r < 0.24 or o_cap < 32:          # fresh content
+                    part, exp, kind = fresh, 0, "fresh"
+                elif r < 0.36:                      # sub-strip overlap
+                    o = int(rng.integers(1, 32))
+                    fresh[:o] = parts[-1][ha - o:]
+                    part, exp, kind = fresh, 0, "tiny"
+                elif r < 0.46:                      # beyond-cap overlap
+                    o = o_cap + int(rng.integers(1, 9))
+                    fresh[:o] = parts[-1][ha - o:]
+                    part, exp, kind = fresh, 0, "beyond"
+                elif r < 0.64:                      # noisy, within threshold
+                    o = int(rng.integers(32, o_cap + 1))
+                    wob = rng.choice([-1, 1], (o, cur_w, 3))
+                    fresh[:o] = np.clip(
+                        parts[-1][ha - o:].astype(np.int16) + wob,
+                        0, 255).astype(np.uint8)
+                    part, exp, kind = fresh, o, "noisy"
+                elif r < 0.76:                      # perturbed past threshold
+                    o = int(rng.integers(32, o_cap + 1))
+                    wob = rng.choice([-4, 4], (o, cur_w, 3))
+                    fresh[:o] = np.clip(
+                        parts[-1][ha - o:].astype(np.int16) + wob,
+                        0, 255).astype(np.uint8)
+                    part, exp, kind = fresh, 0, "reject"
+                else:                               # exact duplicate strip
+                    o = int(rng.integers(32, o_cap + 1))
+                    fresh[:o] = parts[-1][ha - o:]
+                    part, exp, kind = fresh, o, "exact"
+                parts.append(part)
+                expected.append(exp)
+                kinds.append(kind)
+
+            displays = ([p for p in parts] if direction == "vertical"
+                        else [p.transpose(1, 0, 2) for p in parts])
+            trims_dev = ovl.detect_trims(displays, direction)
+            trims_np = ovl.detect_trims(displays, direction, device=False)
+            assert trims_dev == expected, \
+                f"device {trims_dev} != expected {expected} kinds={kinds}"
+            assert trims_np == expected, \
+                f"numpy {trims_np} != expected {expected} kinds={kinds}"
+
+            # EXIF: feed some images as raw + orientation tag
+            raws, specs = [], []
+            for d in displays:
+                orient = (int(rng.integers(2, 9)) if rng.random() < 0.25
+                          else 1)
+                raw = _raw_for(d, orient)
+                raws.append(raw)
+                specs.append(ImageSpec(raw.shape[1], raw.shape[0], orient))
+
+            options = StitchOptions(
+                direction=direction,
+                mode=str(rng.choice(["min", "max", "original"])),
+                gap=_rand_gap(rng, 9),
+                filter=str(rng.choice(["bilinear", "triangle", "lanczos3"])),
+                background=tuple(int(x) for x in rng.integers(0, 256, 3)),
+                merge_overlap=True)
+            limits = (ist.CanvasLimits(max_side=int(rng.integers(200, 900)))
+                      if rng.random() < 0.5 else None)
+            engine = str(rng.choice(["auto", "auto", "xla"]))
+            got = api.stitch_arrays(raws, specs=specs, options=options,
+                                    config=RuntimeConfig(engine=engine),
+                                    limits=limits)
+
+            trimmed = ovl.apply_trims(displays, expected, direction)
+            t_specs = [ImageSpec(a.shape[1], a.shape[0]) for a in trimmed]
+            plan = solve(t_specs,
+                         dataclasses.replace(options, merge_overlap=False),
+                         limits)
+            want = oracle.stitch(plan, trimmed)
+            diff = np.abs(got.astype(int) - want.astype(int)).max()
+            assert diff <= 1, f"diff={diff} kinds={kinds}"
+            if seed % 25 == 0:
+                print(f"seed {base + seed}: ok (n={n}, {direction}, "
+                      f"kinds={','.join(kinds[1:])}, "
+                      f"canvas={plan.canvas_w}x{plan.canvas_h})", flush=True)
+        except Exception:
+            fails += 1
+            print(f"FAIL seed={base + seed}", flush=True)
+            traceback.print_exc()
+    print(f"done: {n_cases - fails}/{n_cases} merge cases, "
+          f"{fails} failures", flush=True)
+    return fails
+
+
 def _fresh_base() -> int:
     """Fresh-base discipline (CLAUDE.md): a bare invocation must not
     silently re-burn an already-ledgered seed range, so when SEED_BASE
@@ -1442,7 +1590,8 @@ if __name__ == "__main__":
     _MODES = {"--export": (run_export, 150), "--preview": (run_preview, 200),
               "--tpu": (run_tpu, 30), "--http": (run_http, 40),
               "--cli": (run_cli, 150), "--serve": (run_serve, 100),
-              "--formats": (run_formats, 200), "--large": (run_large, 200)}
+              "--formats": (run_formats, 200), "--large": (run_large, 200),
+              "--merge": (run_merge, 200)}
     if argv and argv[0].startswith("--") and argv[0] not in _MODES:
         print(f"unknown mode {argv[0]}; usage: soak.py "
               f"[{'|'.join(sorted(_MODES))}] [N] [SEED_BASE]",

@@ -176,6 +176,10 @@ def stitch_arrays(images: Sequence[np.ndarray],
     if specs is None:
         specs = [ImageSpec(a.shape[1], a.shape[0]) for a in images]
     log = get_logger()
+    if options.merge_overlap:
+        from .ops import overlap as _overlap
+        images, specs, trims = _overlap.merge_arrays(images, specs, options)
+        log.event("stitch.merge", trims=trims)
     plan = solve(specs, options, limits)
     log.event("stitch.plan", canvas=(plan.canvas_w, plan.canvas_h),
               n=len(images), mode=plan.mode, direction=plan.direction,
@@ -250,8 +254,12 @@ def stitch(items: Sequence[ImageInput],
         options = StitchOptions(direction=direction, mode=mode, gap=gap)
     config = (config or RuntimeConfig()).validate()
 
-    want_overlap = (config.overlap == "always"
-                    or (config.overlap == "auto" and _is_big_task(items)))
+    # merge_overlap needs every image's pixels before layout (the trims
+    # change the specs), so it always takes the decode-everything path
+    want_overlap = (not options.merge_overlap
+                    and (config.overlap == "always"
+                         or (config.overlap == "auto"
+                             and _is_big_task(items))))
     if want_overlap and on_error == "raise" and config.engine != "oracle":
         specs = [_probe_item(it) for it in items]
         if all(s is not None for s in specs):
@@ -316,7 +324,12 @@ def stitch_to_file(items: Sequence[ImageInput], out_path: Union[str, os.PathLike
     streamable = ext in ("png", "jpg", "jpeg", "")
     want_stream = stream is True or (stream == "auto" and streamable
                                      and _native_available())
-    if want_stream and streamable and _native_available():
+    # the blit fast path plans from image HEADERS; merge_overlap trims are
+    # pixel-derived, so it must go through the full stitch() flow instead
+    opts = kwargs.get("options")
+    merge_on = bool(opts is not None
+                    and getattr(opts, "merge_overlap", False))
+    if want_stream and streamable and _native_available() and not merge_on:
         blit = _blit_stream_attempt(items, out_path, ext, quality,
                                     png_compression, kwargs)
         if blit is not None:

@@ -56,6 +56,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--supersample", action="store_true", default=False,
                    help="render above target resolution when under the pixel "
                         "cap (reference does this by default on phones)")
+    p.add_argument("--merge-overlap", action="store_true", default=False,
+                   help="auto-detect the duplicated strip between "
+                        "consecutive screenshots along the stitch axis and "
+                        "trim it before stitching")
+    p.add_argument("--merge-threshold", type=float, default=2.0,
+                   metavar="LEVELS",
+                   help="max mean-abs-diff (uint8 levels) for an overlap to "
+                        "count as a duplicate (default 2.0 tolerates JPEG "
+                        "recompression; 0 = exact match only)")
     p.add_argument("--max-side", type=int, default=None,
                    help="max output side (reference device cap analog)")
     p.add_argument("--max-pixels", type=int, default=None,
@@ -127,10 +136,15 @@ def main(argv: Optional[List[str]] = None) -> int:
               f"got {args.background!r}", file=sys.stderr)
         return 2
 
+    if args.merge_threshold < 0:
+        parser.error(f"--merge-threshold must be >= 0, "
+                     f"got {args.merge_threshold}")
     options = StitchOptions(direction=args.direction, mode=args.mode,
                             gap=args.gap, supersample=args.supersample,
                             background=bg, filter=args.filter,
-                            max_images=args.max_images)
+                            max_images=args.max_images,
+                            merge_overlap=args.merge_overlap,
+                            merge_threshold=args.merge_threshold)
     if args.parity_profile == "ios":
         limits = CanvasLimits.reference_ios()
     elif args.parity_profile == "android":

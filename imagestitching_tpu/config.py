@@ -118,6 +118,14 @@ class StitchOptions:
     background: Tuple[int, int, int] = (255, 255, 255)  # white fill (index.js:1423-1424)
     filter: str = "bilinear"           # "bilinear" | "triangle" | "box" | "lanczos3"
     max_images: Optional[int] = 9      # MAX_IMAGES (index.js:311); None = unlimited
+    # Auto-overlap merge (framework extension — the reference concatenates
+    # verbatim and users hand-trim overlapping screenshots): detect the
+    # duplicated strip between consecutive images along the stitch axis and
+    # trim it before layout (ops/overlap.py).  merge_threshold is the max
+    # mean-abs-diff (uint8 levels) for an overlap to count as a duplicate
+    # (2.0 tolerates JPEG recompression; 0.0 = exact only).
+    merge_overlap: bool = False
+    merge_threshold: float = 2.0
 
     def validate(self) -> "StitchOptions":
         if self.direction not in DIRECTIONS:
@@ -128,6 +136,9 @@ class StitchOptions:
             raise ValueError(f"gap must be >= 0, got {self.gap}")
         if self.filter not in ("bilinear", "triangle", "box", "lanczos3"):
             raise ValueError(f"unknown filter {self.filter!r}")
+        if self.merge_threshold < 0:
+            raise ValueError(f"merge_threshold must be >= 0, "
+                             f"got {self.merge_threshold}")
         # Normalize background to a hashable (int, int, int): it flows into
         # plan.signature(), which every compiled-program cache hashes — a
         # list/ndarray background must not blow up there (and must compare

@@ -127,6 +127,13 @@ class StitchServer:
             raise ValueError("orientations length must match images")
         specs = [ImageSpec(a.shape[1], a.shape[0], int(o))
                  for a, o in zip(imgs, orientations)]
+        if options.merge_overlap:
+            # pixel-derived trims change the specs, so merge runs in the
+            # caller's thread before the job is keyed/batched by signature
+            from ..ops import overlap as _overlap
+            imgs, specs, trims = _overlap.merge_arrays(imgs, specs, options)
+            if any(trims):
+                self._log.event("serve.merge", trims=trims)
         plan = solve(specs, options, limits)
         with self._plock:
             if self._pending >= self.max_queue:
