@@ -8,7 +8,8 @@ within ``max_wait_s`` of each other share one device program):
 * ``POST /stitch``  — images in request order, either
   ``multipart/form-data`` file parts or JSON ``{"images": ["<base64>", ..]}``;
   stitch options via query string or JSON fields (``direction``, ``mode``,
-  ``gap``, ``filter``, ``background="R,G,B"``, ``format=png|jpg``,
+  ``gap``, ``filter``, ``background="R,G,B"``, ``merge_overlap``,
+  ``merge_threshold``, ``format=png|jpg``,
   ``quality``, ``png_level``).  Responds with the encoded strip.
 * ``GET /healthz``  — liveness + backend info.
 * ``GET /stats``    — batcher counters plus the logger ring tail
@@ -69,6 +70,9 @@ def _options_from(params: dict) -> Tuple[StitchOptions, dict]:
         filter=one("filter", "bilinear"),
         background=tuple(bg),
         supersample=str(one("supersample", "")).lower() in ("1", "true"),
+        merge_overlap=str(one("merge_overlap", "")).lower()
+        in ("1", "true"),
+        merge_threshold=float(one("merge_threshold", 2.0)),
     ).validate()
     out = {
         "format": str(one("format", "png")).lower(),

@@ -190,6 +190,32 @@ def test_cli_merge_overlap(tmp_path):
     assert np.array_equal(np.asarray(Image.open(out)), base)
 
 
+def test_http_merge_overlap():
+    import base64
+    import io
+    import json
+    import urllib.request
+    from PIL import Image
+    from imagestitching_tpu.imgio import codec
+    from imagestitching_tpu.serve.http import StitchHTTPServer
+
+    base = noise(460, 72)
+    a, b = split_with_overlap(base, [250, 260], 50)
+    payload = {
+        "images": [base64.b64encode(codec.encode_bytes(x, "png")).decode()
+                   for x in (a, b)],
+        "merge_overlap": "true",
+    }
+    with StitchHTTPServer(port=0, engine="xla", max_wait_s=0.005) as srv:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/stitch",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = np.asarray(Image.open(io.BytesIO(r.read())))
+    assert np.array_equal(out, base)
+
+
 def test_merge_threshold_validation():
     with pytest.raises(ValueError):
         StitchOptions(merge_threshold=-1.0).validate()
