@@ -1116,6 +1116,54 @@ def run_tpu(n_cases: int, base: int = 140_000) -> int:
             big = roll < 0.06
             sharded = 0.06 <= roll < 0.18
             tight = 0.18 <= roll < 0.36
+            merge = 0.36 <= roll < 0.46
+            if merge:
+                # overlap-merge slice: the scorer matmul runs ON the chip
+                # (every other merge burn emulates it on XLA:CPU); trims
+                # are constructed, the merged stitch is oracle-checked
+                from imagestitching_tpu.ops import overlap as ovl
+                direction = ("vertical" if rng.random() < 0.7
+                             else "horizontal")
+                parts, expected, kinds = _build_merge_chain(rng, full=False)
+                displays = (parts if direction == "vertical"
+                            else [p.transpose(1, 0, 2) for p in parts])
+                trims = ovl.detect_trims(displays, direction)
+                assert trims == expected, \
+                    f"chip {trims} != expected {expected} kinds={kinds}"
+                options = StitchOptions(
+                    direction=direction,
+                    mode=str(rng.choice(["min", "max", "original"])),
+                    gap=_rand_gap(rng, 9),
+                    filter=str(rng.choice(["bilinear", "triangle",
+                                           "lanczos3"])),
+                    background=tuple(int(x)
+                                     for x in rng.integers(0, 256, 3)),
+                    merge_overlap=True)
+                limits = (ist.CanvasLimits(
+                    max_side=int(rng.integers(200, 900)))
+                    if rng.random() < 0.5 else None)
+                m_specs = [ImageSpec(a.shape[1], a.shape[0])
+                           for a in displays]
+                m_kw = {"interpret": True} if interpret else {}
+                got = api.stitch_arrays(
+                    displays, m_specs, options,
+                    RuntimeConfig(engine=str(rng.choice(["auto", "xla"])),
+                                  **m_kw),
+                    limits=limits)
+                trimmed = ovl.apply_trims(displays, expected, direction)
+                plan = solve([ImageSpec(a.shape[1], a.shape[0])
+                              for a in trimmed],
+                             dataclasses.replace(options,
+                                                 merge_overlap=False),
+                             limits)
+                want = oracle.stitch(plan, trimmed)
+                diff = np.abs(got.astype(int) - want.astype(int)).max()
+                assert diff <= 1, f"diff={diff} kinds={kinds}"
+                print(f"seed {base + seed}: ok (merge, n={len(parts)}, "
+                      f"{direction}, kinds={','.join(kinds[1:])}, "
+                      f"canvas={plan.canvas_w}x{plan.canvas_h}, "
+                      f"diff={diff})", flush=True)
+                continue
             n = int(rng.integers(1, 4 if big else 7))
             equalize = (not big) and rng.random() < 0.35  # pure-blit plans
             direction = str(rng.choice(["vertical", "horizontal"]))
@@ -1426,6 +1474,64 @@ def run_export(n_cases: int, base: int = 180_000) -> int:
     return fails
 
 
+def _build_merge_chain(rng, full: bool = True):
+    """Synthetic screenshot chain (canonical vertical space) with KNOWN
+    constructed overlaps.  Returns (parts, expected_trims, kinds).
+    ``full=True`` includes every contract-boundary kind (sub-strip,
+    beyond-cap, over-threshold reject, width change); ``full=False`` keeps
+    the chip-friendly core (exact / noisy-within-threshold / fresh)."""
+    n = int(rng.integers(2, 6))
+    cur_w = int(rng.integers(24, 180))
+    h0 = int(rng.integers(90, 380))
+    parts = [rng.integers(0, 256, (h0, cur_w, 3), np.uint8)]
+    expected = [0]
+    kinds = ["seed"]
+    for _ in range(1, n):
+        h = int(rng.integers(90, 380))
+        ha = parts[-1].shape[0]
+        o_cap = min(int(0.5 * min(ha, h)), h - 1, ha)
+        r = float(rng.random())
+        fresh = rng.integers(0, 256, (h, cur_w, 3), np.uint8)
+        if full and r < 0.12:                   # width change: no match
+            cur_w = max(8, cur_w + int(rng.integers(5, 25)))
+            parts.append(rng.integers(0, 256, (h, cur_w, 3), np.uint8))
+            expected.append(0)
+            kinds.append("width")
+            continue
+        if r < 0.24 or o_cap < 32:              # fresh content
+            part, exp, kind = fresh, 0, "fresh"
+        elif full and r < 0.36:                 # sub-strip overlap
+            o = int(rng.integers(1, 32))
+            fresh[:o] = parts[-1][ha - o:]
+            part, exp, kind = fresh, 0, "tiny"
+        elif full and r < 0.46:                 # beyond-cap overlap
+            o = o_cap + int(rng.integers(1, 9))
+            fresh[:o] = parts[-1][ha - o:]
+            part, exp, kind = fresh, 0, "beyond"
+        elif r < 0.64:                          # noisy, within threshold
+            o = int(rng.integers(32, o_cap + 1))
+            wob = rng.choice([-1, 1], (o, cur_w, 3))
+            fresh[:o] = np.clip(
+                parts[-1][ha - o:].astype(np.int16) + wob,
+                0, 255).astype(np.uint8)
+            part, exp, kind = fresh, o, "noisy"
+        elif full and r < 0.76:                 # perturbed past threshold
+            o = int(rng.integers(32, o_cap + 1))
+            wob = rng.choice([-4, 4], (o, cur_w, 3))
+            fresh[:o] = np.clip(
+                parts[-1][ha - o:].astype(np.int16) + wob,
+                0, 255).astype(np.uint8)
+            part, exp, kind = fresh, 0, "reject"
+        else:                                   # exact duplicate strip
+            o = int(rng.integers(32, o_cap + 1))
+            fresh[:o] = parts[-1][ha - o:]
+            part, exp, kind = fresh, o, "exact"
+        parts.append(part)
+        expected.append(exp)
+        kinds.append(kind)
+    return parts, expected, kinds
+
+
 def run_merge(n_cases: int, base: int = 190_000) -> int:
     """Randomized soak of the auto-overlap merge (``StitchOptions.
     merge_overlap``, ops/overlap.py).  Each case builds a synthetic
@@ -1468,56 +1574,8 @@ def run_merge(n_cases: int, base: int = 190_000) -> int:
         rng = np.random.default_rng(base + seed)
         try:
             direction = ("vertical" if rng.random() < 0.7 else "horizontal")
-            n = int(rng.integers(2, 6))
-            cur_w = int(rng.integers(24, 180))
-            h0 = int(rng.integers(90, 380))
-            parts = [rng.integers(0, 256, (h0, cur_w, 3), np.uint8)]
-            expected = [0]
-            kinds = ["seed"]
-            for _ in range(1, n):
-                h = int(rng.integers(90, 380))
-                ha = parts[-1].shape[0]
-                o_cap = min(int(0.5 * min(ha, h)), h - 1, ha)
-                r = float(rng.random())
-                fresh = rng.integers(0, 256, (h, cur_w, 3), np.uint8)
-                if r < 0.12:                        # width change: no match
-                    cur_w = max(8, cur_w + int(rng.integers(5, 25)))
-                    parts.append(rng.integers(0, 256, (h, cur_w, 3),
-                                              np.uint8))
-                    expected.append(0)
-                    kinds.append("width")
-                    continue
-                if r < 0.24 or o_cap < 32:          # fresh content
-                    part, exp, kind = fresh, 0, "fresh"
-                elif r < 0.36:                      # sub-strip overlap
-                    o = int(rng.integers(1, 32))
-                    fresh[:o] = parts[-1][ha - o:]
-                    part, exp, kind = fresh, 0, "tiny"
-                elif r < 0.46:                      # beyond-cap overlap
-                    o = o_cap + int(rng.integers(1, 9))
-                    fresh[:o] = parts[-1][ha - o:]
-                    part, exp, kind = fresh, 0, "beyond"
-                elif r < 0.64:                      # noisy, within threshold
-                    o = int(rng.integers(32, o_cap + 1))
-                    wob = rng.choice([-1, 1], (o, cur_w, 3))
-                    fresh[:o] = np.clip(
-                        parts[-1][ha - o:].astype(np.int16) + wob,
-                        0, 255).astype(np.uint8)
-                    part, exp, kind = fresh, o, "noisy"
-                elif r < 0.76:                      # perturbed past threshold
-                    o = int(rng.integers(32, o_cap + 1))
-                    wob = rng.choice([-4, 4], (o, cur_w, 3))
-                    fresh[:o] = np.clip(
-                        parts[-1][ha - o:].astype(np.int16) + wob,
-                        0, 255).astype(np.uint8)
-                    part, exp, kind = fresh, 0, "reject"
-                else:                               # exact duplicate strip
-                    o = int(rng.integers(32, o_cap + 1))
-                    fresh[:o] = parts[-1][ha - o:]
-                    part, exp, kind = fresh, o, "exact"
-                parts.append(part)
-                expected.append(exp)
-                kinds.append(kind)
+            parts, expected, kinds = _build_merge_chain(rng, full=True)
+            n = len(parts)
 
             displays = ([p for p in parts] if direction == "vertical"
                         else [p.transpose(1, 0, 2) for p in parts])

@@ -15,6 +15,83 @@ import os
 
 _configured = False
 
+_cpuid_blob_cache: list = []     # [] = unprobed; [bytes|None] = result
+
+
+def _llvm_visible_cpu_blob():
+    """Raw CPUID + XGETBV dump — the EXACT inputs LLVM's host detection
+    reads (llvm/lib/TargetParser/Host.cpp), or None off-x86/on failure.
+
+    Needed because this Firecracker fleet masks ``/proc/cpuinfo`` to one
+    generic model string ("Intel(R) Xeon(R) Processor @ 2.10GHz",
+    microcode 0x1) on EVERY physical host, while raw CPUID still exposes
+    the real silicon (leaf 1 EAX: family/model/stepping — e.g. 0xC06F2,
+    Emerald Rapids).  XLA:CPU AOT results bake model-derived tuning
+    features (+prefer-no-gather) chosen from CPUID, so two hosts that are
+    cpuinfo-identical can still produce incompatible AOT executables — a
+    cpuinfo-keyed cache tag collided exactly that way (r4 session 6, the
+    mismatch warning recurred within one keyed subdir).  Any difference
+    LLVM can see lives in these leaves, so hashing them makes a
+    cross-model hit structurally impossible.
+
+    Leaf 1 EBX is masked to its low 16 bits (the high half is the initial
+    APIC id / logical CPU count — varies per vCPU and boot, not ISA).
+    """
+    if _cpuid_blob_cache:
+        return _cpuid_blob_cache[0]
+    blob = None
+    try:
+        import ctypes
+        import mmap
+        import platform
+        if platform.machine() in ("x86_64", "AMD64"):
+            code = bytes([
+                0x53,                   # push rbx
+                0x89, 0xf0,             # mov eax, esi
+                0x89, 0xd1,             # mov ecx, edx
+                0x0f, 0xa2,             # cpuid
+                0x89, 0x07,             # mov [rdi], eax
+                0x89, 0x5f, 0x04,       # mov [rdi+4], ebx
+                0x89, 0x4f, 0x08,       # mov [rdi+8], ecx
+                0x89, 0x57, 0x0c,       # mov [rdi+12], edx
+                0x5b, 0xc3,             # pop rbx; ret
+            ])
+            xgetbv = bytes([
+                0x31, 0xc9,             # xor ecx, ecx
+                0x0f, 0x01, 0xd0,       # xgetbv
+                0x89, 0x07,             # mov [rdi], eax
+                0x89, 0x57, 0x04,       # mov [rdi+4], edx
+                0xc3,                   # ret
+            ])
+            buf = mmap.mmap(-1, mmap.PAGESIZE,
+                            prot=(mmap.PROT_READ | mmap.PROT_WRITE
+                                  | mmap.PROT_EXEC))
+            buf.write(code + xgetbv)
+            base = ctypes.addressof(ctypes.c_char.from_buffer(buf))
+            cpuid = ctypes.CFUNCTYPE(None, ctypes.c_void_p,
+                                     ctypes.c_uint32, ctypes.c_uint32)(base)
+            xgb = ctypes.CFUNCTYPE(None, ctypes.c_void_p)(base + len(code))
+            out = (ctypes.c_uint32 * 4)()
+            rows = []
+            for eax, ecx in [(0, 0), (1, 0), (7, 0), (7, 1), (7, 2),
+                             (0xD, 0), (0xD, 1), (0x14, 0),
+                             (0x80000000, 0), (0x80000001, 0),
+                             (0x80000008, 0)]:
+                cpuid(ctypes.byref(out), eax, ecx)
+                vals = list(out)
+                if eax == 1:
+                    vals[1] &= 0xFFFF
+                rows.append((eax, ecx, vals))
+            x = (ctypes.c_uint32 * 2)()
+            xgb(ctypes.byref(x))
+            rows.append((-1, 0, list(x)))          # XCR0
+            blob = repr(rows).encode()
+            del cpuid, xgb                         # before buf is released
+    except Exception:   # pragma: no cover — W^X policies, exotic hosts
+        blob = None
+    _cpuid_blob_cache.append(blob)
+    return blob
+
 
 def host_cpu_tag() -> str:
     """Short fingerprint of the host CPU's ISA feature set.
@@ -25,14 +102,19 @@ def host_cpu_tag() -> str:
     the feature set makes a cross-host hit structurally impossible while
     same-host reuse (the only reuse that ever happens here) is unaffected.
 
-    The tag hashes the MODEL identity (vendor/family/model/stepping/name)
-    as well as the flags: XLA also bakes model-derived tuning features
-    (``+prefer-no-gather``/``+prefer-no-scatter``) into AOT results, and a
-    VM migrated across physical hosts can present identical cpuinfo flags
-    with a different model — flags-only keying produced a cross-model hit
-    and the machine-feature mismatch warning again (r4 session 5).
+    The tag hashes raw CPUID + XGETBV (:func:`_llvm_visible_cpu_blob`) —
+    the exact inputs LLVM derives host features from — because this
+    fleet's hypervisor masks /proc/cpuinfo to ONE generic model string on
+    every physical host: first flags-only keying (r4 s5), then
+    model+flags keying (r4 s6) each collided across migrations and
+    reproduced the AOT machine-feature mismatch warning.  cpuinfo fields
+    remain in the hash as the fallback for hosts where the CPUID probe
+    fails (non-x86, W^X-restricted mmap).
     """
     parts = []
+    blob = _llvm_visible_cpu_blob()
+    if blob is not None:
+        parts.append(blob.decode("latin-1"))
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:

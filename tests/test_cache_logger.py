@@ -131,6 +131,15 @@ def test_compile_cache_keyed_by_host_cpu_features(tmp_path, monkeypatch):
     tag = jaxcfg.host_cpu_tag()
     assert tag and len(tag) == 10
     assert tag == jaxcfg.host_cpu_tag()          # stable within a host
+    import platform
+    if platform.machine() in ("x86_64", "AMD64"):
+        # the tag must be keyed by RAW CPUID, not /proc/cpuinfo: this
+        # fleet's hypervisor masks cpuinfo to one generic model on every
+        # physical host, and cpuinfo-keyed tags collided across
+        # migrations twice (r4 s5 flags-only, r4 s6 model+flags)
+        blob = jaxcfg._llvm_visible_cpu_blob()
+        assert blob is not None and b"(1, 0," in blob and b"(-1, 0," in blob
+        assert blob is jaxcfg._llvm_visible_cpu_blob()   # cached
     monkeypatch.setattr(jaxcfg, "_configured", False)
     old = jax.config.jax_compilation_cache_dir
     try:

@@ -145,3 +145,21 @@ def test_tpu_server_batched_serving_parity():
         want = oracle.stitch(plan, imgs)
         assert out.shape == want.shape
         assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_tpu_merge_overlap_scorer_parity():
+    """The merge scorer's MXU matmul on the real chip: candidate ORDER can
+    differ from the float64 twin only on non-matching near-ties, and the
+    exact-verify contract must land the same trims; a full merged stitch
+    reconstructs the original capture bit-exactly."""
+    from imagestitching_tpu.ops import overlap
+
+    base = rng.integers(0, 256, (900, 160, 3), np.uint8)
+    a, b, c = base[:400], base[300:640], base[560:]   # 100- and 80-row dups
+    s_dev = overlap._scores(a[400 - 200:], b[:32], device=True)
+    s_np = overlap._scores_numpy(a[400 - 200:], b[:32])
+    assert int(np.argmin(s_dev)) == int(np.argmin(s_np))
+    assert overlap.detect_trims([a, b, c], "vertical") == [0, 100, 80]
+    got = api.stitch_arrays([a, b, c],
+                            options=StitchOptions(merge_overlap=True))
+    np.testing.assert_array_equal(got, base)
