@@ -11,6 +11,7 @@ Usage:  python benchmarks/soak.py [N] [SEED_BASE]          (default 200, base 10
         python benchmarks/soak.py --preview [N] [SEED_BASE]  (default 200, base 170000)
         python benchmarks/soak.py --export [N] [SEED_BASE]   (default 150, base 180000)
         python benchmarks/soak.py --merge [N] [SEED_BASE]    (default 200, base 190000)
+        python benchmarks/soak.py --grid [N] [SEED_BASE]     (default 200, base 200000)
 
 ``--large`` probes the geometry the small soak cannot reach (VERDICT r2 #4):
 sides 256-2048 biased to tile/band boundary crossings (the 128/256/512/
@@ -1630,6 +1631,94 @@ def run_merge(n_cases: int, base: int = 190_000) -> int:
     return fails
 
 
+def run_grid(n_cases: int, base: int = 200_000) -> int:
+    """Randomized soak of the grid collage (``api.stitch_grid``,
+    core/grid.py): random image sets (grayscale and EXIF-tagged inputs
+    included), cols/order/valign/mode/gap (fractional)/background/limits/
+    engine, each checked against an INDEPENDENT assembly of per-column
+    float64 oracle stitches on a hand-built background canvas."""
+    from imagestitching_tpu.core import geometry
+    from imagestitching_tpu.core.grid import plan_grid
+
+    fails = 0
+    for seed in range(n_cases):
+        rng = np.random.default_rng(base + seed)
+        try:
+            n = int(rng.integers(1, 10))
+            items, disp = [], []
+            for _ in range(n):
+                h = int(rng.integers(8, 220))
+                w = int(rng.integers(8, 180))
+                if rng.random() < 0.1:              # grayscale input
+                    g = rng.integers(0, 256, (h, w), np.uint8)
+                    items.append(g)
+                    disp.append(np.repeat(g[:, :, None], 3, axis=2))
+                    continue
+                a = rng.integers(0, 256, (h, w, 3), np.uint8)
+                if rng.random() < 0.2:              # EXIF-tagged input
+                    orient = int(rng.integers(2, 9))
+                    # feed a raw whose display form is ``a``
+                    for g8 in range(1, 9):
+                        cand = geometry.orient_array(a, g8)
+                        if (geometry.orient_array(cand, orient).shape
+                                == a.shape
+                                and np.array_equal(
+                                    geometry.orient_array(cand, orient),
+                                    a)):
+                            items.append((np.ascontiguousarray(cand),
+                                          orient))
+                            break
+                    else:
+                        items.append(a)
+                else:
+                    items.append(a)
+                disp.append(a)
+            cols = int(rng.integers(1, 6))
+            order = str(rng.choice(["balance", "preserve"]))
+            valign = str(rng.choice(["top", "center"]))
+            options = StitchOptions(
+                mode=str(rng.choice(["min", "max", "original"])),
+                gap=_rand_gap(rng, 9),
+                filter=str(rng.choice(["bilinear", "triangle",
+                                       "lanczos3"])),
+                background=tuple(int(x) for x in rng.integers(0, 256, 3)),
+                max_images=None)
+            limits = (ist.CanvasLimits(max_side=int(rng.integers(100, 500)))
+                      if rng.random() < 0.4 else None)
+            engine = str(rng.choice(["auto", "auto", "xla"]))
+            got = api.stitch_grid(items, cols=cols, options=options,
+                                  config=RuntimeConfig(engine=engine),
+                                  limits=limits, order=order, valign=valign)
+
+            specs = [ImageSpec(a.shape[1], a.shape[0]) for a in disp]
+            gplan = plan_grid(specs, cols, options, limits, order)
+            want = np.empty((gplan.canvas_h, gplan.canvas_w, 3), np.uint8)
+            want[:] = np.asarray(gplan.background, np.uint8)
+            gap_px = int(np.floor(gplan.gap + 0.5))
+            x = 0
+            for idx_list, plan in zip(gplan.columns, gplan.col_plans):
+                col = oracle.stitch(plan, [disp[i] for i in idx_list])
+                y = ((gplan.canvas_h - col.shape[0]) // 2
+                     if valign == "center" else 0)
+                want[y:y + col.shape[0], x:x + col.shape[1]] = col
+                x += gplan.col_width + gap_px
+            assert got.shape == want.shape, (got.shape, want.shape)
+            diff = np.abs(got.astype(int) - want.astype(int)).max()
+            assert diff <= 1, f"diff={diff}"
+            if seed % 25 == 0:
+                print(f"seed {base + seed}: ok (n={n}, cols={gplan.cols}, "
+                      f"{order}/{valign}, mode={options.mode}, "
+                      f"canvas={gplan.canvas_w}x{gplan.canvas_h}, "
+                      f"sd={gplan.scale_down:.3f})", flush=True)
+        except Exception:
+            fails += 1
+            print(f"FAIL seed={base + seed}", flush=True)
+            traceback.print_exc()
+    print(f"done: {n_cases - fails}/{n_cases} grid cases, "
+          f"{fails} failures", flush=True)
+    return fails
+
+
 def _fresh_base() -> int:
     """Fresh-base discipline (CLAUDE.md): a bare invocation must not
     silently re-burn an already-ledgered seed range, so when SEED_BASE
@@ -1649,7 +1738,7 @@ if __name__ == "__main__":
               "--tpu": (run_tpu, 30), "--http": (run_http, 40),
               "--cli": (run_cli, 150), "--serve": (run_serve, 100),
               "--formats": (run_formats, 200), "--large": (run_large, 200),
-              "--merge": (run_merge, 200)}
+              "--merge": (run_merge, 200), "--grid": (run_grid, 200)}
     if argv and argv[0].startswith("--") and argv[0] not in _MODES:
         print(f"unknown mode {argv[0]}; usage: soak.py "
               f"[{'|'.join(sorted(_MODES))}] [N] [SEED_BASE]",

@@ -23,13 +23,13 @@ __all__ = [
     "CanvasLimits", "MemoryBudget", "RuntimeConfig", "StitchOptions",
     "DIRECTIONS", "MODES", "SUPPORTED_TYPES",
     "ImageSpec", "LayoutPlan", "Placement", "solve",
-    "stitch", "stitch_arrays", "stitch_to_file",
+    "stitch", "stitch_arrays", "stitch_to_file", "stitch_grid",
 ]
 
 
 def __getattr__(name):  # lazy: keep `import imagestitching_tpu` JAX-free
-    if name in ("stitch", "stitch_arrays", "stitch_to_file", "make_preview",
-                "preview_size", "prepare"):
+    if name in ("stitch", "stitch_arrays", "stitch_to_file", "stitch_grid",
+                "make_preview", "preview_size", "prepare"):
         from . import api
         return getattr(api, name)
     if name == "StitchServer":

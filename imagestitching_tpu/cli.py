@@ -56,6 +56,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--supersample", action="store_true", default=False,
                    help="render above target resolution when under the pixel "
                         "cap (reference does this by default on phones)")
+    p.add_argument("--grid-cols", type=int, default=None, metavar="N",
+                   help="masonry grid collage with N columns instead of a "
+                        "1-D strip (images resized once to the common "
+                        "column width)")
+    p.add_argument("--grid-order", choices=("balance", "preserve"),
+                   default="balance",
+                   help="grid assignment: balance = shortest-column "
+                        "masonry, preserve = row-major input order")
+    p.add_argument("--valign", choices=("top", "center"), default="top",
+                   help="grid: align shorter columns to the top or center")
     p.add_argument("--merge-overlap", action="store_true", default=False,
                    help="auto-detect the duplicated strip between "
                         "consecutive screenshots along the stitch axis and "
@@ -188,14 +198,30 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(f" {frac * 100:.0f}%", end="\r" if frac < 1 else "\n",
               file=sys.stderr, flush=True)
 
+    if args.grid_cols is not None and args.grid_cols < 1:
+        parser.error(f"--grid-cols must be >= 1, got {args.grid_cols}")
     t0 = time.perf_counter()
     try:
-        _, metrics = api.stitch_to_file(
-            args.images, args.output, quality=args.quality,
-            png_compression=args.png_level,
-            stream=False if args.no_stream else "auto",
-            return_metrics=True, options=options, config=config,
-            limits=limits, on_error=args.on_error, progress=progress)
+        if args.grid_cols is not None:
+            from .imgio import codec as _codec
+            canvas, metrics = api.stitch_grid(
+                args.images, cols=args.grid_cols, options=options,
+                config=config, limits=limits, on_error=args.on_error,
+                progress=progress, order=args.grid_order,
+                valign=args.valign, return_metrics=True)
+            import time as _t
+            te = _t.perf_counter()
+            _codec.encode(args.output, canvas, quality=args.quality,
+                          png_compression=args.png_level)
+            metrics.encode_s += _t.perf_counter() - te
+            metrics.total_s += _t.perf_counter() - te
+        else:
+            _, metrics = api.stitch_to_file(
+                args.images, args.output, quality=args.quality,
+                png_compression=args.png_level,
+                stream=False if args.no_stream else "auto",
+                return_metrics=True, options=options, config=config,
+                limits=limits, on_error=args.on_error, progress=progress)
     except (ValueError, RuntimeError, OSError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1

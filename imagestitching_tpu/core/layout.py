@@ -139,10 +139,20 @@ class LayoutPlan:
 
 
 def _out_size(specs: Sequence[ImageSpec], direction: str, mode: str,
-              gap: float) -> Tuple[float, float]:
-    """Unrounded output size — exact reference accumulation (index.js:1251-1315)."""
+              gap: float,
+              forced_edge: Optional[float] = None) -> Tuple[float, float]:
+    """Unrounded output size — exact reference accumulation (index.js:1251-1315).
+
+    ``forced_edge`` (extension, used by the grid-collage planner) overrides
+    the common edge the mode would derive (out_w for vertical, out_h for
+    horizontal): a grid column must share the GRID's column width, not the
+    min/max of the images that happen to land in that column.  The
+    accumulation schedule is otherwise identical.
+    """
     widths = [max(1, s.width) for s in specs]
     heights = [max(1, s.height) for s in specs]
+    if forced_edge is not None:
+        widths = heights = [forced_edge]
     if direction == "vertical":
         if mode == "min":
             out_w = float(min(widths))
@@ -222,8 +232,17 @@ def _supersample(target_w: int, target_h: int, limits: CanvasLimits,
 
 
 def solve(specs: Sequence[ImageSpec], options: StitchOptions,
-          limits: Optional[CanvasLimits] = None) -> LayoutPlan:
-    """Compute the full layout plan for one stitch job."""
+          limits: Optional[CanvasLimits] = None,
+          forced_edge: Optional[float] = None,
+          forced_scale_down: Optional[float] = None) -> LayoutPlan:
+    """Compute the full layout plan for one stitch job.
+
+    ``forced_edge`` overrides the mode-derived common edge (see
+    :func:`_out_size`); ``forced_scale_down`` overrides the limits-derived
+    uniform shrink.  Grid-collage columns pass the grid's (unshrunk)
+    column width and the GRID-level scale_down so all columns shrink
+    identically; plain strips never set either.
+    """
     options = options.validate()
     limits = limits or CanvasLimits()
     if not specs:
@@ -240,11 +259,12 @@ def solve(specs: Sequence[ImageSpec], options: StitchOptions,
 
     direction, mode, gap = options.direction, options.mode, float(options.gap)
 
-    out_wf, out_hf = _out_size(specs, direction, mode, gap)
+    out_wf, out_hf = _out_size(specs, direction, mode, gap, forced_edge)
     out_w = max(1, _js_round(out_wf))
     out_h = max(1, _js_round(out_hf))
 
-    scale_down = _scale_down(out_w, out_h, limits)
+    scale_down = (forced_scale_down if forced_scale_down is not None
+                  else _scale_down(out_w, out_h, limits))
     if scale_down < 1.0:
         out_w = max(1, math.floor(out_w * scale_down))
         out_h = max(1, math.floor(out_h * scale_down))

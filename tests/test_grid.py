@@ -1,0 +1,177 @@
+"""Grid collage (api.stitch_grid, core/grid.py) — framework extension."""
+
+import numpy as np
+import pytest
+
+from imagestitching_tpu import api
+from imagestitching_tpu.config import CanvasLimits, RuntimeConfig, StitchOptions
+from imagestitching_tpu.core import oracle
+from imagestitching_tpu.core.grid import plan_grid
+from imagestitching_tpu.core.layout import ImageSpec
+
+rng = np.random.default_rng(31)
+
+
+def noise(h, w, c=3):
+    return rng.integers(0, 256, (h, w, c), np.uint8)
+
+
+def grid_oracle(gplan, disp, valign="top"):
+    """Independent assembly: oracle-stitch each column plan, paste on a
+    background canvas (duplicates the api's assembly math on purpose)."""
+    canvas = np.empty((gplan.canvas_h, gplan.canvas_w, 3), np.uint8)
+    canvas[:] = np.asarray(gplan.background, np.uint8)
+    gap_px = int(np.floor(gplan.gap + 0.5))
+    x = 0
+    for idx_list, plan in zip(gplan.columns, gplan.col_plans):
+        col = oracle.stitch(plan, [disp[i] for i in idx_list])
+        y = ((gplan.canvas_h - col.shape[0]) // 2 if valign == "center"
+             else 0)
+        canvas[y:y + col.shape[0], x:x + col.shape[1]] = col
+        x += gplan.col_width + gap_px
+    return canvas
+
+
+# ------------------------------------------------------------------ planner
+
+def test_plan_grid_balance_vs_preserve():
+    specs = [ImageSpec(100, 300), ImageSpec(100, 50), ImageSpec(100, 50),
+             ImageSpec(100, 50)]
+    bal = plan_grid(specs, 2, StitchOptions())
+    # balance: the tall image owns column 0; the three short ones stack
+    # in column 1
+    assert bal.columns == ((0,), (1, 2, 3))
+    pre = plan_grid(specs, 2, StitchOptions(), order="preserve")
+    assert pre.columns == ((0, 2), (1, 3))
+
+
+def test_plan_grid_cols_clamped_and_widths_identical():
+    specs = [ImageSpec(80, 60), ImageSpec(120, 90)]
+    g = plan_grid(specs, 5, StitchOptions(gap=4))
+    assert g.cols == 2
+    assert len({p.canvas_w for p in g.col_plans}) == 1
+    assert g.col_plans[0].canvas_w == g.col_width == 80   # mode=min
+
+
+def test_plan_grid_validation():
+    specs = [ImageSpec(10, 10)]
+    with pytest.raises(ValueError):
+        plan_grid(specs, 0, StitchOptions())
+    with pytest.raises(ValueError):
+        plan_grid(specs, 2, StitchOptions(direction="horizontal"))
+    with pytest.raises(ValueError):
+        plan_grid(specs, 2, StitchOptions(supersample=True))
+    with pytest.raises(ValueError):
+        plan_grid(specs, 2, StitchOptions(), order="shuffle")
+    with pytest.raises(ValueError):
+        plan_grid([], 2, StitchOptions())
+    with pytest.raises(ValueError):
+        plan_grid([ImageSpec(10, 10)] * 10, 3, StitchOptions())  # max_images
+
+
+# ---------------------------------------------------------------- stitching
+
+def test_stitch_grid_equal_tiles_exact():
+    # four equal tiles, 2 cols, no gap: the grid is a pure blit mosaic
+    imgs = [noise(50, 40) for _ in range(4)]
+    got = api.stitch_grid(imgs, cols=2, options=StitchOptions(gap=0))
+    # balance with equal heights deals 0,2 -> col0 and 1,3 -> col1
+    want = np.hstack([np.vstack([imgs[0], imgs[2]]),
+                      np.vstack([imgs[1], imgs[3]])])
+    assert np.array_equal(got, want)
+
+
+def test_stitch_grid_parity_vs_oracle_columns():
+    imgs = [noise(int(rng.integers(40, 160)), int(rng.integers(30, 120)))
+            for _ in range(7)]
+    opts = StitchOptions(gap=5, background=(10, 200, 30))
+    got = api.stitch_grid(imgs, cols=3, options=opts,
+                          config=RuntimeConfig(engine="xla"))
+    specs = [ImageSpec(a.shape[1], a.shape[0]) for a in imgs]
+    gplan = plan_grid(specs, 3, opts)
+    want = grid_oracle(gplan, imgs)
+    assert got.shape == want.shape
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_stitch_grid_original_mode_and_fractional_gap():
+    imgs = [noise(60, 50), noise(40, 30), noise(80, 70)]
+    opts = StitchOptions(mode="original", gap=2.5, background=(0, 0, 0))
+    got = api.stitch_grid(imgs, cols=2, options=opts)
+    specs = [ImageSpec(a.shape[1], a.shape[0]) for a in imgs]
+    gplan = plan_grid(specs, 2, opts)
+    assert gplan.col_width == 70                 # original -> max width
+    want = grid_oracle(gplan, imgs)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_stitch_grid_canvas_caps_scale_whole_grid():
+    imgs = [noise(300, 200) for _ in range(4)]
+    limits = CanvasLimits(max_side=250)
+    got = api.stitch_grid(imgs, cols=2, options=StitchOptions(gap=4),
+                          limits=limits)
+    assert max(got.shape[:2]) <= 250
+    specs = [ImageSpec(a.shape[1], a.shape[0]) for a in imgs]
+    gplan = plan_grid(specs, 2, StitchOptions(gap=4), limits=limits)
+    assert gplan.scale_down < 1.0
+    want = grid_oracle(gplan, imgs)
+    assert got.shape == want.shape
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_stitch_grid_valign_center():
+    imgs = [noise(200, 50), noise(50, 50)]
+    opts = StitchOptions(gap=0, background=(255, 0, 0))
+    got = api.stitch_grid(imgs, cols=2, options=opts, valign="center")
+    # column 1 is 50 rows in a 200-row canvas -> 75 red rows above it
+    assert np.array_equal(got[:75, 50:], np.broadcast_to(
+        [255, 0, 0], (75, 50, 3)))
+    assert np.array_equal(got[75:125, 50:], imgs[1])
+
+
+def test_stitch_grid_grayscale_and_rgba():
+    gray = rng.integers(0, 256, (40, 40), np.uint8)
+    rgb = noise(40, 40)
+    got = api.stitch_grid([gray, rgb], cols=2, options=StitchOptions(gap=0))
+    assert np.array_equal(got[:, :40], np.repeat(gray[:, :, None], 3, 2))
+    with pytest.raises(ValueError):
+        api.stitch_grid([noise(40, 40, 4)], cols=1)
+
+
+def test_stitch_grid_rejects_merge_overlap():
+    with pytest.raises(ValueError):
+        api.stitch_grid([noise(40, 40)], cols=1,
+                        options=StitchOptions(merge_overlap=True))
+
+
+def test_stitch_grid_exif_orientation():
+    a = noise(60, 40)
+    b_disp = noise(80, 40)
+    b_raw = b_disp[::-1, ::-1].copy()        # EXIF 3 = rotate 180
+    got = api.stitch_grid([a, (b_raw, 3)], cols=1,
+                          options=StitchOptions(gap=0))
+    assert np.array_equal(got, np.concatenate([a, b_disp], axis=0))
+
+
+def test_cli_grid(tmp_path):
+    import subprocess
+    import sys
+    from PIL import Image
+    paths = []
+    imgs = [noise(60, 50) for _ in range(4)]
+    for i, a in enumerate(imgs):
+        f = tmp_path / f"g{i}.png"
+        Image.fromarray(a).save(f)
+        paths.append(str(f))
+    out = tmp_path / "grid.png"
+    r = subprocess.run(
+        [sys.executable, "-m", "imagestitching_tpu.cli", *paths,
+         "-o", str(out), "--grid-cols", "2", "--gap", "0", "--json"],
+        capture_output=True, text=True,
+        env={"PYTHONPATH": ".", "PATH": "/usr/bin:/bin",
+             "JAX_PLATFORMS": "cpu", "HOME": "/tmp"})
+    assert r.returncode == 0, r.stderr
+    got = np.asarray(Image.open(out))
+    want = np.hstack([np.vstack([imgs[0], imgs[2]]),
+                      np.vstack([imgs[1], imgs[3]])])
+    assert np.array_equal(got, want)
