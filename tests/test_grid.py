@@ -153,6 +153,25 @@ def test_stitch_grid_exif_orientation():
     assert np.array_equal(got, np.concatenate([a, b_disp], axis=0))
 
 
+def test_stitch_grid_under_space_mesh():
+    """Grid columns compose with the sharded pipeline unchanged: a space
+    mesh shards each column's canvas row-bands across devices."""
+    from imagestitching_tpu.parallel import mesh as pmesh
+    # mixed widths: columns RESAMPLE (equal widths would blit host-side
+    # and never touch the mesh)
+    imgs = [noise(180, 90), noise(150, 120), noise(160, 100),
+            noise(140, 110)]
+    opts = StitchOptions(gap=3, background=(5, 5, 5))
+    mesh = pmesh.make_mesh((1, 8))              # all devices on space axis
+    got = api.stitch_grid(imgs, cols=2, options=opts,
+                          config=RuntimeConfig(mesh=mesh, interpret=True))
+    specs = [ImageSpec(a.shape[1], a.shape[0]) for a in imgs]
+    gplan = plan_grid(specs, 2, opts)
+    want = grid_oracle(gplan, imgs)
+    assert got.shape == want.shape
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
 def test_cli_grid(tmp_path):
     import subprocess
     import sys
