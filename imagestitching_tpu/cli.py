@@ -209,12 +209,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                 config=config, limits=limits, on_error=args.on_error,
                 progress=progress, order=args.grid_order,
                 valign=args.valign, return_metrics=True)
-            import time as _t
-            te = _t.perf_counter()
+            te = time.perf_counter()
             _codec.encode(args.output, canvas, quality=args.quality,
                           png_compression=args.png_level)
-            metrics.encode_s += _t.perf_counter() - te
-            metrics.total_s += _t.perf_counter() - te
+            enc_s = time.perf_counter() - te
+            metrics.encode_s += enc_s
+            metrics.total_s += enc_s
         else:
             _, metrics = api.stitch_to_file(
                 args.images, args.output, quality=args.quality,

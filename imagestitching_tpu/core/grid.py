@@ -59,13 +59,14 @@ class GridPlan:
 
 
 def _assign(specs: Sequence[ImageSpec], cols: int, col_w: float,
-            gap: float, order: str) -> List[List[int]]:
+            gap: float, order: str, mode: str) -> List[List[int]]:
     """Image index -> column assignment (unrounded height accounting)."""
     columns: List[List[int]] = [[] for _ in range(cols)]
     heights = [0.0] * cols
     for i, s in enumerate(specs):
         iw, ih = max(1, s.width), max(1, s.height)
-        hf = ih * (col_w / iw)
+        # original mode keeps images at natural size — balance on that
+        hf = float(ih) if mode == "original" else ih * (col_w / iw)
         if order == "balance":
             c = min(range(cols), key=lambda k: (heights[k], k))
         else:                           # preserve: row-major deal
@@ -105,7 +106,7 @@ def plan_grid(specs: Sequence[ImageSpec], cols: int,
     col_wf = float(min(widths) if options.mode == "min" else max(widths))
 
     # unrounded grid size -> reference scaleDown math on the whole canvas
-    columns = _assign(specs, cols, col_wf, gap, order)
+    columns = _assign(specs, cols, col_wf, gap, order, options.mode)
     col_hf = []
     for idx_list in columns:
         h = 0.0
