@@ -9,7 +9,8 @@ within ``max_wait_s`` of each other share one device program):
   ``multipart/form-data`` file parts or JSON ``{"images": ["<base64>", ..]}``;
   stitch options via query string or JSON fields (``direction``, ``mode``,
   ``gap``, ``filter``, ``background="R,G,B"``, ``merge_overlap``,
-  ``merge_threshold``, ``format=png|jpg``,
+  ``merge_threshold``, ``grid_cols`` (+ ``grid_order``/``valign`` — grid
+  collage instead of a strip), ``format=png|jpg``,
   ``quality``, ``png_level``).  Responds with the encoded strip.
 * ``GET /healthz``  — liveness + backend info.
 * ``GET /stats``    — batcher counters plus the logger ring tail
@@ -32,7 +33,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Optional, Tuple
 from urllib.parse import parse_qs, urlparse
 
-from ..config import StitchOptions
+from ..config import RuntimeConfig, StitchOptions
 from ..imgio import codec
 from ..runtime.logger import get_logger
 from .server import ServerOverloaded, StitchServer
@@ -78,9 +79,15 @@ def _options_from(params: dict) -> Tuple[StitchOptions, dict]:
         "format": str(one("format", "png")).lower(),
         "quality": int(one("quality", 95)),
         "png_level": int(one("png_level", 6)),
+        "grid_cols": (int(one("grid_cols")) if one("grid_cols") is not None
+                      else None),
+        "grid_order": str(one("grid_order", "balance")),
+        "valign": str(one("valign", "top")),
     }
     if out["format"] not in ("png", "jpg", "jpeg"):
         raise ValueError(f"unknown format {out['format']!r}")
+    if out["grid_cols"] is not None and out["grid_cols"] < 1:
+        raise ValueError(f"grid_cols must be >= 1, got {out['grid_cols']}")
     return options, out
 
 
@@ -198,9 +205,19 @@ class StitchHTTPServer:
         decoded = [codec.decode(b) for b in blobs]
         images = [d[0] for d in decoded]
         orientations = [d[1] for d in decoded]   # EXIF applied on device
-        out = self.server.submit(images, options,
-                                 orientations=orientations).result(
-                                     timeout=300)
+        if enc.get("grid_cols"):
+            # grid collage: a one-shot multi-plan job — runs through the
+            # api (per-column strip pipeline), not the batching server
+            from .. import api
+            out = api.stitch_grid(
+                list(zip(images, orientations)), cols=enc["grid_cols"],
+                options=options,
+                config=RuntimeConfig(engine=self.server.engine),
+                order=enc["grid_order"], valign=enc["valign"])
+        else:
+            out = self.server.submit(images, options,
+                                     orientations=orientations).result(
+                                         timeout=300)
         if enc["format"] in ("jpg", "jpeg"):
             data = codec.encode_bytes(out, "jpeg", quality=enc["quality"])
             return data, "image/jpeg"

@@ -172,6 +172,33 @@ def test_stitch_grid_under_space_mesh():
     assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
 
 
+def test_http_grid():
+    import base64
+    import io
+    import json
+    import urllib.request
+    from PIL import Image
+    from imagestitching_tpu.imgio import codec
+    from imagestitching_tpu.serve.http import StitchHTTPServer
+
+    imgs = [noise(50, 40) for _ in range(4)]
+    payload = {
+        "images": [base64.b64encode(codec.encode_bytes(a, "png")).decode()
+                   for a in imgs],
+        "grid_cols": 2, "gap": 0,
+    }
+    with StitchHTTPServer(port=0, engine="xla", max_wait_s=0.005) as srv:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/stitch",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = np.asarray(Image.open(io.BytesIO(r.read())))
+    want = np.hstack([np.vstack([imgs[0], imgs[2]]),
+                      np.vstack([imgs[1], imgs[3]])])
+    assert np.array_equal(out, want)
+
+
 def test_cli_grid(tmp_path):
     import subprocess
     import sys
