@@ -804,6 +804,55 @@ def run_http(n_cases: int, base: int = 160_000) -> int:
                             assert diff.mean() < 12, \
                                 f"mean={diff.mean():.1f}"
 
+                if rng.random() < 0.5:
+                    # grid-collage wire: bypasses the batch server (one-
+                    # shot api job), so server stats below are unaffected
+                    from imagestitching_tpu.core.grid import plan_grid
+                    g_imgs = [rng.integers(0, 256,
+                                           (int(rng.integers(8, 40)),
+                                            int(rng.integers(8, 40)), 3),
+                                           np.uint8)
+                              for _ in range(int(rng.integers(1, 6)))]
+                    g_opts = StitchOptions(
+                        gap=_rand_gap(rng, 5),
+                        background=tuple(int(x)
+                                         for x in rng.integers(0, 256, 3)))
+                    g_cols = int(rng.integers(1, 4))
+                    g_valign = str(rng.choice(["top", "center"]))
+                    g_order = str(rng.choice(["balance", "preserve"]))
+                    payload = {
+                        "images": [_b64.b64encode(_codec.encode_bytes(
+                            a, "png")).decode() for a in g_imgs],
+                        "gap": g_opts.gap,
+                        "background": list(g_opts.background),
+                        "grid_cols": g_cols, "grid_order": g_order,
+                        "valign": g_valign}
+                    st, body, ctype = request(
+                        srv.port, "POST", "/stitch",
+                        json.dumps(payload).encode(), "application/json")
+                    assert st == 200, (st, body[:200])
+                    g_specs = [ImageSpec(a.shape[1], a.shape[0])
+                               for a in g_imgs]
+                    gplan = plan_grid(g_specs, g_cols, g_opts,
+                                      order=g_order)
+                    want = np.empty((gplan.canvas_h, gplan.canvas_w, 3),
+                                    np.uint8)
+                    want[:] = np.asarray(gplan.background, np.uint8)
+                    g_px = int(np.floor(gplan.gap + 0.5))
+                    x = 0
+                    for idx_list, gp in zip(gplan.columns,
+                                            gplan.col_plans):
+                        col = oracle.stitch(gp, [g_imgs[i]
+                                                 for i in idx_list])
+                        y = ((gplan.canvas_h - col.shape[0]) // 2
+                             if g_valign == "center" else 0)
+                        want[y:y + col.shape[0], x:x + col.shape[1]] = col
+                        x += gplan.col_width + g_px
+                    out = np.asarray(Image.open(io.BytesIO(body)))
+                    assert out.shape == want.shape, (out.shape, want.shape)
+                    assert np.abs(out.astype(int)
+                                  - want.astype(int)).max() <= 1
+
                 # error slices against the live server
                 st, body, _ = request(srv.port, "POST", "/stitch",
                                       b"{}", "application/json")

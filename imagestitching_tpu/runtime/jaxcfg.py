@@ -26,13 +26,20 @@ def _llvm_visible_cpu_blob():
     generic model string ("Intel(R) Xeon(R) Processor @ 2.10GHz",
     microcode 0x1) on EVERY physical host, while raw CPUID still exposes
     the real silicon (leaf 1 EAX: family/model/stepping — e.g. 0xC06F2,
-    Emerald Rapids).  XLA:CPU AOT results bake model-derived tuning
-    features (+prefer-no-gather) chosen from CPUID, so two hosts that are
-    cpuinfo-identical can still produce incompatible AOT executables — a
-    cpuinfo-keyed cache tag collided exactly that way (r4 session 6, the
-    mismatch warning recurred within one keyed subdir).  Any difference
-    LLVM can see lives in these leaves, so hashing them makes a
-    cross-model hit structurally impossible.
+    Emerald Rapids).  A cpuinfo-derived tag therefore CANNOT distinguish
+    hosts whose LLVM-visible ISA differs; hashing the leaves LLVM actually
+    reads makes a cross-ISA AOT hit structurally impossible.
+
+    NOTE (r4 session 6, measured): the recurring cpu_aot_loader
+    "machine feature ... not supported on the host machine" warning that
+    motivated rounds of tag-strengthening is a SAME-HOST FALSE POSITIVE —
+    a fresh cache dir written and re-read seconds later on one boot warns
+    identically.  XLA bakes LLVM *tuning* flags (+prefer-no-scatter/
+    +prefer-no-gather) into the compile-feature list, but the loader's
+    host probe only reports CPUID *ISA* flags, so every cached-entry load
+    flags those two.  No cache keying can silence it, and it does not by
+    itself indicate SIGILL risk; this keying guards against the real
+    hazard (an actual ISA-flag mismatch across migrated hosts).
 
     Leaf 1 EBX is masked to its low 16 bits (the high half is the initial
     APIC id / logical CPU count — varies per vCPU and boot, not ISA).
@@ -105,11 +112,12 @@ def host_cpu_tag() -> str:
     The tag hashes raw CPUID + XGETBV (:func:`_llvm_visible_cpu_blob`) —
     the exact inputs LLVM derives host features from — because this
     fleet's hypervisor masks /proc/cpuinfo to ONE generic model string on
-    every physical host: first flags-only keying (r4 s5), then
-    model+flags keying (r4 s6) each collided across migrations and
-    reproduced the AOT machine-feature mismatch warning.  cpuinfo fields
-    remain in the hash as the fallback for hosts where the CPUID probe
-    fails (non-x86, W^X-restricted mmap).
+    every physical host, so no cpuinfo-derived key can separate hosts
+    whose real ISA differs.  (The warning that repeatedly suggested a
+    collision is in fact a same-host false positive — see
+    :func:`_llvm_visible_cpu_blob`.)  cpuinfo fields remain in the hash
+    as the fallback for hosts where the CPUID probe fails (non-x86,
+    W^X-restricted mmap).
     """
     parts = []
     blob = _llvm_visible_cpu_blob()

@@ -212,7 +212,8 @@ class StitchHTTPServer:
             out = api.stitch_grid(
                 list(zip(images, orientations)), cols=enc["grid_cols"],
                 options=options,
-                config=RuntimeConfig(engine=self.server.engine),
+                config=RuntimeConfig(engine=self.server.engine,
+                                     interpret=self.server.interpret),
                 order=enc["grid_order"], valign=enc["valign"])
         else:
             out = self.server.submit(images, options,
