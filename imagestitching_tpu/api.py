@@ -172,6 +172,8 @@ def stitch_arrays(images: Sequence[np.ndarray],
     """
     options = (options or StitchOptions()).validate()
     config = (config or RuntimeConfig()).validate()
+    if limits is None:
+        limits = config.limits          # explicit arg overrides the config
     images = [_as_uint8(a) for a in images]
     if specs is None:
         specs = [ImageSpec(a.shape[1], a.shape[0]) for a in images]
@@ -253,6 +255,8 @@ def stitch(items: Sequence[ImageInput],
     if options is None:
         options = StitchOptions(direction=direction, mode=mode, gap=gap)
     config = (config or RuntimeConfig()).validate()
+    if limits is None:
+        limits = config.limits          # explicit arg overrides the config
 
     # merge_overlap needs every image's pixels before layout (the trims
     # change the specs), so it always takes the decode-everything path
@@ -478,7 +482,8 @@ def _blit_stream_attempt(items, out_path: str, ext: str, quality: int,
     specs = [_probe_item(it) for it in items]
     if any(s is None for s in specs):
         return None
-    plan = solve(specs, options, kwargs.get("limits"))
+    lim = kwargs.get("limits")
+    plan = solve(specs, options, config.limits if lim is None else lim)
     copies = _blit_copies(plan, config)
     if copies is None:
         return None
@@ -538,6 +543,8 @@ def stitch_grid(items: Sequence[ImageInput], cols: int = 3,
         raise ValueError("merge_overlap composes with strips, not grids; "
                          "trim overlaps first (ops.overlap.detect_trims)")
     config = (config or RuntimeConfig()).validate()
+    if limits is None:
+        limits = config.limits          # explicit arg overrides the config
     t0 = _time.perf_counter()
     images, specs, failures = prepare(items, config, on_error, progress)
     prepare_s = _time.perf_counter() - t0
@@ -590,6 +597,7 @@ def stitch_grid(items: Sequence[ImageInput], cols: int = 3,
                   "stage_wait_s", "h2d_bytes"):
             setattr(agg, f, getattr(agg, f) + getattr(m, f))
         agg.est_peak_bytes = max(agg.est_peak_bytes, m.est_peak_bytes)
+        agg.stage_wait_max_s = max(agg.stage_wait_max_s, m.stage_wait_max_s)
     agg.strategy = "grid(" + ",".join(strategies) + ")"
     agg.total_s += prepare_s
     log.event("stitch.grid.done", shape=tuple(canvas.shape))

@@ -161,6 +161,8 @@ class RuntimeConfig:
     """Engine/runtime knobs."""
 
     engine: str = "auto"               # "auto" | "pallas" | "xla" | "oracle"
+    # Default canvas caps for every entry point that doesn't pass an
+    # explicit ``limits=`` argument (the explicit argument wins).
     limits: CanvasLimits = dataclasses.field(default_factory=CanvasLimits)
     budget: MemoryBudget = dataclasses.field(default_factory=MemoryBudget)
     interpret: bool = False            # run Pallas kernels in interpreter mode

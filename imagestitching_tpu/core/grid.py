@@ -51,11 +51,10 @@ class GridPlan:
     canvas_w: int
     canvas_h: int
     background: Tuple[int, int, int]
-
-    def signature(self) -> tuple:
-        return ("grid", self.cols, self.col_width, self.canvas_w,
-                self.canvas_h, self.background,
-                tuple(p.signature() for p in self.col_plans))
+    # NOTE: deliberately no grid-level signature() — compiled-program reuse
+    # rides the per-column plan.signature() caches (see module docstring).
+    # A grid-level key would have to cover gap/valign/order/background to be
+    # sound (the r4s5 stale-key class), and nothing needs one.
 
 
 def _assign(specs: Sequence[ImageSpec], cols: int, col_w: float,
@@ -122,27 +121,49 @@ def plan_grid(specs: Sequence[ImageSpec], cols: int,
     grid_h = max(1, _js_round(grid_hf))
     scale_down = _layout._scale_down(grid_w, grid_h, limits)
 
-    col_plans = []
-    for idx_list in columns:
-        col_specs = [specs[i] for i in idx_list]
+    def _solve_columns(sd: float):
         # each column is a plain strip plan; the UNSHRUNK column width and
         # the GRID-level scale_down go in as the forced overrides, so
         # every column shrinks identically (a per-column CanvasLimits cap
         # would shrink ragged columns unequally) and the reference's
         # rounding schedule (round edge -> floor shrink -> float gap
         # cursor) is reused verbatim
-        plan = _layout.solve(
-            col_specs,
-            dataclasses.replace(options, max_images=None,
-                                merge_overlap=False),
-            forced_edge=col_wf,
-            forced_scale_down=scale_down)
-        col_plans.append(plan)
+        plans = []
+        for idx_list in columns:
+            plans.append(_layout.solve(
+                [specs[i] for i in idx_list],
+                dataclasses.replace(options, max_images=None,
+                                    merge_overlap=False),
+                forced_edge=col_wf,
+                forced_scale_down=sd))
+        # inter-column gaps are integral (columns are assembled whole)
+        w = cols * plans[0].canvas_w + (cols - 1) * _js_round(gap * sd)
+        h = max(p.canvas_h for p in plans)
+        return plans, w, h
+
+    col_plans, canvas_w, canvas_h = _solve_columns(scale_down)
+    # scale_down above came from the ROUNDED aggregate grid size, but the
+    # assembled canvas sums per-column widths and per-gap half-up roundings,
+    # which can land a few px over a cap the strip solver would have honored
+    # exactly (e.g. 3x70 + 2*round(0.7) = 212 > round(211.4) = 211).  Shrink
+    # until the assembled size fits (the grid analog of _supersample's 0.96
+    # guard loop); the 1-px column floor can make a tiny cap unsatisfiable,
+    # so the loop is bounded and returns best effort then.
+    guard = 0
+    while guard < 20 and (canvas_w > limits.max_side
+                          or canvas_h > limits.max_side
+                          or canvas_w * canvas_h > limits.max_pixels):
+        ratio = _layout._scale_down(canvas_w, canvas_h, limits)
+        next_sd = scale_down * min(ratio, 0.9995)
+        nplans, nw, nh = _solve_columns(next_sd)
+        if (nw, nh) == (canvas_w, canvas_h):   # rounding ate the shrink
+            next_sd *= 0.99
+            nplans, nw, nh = _solve_columns(next_sd)
+        scale_down = next_sd
+        col_plans, canvas_w, canvas_h = nplans, nw, nh
+        guard += 1
     col_w = col_plans[0].canvas_w          # identical across columns
     scaled_gap = gap * scale_down
-    # inter-column gaps are integral (columns are assembled whole)
-    canvas_w = cols * col_w + (cols - 1) * _js_round(scaled_gap)
-    canvas_h = max(p.canvas_h for p in col_plans)
     return GridPlan(cols=cols, col_width=col_w, gap=scaled_gap,
                     scale_down=scale_down,
                     columns=tuple(tuple(c) for c in columns),

@@ -24,6 +24,7 @@ codec keeps decodes parallel while the StitchServer thread owns the device.
 from __future__ import annotations
 
 import base64
+import dataclasses
 import json
 import threading
 from email.message import Message
@@ -33,7 +34,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Optional, Tuple
 from urllib.parse import parse_qs, urlparse
 
-from ..config import RuntimeConfig, StitchOptions
+from ..config import StitchOptions
 from ..imgio import codec
 from ..runtime.logger import get_logger
 from .server import ServerOverloaded, StitchServer
@@ -207,14 +208,20 @@ class StitchHTTPServer:
         orientations = [d[1] for d in decoded]   # EXIF applied on device
         if enc.get("grid_cols"):
             # grid collage: a one-shot multi-plan job — runs through the
-            # api (per-column strip pipeline), not the batching server
+            # api (per-column strip pipeline), not the batching server.
+            # It still holds a server admission slot (same max_queue
+            # backpressure as batch jobs) and inherits the server's FULL
+            # RuntimeConfig (budget/limits/decode knobs/mesh), overriding
+            # only the engine/interpret pair the server resolves itself.
             from .. import api
-            out = api.stitch_grid(
-                list(zip(images, orientations)), cols=enc["grid_cols"],
-                options=options,
-                config=RuntimeConfig(engine=self.server.engine,
-                                     interpret=self.server.interpret),
-                order=enc["grid_order"], valign=enc["valign"])
+            with self.server.admission():
+                out = api.stitch_grid(
+                    list(zip(images, orientations)), cols=enc["grid_cols"],
+                    options=options,
+                    config=dataclasses.replace(
+                        self.server.config, engine=self.server.engine,
+                        interpret=self.server.interpret),
+                    order=enc["grid_order"], valign=enc["valign"])
         else:
             out = self.server.submit(images, options,
                                      orientations=orientations).result(

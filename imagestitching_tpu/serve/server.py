@@ -19,6 +19,7 @@ replacement:
 from __future__ import annotations
 
 import collections
+import contextlib
 import dataclasses
 import queue
 import threading
@@ -127,29 +128,67 @@ class StitchServer:
             raise ValueError("orientations length must match images")
         specs = [ImageSpec(a.shape[1], a.shape[0], int(o))
                  for a, o in zip(imgs, orientations)]
-        if options.merge_overlap:
-            # pixel-derived trims change the specs, so merge runs in the
-            # caller's thread before the job is keyed/batched by signature
-            from ..ops import overlap as _overlap
-            imgs, specs, trims = _overlap.merge_arrays(imgs, specs, options)
-            if any(trims):
-                self._log.event("serve.merge", trims=trims)
-        plan = solve(specs, options, limits)
+        # Reserve the queue slot BEFORE any expensive per-job work (overlap
+        # scoring, layout solve): backpressure must bound what an overloaded
+        # server pays per rejected request, not just what it buffers.
+        self._admit()
+        try:
+            if options.merge_overlap:
+                # pixel-derived trims change the specs, so merge runs in the
+                # caller's thread before the job is keyed/batched by signature
+                from ..ops import overlap as _overlap
+                imgs, specs, trims = _overlap.merge_arrays(imgs, specs,
+                                                           options)
+                if any(trims):
+                    self._log.event("serve.merge", trims=trims)
+            plan = solve(specs, options,
+                         self.config.limits if limits is None else limits)
+            with self._plock:
+                fut: Future = Future()
+                # put under the lock so close() cannot interleave its
+                # shutdown sentinel between our _closed check and the enqueue
+                if self._closed:
+                    raise RuntimeError("server is closed")
+                self._queue.put(_Job(imgs, plan, fut, time.perf_counter()))
+        except BaseException:
+            self._release()
+            raise
+        return fut
+
+    # -------------------------------------------------------- admission
+
+    def _admit(self) -> None:
+        """Reserve one queue slot; raises :class:`ServerOverloaded` when the
+        pending-job bound is hit.  The slot is held until :meth:`_resolve`
+        (batch jobs) or :meth:`_release` (errors / out-of-band jobs)."""
         with self._plock:
+            if self._closed:
+                raise RuntimeError("server is closed")
             if self._pending >= self.max_queue:
                 self._log.event("serve.queue_full", depth=self._pending)
                 raise ServerOverloaded(
                     f"server queue full ({self.max_queue} jobs pending); "
                     "retry later")
             self._pending += 1
-            fut: Future = Future()
-            # put under the lock so close() cannot interleave its shutdown
-            # sentinel between our _closed check and the enqueue
-            if self._closed:
-                self._pending -= 1
-                raise RuntimeError("server is closed")
-            self._queue.put(_Job(imgs, plan, fut, time.perf_counter()))
-        return fut
+
+    def _release(self) -> None:
+        with self._plock:
+            self._pending -= 1
+
+    @contextlib.contextmanager
+    def admission(self):
+        """Hold one queue slot for an out-of-band job.
+
+        The HTTP grid path runs grid jobs inline (they are one-shot
+        multi-plan jobs, not batchable by signature) but they must count
+        against the same ``max_queue`` bound as batch jobs — otherwise a
+        flood of grid requests bypasses backpressure entirely and piles up
+        unbounded concurrent pipelines."""
+        self._admit()
+        try:
+            yield
+        finally:
+            self._release()
 
     def _resolve(self, job: "_Job", value=None, error=None) -> None:
         with self._plock:

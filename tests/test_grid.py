@@ -199,6 +199,94 @@ def test_http_grid():
     assert np.array_equal(out, want)
 
 
+def test_plan_grid_rounding_never_overshoots_caps():
+    # r4s7 review: scale_down came from the ROUNDED aggregate grid width,
+    # but assembly sums per-gap half-up roundings — 3x70 + 2*round(0.7) =
+    # 212 passed the cap check against round(211.4) = 211, then overshot.
+    specs = [ImageSpec(70, 50)] * 3
+    g = plan_grid(specs, 3, StitchOptions(gap=0.7),
+                  limits=CanvasLimits(max_side=211))
+    assert max(g.canvas_w, g.canvas_h) <= 211
+    g2 = plan_grid(specs, 3, StitchOptions(gap=0.7),
+                   limits=CanvasLimits(max_pixels=10550))
+    assert g2.canvas_w * g2.canvas_h <= 10550
+    # randomized sweep: the assembled canvas never exceeds either cap
+    r = np.random.default_rng(4207)
+    for _ in range(60):
+        n = int(r.integers(1, 8))
+        sp = [ImageSpec(int(r.integers(5, 200)), int(r.integers(5, 200)))
+              for _ in range(n)]
+        lim = CanvasLimits(max_side=int(r.integers(20, 400)),
+                           max_pixels=int(r.integers(2_000, 200_000)))
+        gp = plan_grid(sp, int(r.integers(1, 5)),
+                       StitchOptions(gap=float(r.uniform(0, 9))), limits=lim)
+        assert max(gp.canvas_w, gp.canvas_h) <= lim.max_side
+        assert gp.canvas_w * gp.canvas_h <= lim.max_pixels
+
+
+def test_stitch_grid_aggregates_stage_wait_max(monkeypatch):
+    # r4s7 review: stage_wait_max_s stayed 0.0 in grid metrics even when
+    # columns reported per-image stalls (summed fields were aggregated,
+    # the max field was not)
+    from imagestitching_tpu.runtime import pipeline as _pipeline
+    real_run = _pipeline.run
+    vals = iter([0.25, 0.75, 0.5])
+
+    def run_patched(plan, imgs, config, progress=None, **kw):
+        out, m = real_run(plan, imgs, config, progress, **kw)
+        m.stage_wait_max_s = next(vals, 0.0)
+        return out, m
+
+    monkeypatch.setattr(_pipeline, "run", run_patched)
+    _, m = api.stitch_grid([noise(40, 30) for _ in range(6)], cols=3,
+                           options=StitchOptions(gap=0),
+                           return_metrics=True)
+    assert m.stage_wait_max_s == 0.75
+
+
+def test_http_grid_inherits_server_config_and_admission():
+    """Grid jobs over HTTP inherit the server's RuntimeConfig (here: canvas
+    caps via config.limits) and count against max_queue (503 when full)."""
+    import base64
+    import io
+    import json
+    import urllib.error
+    import urllib.request
+    from PIL import Image
+    from imagestitching_tpu.imgio import codec
+    from imagestitching_tpu.serve.http import StitchHTTPServer
+    from imagestitching_tpu.serve.server import StitchServer
+
+    imgs = [noise(120, 100) for _ in range(4)]
+    payload = {
+        "images": [base64.b64encode(codec.encode_bytes(a, "png")).decode()
+                   for a in imgs],
+        "grid_cols": 2, "gap": 2,
+    }
+
+    def post(port):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/stitch",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return np.asarray(Image.open(io.BytesIO(r.read())))
+
+    capped = StitchServer(engine="xla", config=RuntimeConfig(
+        limits=CanvasLimits(max_side=64)))
+    with StitchHTTPServer(port=0, server=capped) as srv:
+        out = post(srv.port)
+        assert max(out.shape[:2]) <= 64
+    capped.close()
+
+    full = StitchServer(engine="xla", max_queue=0)
+    with StitchHTTPServer(port=0, server=full) as srv:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post(srv.port)
+        assert ei.value.code == 503
+    full.close()
+
+
 def test_cli_grid(tmp_path):
     import subprocess
     import sys

@@ -370,3 +370,53 @@ def test_server_logs_each_demoted_signature(monkeypatch):
         assert len(set(tags)) == 2
     finally:
         s.close()
+
+
+def test_server_overload_rejects_before_merge_scoring(monkeypatch):
+    # r4s7 review: admission must happen BEFORE the expensive per-job work
+    # (overlap scoring, layout solve) — a full server used to pay the whole
+    # SSD-scoring pass per rejected request
+    from imagestitching_tpu.ops import overlap as _overlap
+    from imagestitching_tpu.serve.server import ServerOverloaded
+
+    def boom(*a, **k):
+        raise AssertionError("merge_arrays ran on a rejected submit")
+
+    monkeypatch.setattr(_overlap, "merge_arrays", boom)
+    s = StitchServer(max_batch=8, max_wait_s=30.0, engine="xla", max_queue=0)
+    try:
+        with pytest.raises(ServerOverloaded):
+            s.submit([rand_img(16, 24), rand_img(16, 24)],
+                     StitchOptions(merge_overlap=True))
+        assert s.stats()["pending"] == 0     # rejected submit freed its slot
+    finally:
+        s.close()
+
+
+def test_server_admission_slots_shared_with_out_of_band_jobs():
+    # admission() (the HTTP grid path) holds a real queue slot: batch
+    # submits see the occupancy, and the slot is returned on exit
+    from imagestitching_tpu.serve.server import ServerOverloaded
+    s = StitchServer(max_batch=8, max_wait_s=30.0, engine="xla", max_queue=1)
+    try:
+        with s.admission():
+            assert s.stats()["pending"] == 1
+            with pytest.raises(ServerOverloaded):
+                s.submit([rand_img(8, 8)])
+        assert s.stats()["pending"] == 0
+        # slot free again: a normal submit is admitted
+        assert s.submit([rand_img(8, 8)]).result(timeout=60).shape == (
+            8, 8, 3)
+    finally:
+        s.close()
+
+
+def test_server_config_limits_are_applied():
+    # r4s7 review: RuntimeConfig.limits was a dead field — submit() now
+    # defaults to it when no explicit limits argument is given
+    from imagestitching_tpu.config import CanvasLimits, RuntimeConfig
+    with StitchServer(max_batch=4, max_wait_s=0.005, engine="xla",
+                      config=RuntimeConfig(
+                          limits=CanvasLimits(max_side=40))) as s:
+        out = s.submit([rand_img(64, 80)]).result(timeout=60)
+        assert max(out.shape[:2]) <= 40
