@@ -1732,12 +1732,25 @@ def run_grid(n_cases: int, base: int = 200_000) -> int:
                                        "lanczos3"])),
                 background=tuple(int(x) for x in rng.integers(0, 256, 3)),
                 max_images=None)
-            limits = (ist.CanvasLimits(max_side=int(rng.integers(100, 500)))
-                      if rng.random() < 0.4 else None)
+            roll = rng.random()
+            if roll < 0.25:
+                limits = ist.CanvasLimits(max_side=int(rng.integers(100, 500)))
+            elif roll < 0.4:
+                # pixel cap too: the r4s7 overshoot bug lived exactly in the
+                # rounding gap between the cap check and the assembled size
+                limits = ist.CanvasLimits(
+                    max_side=int(rng.integers(100, 500)),
+                    max_pixels=int(rng.integers(5_000, 150_000)))
+            else:
+                limits = None
             engine = str(rng.choice(["auto", "auto", "xla"]))
             got = api.stitch_grid(items, cols=cols, options=options,
                                   config=RuntimeConfig(engine=engine),
                                   limits=limits, order=order, valign=valign)
+            if limits is not None:
+                assert max(got.shape[:2]) <= limits.max_side, got.shape
+                assert got.shape[0] * got.shape[1] <= limits.max_pixels, \
+                    got.shape
 
             specs = [ImageSpec(a.shape[1], a.shape[0]) for a in disp]
             gplan = plan_grid(specs, cols, options, limits, order)

@@ -203,6 +203,9 @@ class StitchHTTPServer:
     def stitch_blobs(self, blobs: List[bytes], options: StitchOptions,
                      enc: dict) -> Tuple[bytes, str]:
         """Decode request images, run one batched job, encode the strip."""
+        # overload pre-check before paying per-request decode work (the
+        # authoritative slot-reserving check still happens at submission)
+        self.server.ensure_capacity()
         decoded = [codec.decode(b) for b in blobs]
         images = [d[0] for d in decoded]
         orientations = [d[1] for d in decoded]   # EXIF applied on device

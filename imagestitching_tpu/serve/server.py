@@ -157,6 +157,14 @@ class StitchServer:
 
     # -------------------------------------------------------- admission
 
+    def _full_locked(self) -> None:
+        # caller holds self._plock
+        if self._pending >= self.max_queue:
+            self._log.event("serve.queue_full", depth=self._pending)
+            raise ServerOverloaded(
+                f"server queue full ({self.max_queue} jobs pending); "
+                "retry later")
+
     def _admit(self) -> None:
         """Reserve one queue slot; raises :class:`ServerOverloaded` when the
         pending-job bound is hit.  The slot is held until :meth:`_resolve`
@@ -164,16 +172,22 @@ class StitchServer:
         with self._plock:
             if self._closed:
                 raise RuntimeError("server is closed")
-            if self._pending >= self.max_queue:
-                self._log.event("serve.queue_full", depth=self._pending)
-                raise ServerOverloaded(
-                    f"server queue full ({self.max_queue} jobs pending); "
-                    "retry later")
+            self._full_locked()
             self._pending += 1
 
     def _release(self) -> None:
         with self._plock:
             self._pending -= 1
+
+    def ensure_capacity(self) -> None:
+        """Cheap overload pre-check WITHOUT reserving a slot.
+
+        Callers with expensive pre-submit work (the HTTP layer decodes
+        every request image before submitting) probe this first so an
+        overloaded server rejects before paying that work; the authoritative
+        (slot-reserving) check is still :meth:`_admit` at submission."""
+        with self._plock:
+            self._full_locked()
 
     @contextlib.contextmanager
     def admission(self):

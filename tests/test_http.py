@@ -165,6 +165,28 @@ def test_overload_maps_to_503():
         assert ei.value.headers.get("Retry-After")
 
 
+def test_overloaded_server_rejects_before_decode(monkeypatch):
+    # r4s7: an overloaded server must not pay per-request decode work just
+    # to reject — stitch_blobs probes capacity before touching the blobs
+    from imagestitching_tpu.imgio import codec as _codec
+
+    def boom(*a, **k):
+        raise AssertionError("decode ran on a rejected request")
+
+    with StitchHTTPServer(port=0, engine="xla", max_queue=0) as tiny:
+        monkeypatch.setattr(_codec, "decode", boom)
+        imgs = [rng.integers(0, 256, (8, 8, 3), np.uint8)]
+        payload = {"images": [base64.b64encode(_png_bytes(a)).decode()
+                              for a in imgs]}
+        req = urllib.request.Request(
+            f"http://{tiny.host}:{tiny.port}/stitch",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 503   # a 400 would mean boom() fired
+
+
 def test_concurrent_mixed_requests(srv):
     """16 concurrent clients with differing geometries: every response is
     the right strip (batching buckets by plan signature; no cross-job pixel
