@@ -404,6 +404,7 @@ static int decode_png_fast(const uint8_t* data, size_t len,
     int pal_n = 0;
     bool have_trns = false;
     bool saw_iend = false;
+    bool saw_idat = false;
     std::memset(pal_a, 0xFF, sizeof(pal_a));
     size_t idat_total = 0;
     size_t pos = 33;
@@ -422,22 +423,38 @@ static int decode_png_fast(const uint8_t* data, size_t len,
                != get_be32(data + pos + 8 + clen))
             return -1;
         if (std::memcmp(ctag, "IDAT", 4) == 0) {
+            saw_idat = true;
             idat_total += clen;
         } else if (std::memcmp(ctag, "PLTE", 4) == 0) {
-            if (clen % 3 || clen > 768) return -1;
-            pal_n = static_cast<int>(clen / 3);
-            for (int i = 0; i < pal_n; ++i) {
-                pal[i][0] = cdat[3 * i];
-                pal[i][1] = cdat[3 * i + 1];
-                pal[i][2] = cdat[3 * i + 2];
+            if (saw_idat) {
+                // libpng: benign "out of place" — skipped with a warning.
+                // Ignoring it here keeps pal_n unset when no valid PLTE
+                // came first, so the pal_n==0 check below falls back to
+                // libpng's fatal missing-PLTE error.
+            } else if (pal_n > 0) {
+                return -1;             // libpng: fatal "duplicate" PLTE
+            } else {
+                if (clen % 3 || clen > 768 || clen == 0) return -1;
+                pal_n = static_cast<int>(clen / 3);
+                for (int i = 0; i < pal_n; ++i) {
+                    pal[i][0] = cdat[3 * i];
+                    pal[i][1] = cdat[3 * i + 1];
+                    pal[i][2] = cdat[3 * i + 2];
+                }
             }
         } else if (std::memcmp(ctag, "tRNS", 4) == 0) {
-            if (ctype == 3) {
-                if (clen > 256) return -1;
+            if (ctype != 3)
+                return -1;             // color-key transparency: libpng path
+            // Mirror libpng's benign-skip cases exactly (each is a warning
+            // + ignored chunk there, so it must be ignored — not honored —
+            // here): tRNS after IDAT, duplicate tRNS, tRNS before PLTE,
+            // and tRNS longer than the palette.  Fuzz repros 532163 (tRNS
+            // after IDAT) and 534911 (two tRNS before PLTE) caught the
+            // fast path compositing alpha libpng had discarded.
+            if (!saw_idat && !have_trns && pal_n > 0
+                && clen <= static_cast<uint32_t>(pal_n)) {
                 std::memcpy(pal_a, cdat, clen);
                 have_trns = true;
-            } else {
-                return -1;             // color-key transparency: libpng path
             }
         } else if (std::memcmp(ctag, "IEND", 4) == 0) {
             saw_iend = true;

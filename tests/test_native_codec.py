@@ -87,6 +87,61 @@ def test_png_fast_decode_palette_trns():
     np.testing.assert_array_equal(got, want)
 
 
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def _palette_png(chunk_order) -> bytes:
+    """Hand-built 3x2 palette PNG with chunks in the given order."""
+    import struct
+    import zlib
+    ihdr = _chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+    plte = _chunk(b"PLTE", bytes([250, 10, 10, 10, 250, 10, 10, 10, 250]))
+    trns = _chunk(b"tRNS", bytes([100, 200]))
+    raw = bytes([0, 0, 1, 2, 0, 2, 1, 0])          # filter 0 + indices
+    idat = _chunk(b"IDAT", zlib.compress(raw))
+    parts = {"plte": plte, "trns": trns, "idat": idat}
+    return (b"\x89PNG\r\n\x1a\n" + ihdr
+            + b"".join(parts[k] for k in chunk_order)
+            + _chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("order", [
+    ("plte", "idat", "trns"),          # tRNS after IDAT (fuzz seed 532163)
+    ("trns", "plte", "idat"),          # tRNS before PLTE (fuzz seed 534911)
+    ("plte", "trns", "trns", "idat"),  # duplicate tRNS
+    ("plte", "trns", "idat"),          # valid placement (control)
+])
+def test_png_fast_out_of_place_trns_matches_libpng(order, monkeypatch):
+    """libpng benign-skips out-of-place/duplicate tRNS with a warning; the
+    fast path must IGNORE those chunks too, not honor their alpha (r4s7
+    codec-fuzz differential, seeds 532163/534911)."""
+    data = _palette_png(order)
+    fast = native.decode_png(data)
+    monkeypatch.setenv("ISX_PNG_FAST", "0")
+    slow = native.decode_png(data)
+    np.testing.assert_array_equal(fast, slow)
+
+
+def test_png_fast_oversized_trns_matches_libpng(monkeypatch):
+    # tRNS longer than the palette: libpng skips it as invalid
+    import struct
+    import zlib
+    ihdr = _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+    plte = _chunk(b"PLTE", bytes([9, 9, 9, 200, 200, 200]))
+    trns = _chunk(b"tRNS", bytes([10] * 5))        # 5 entries, 2 colors
+    idat = _chunk(b"IDAT", zlib.compress(bytes([0, 0, 1])))
+    data = (b"\x89PNG\r\n\x1a\n" + ihdr + plte + trns + idat
+            + _chunk(b"IEND", b""))
+    fast = native.decode_png(data)
+    monkeypatch.setenv("ISX_PNG_FAST", "0")
+    slow = native.decode_png(data)
+    np.testing.assert_array_equal(fast, slow)
+
+
 def test_png_fast_decode_matches_libpng_path(monkeypatch):
     """Force the libpng path via ISX_PNG_FAST=0 and compare."""
     arr = rng.integers(0, 256, (64, 51, 4), np.uint8)
