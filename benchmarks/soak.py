@@ -1271,9 +1271,7 @@ def run_tpu(n_cases: int, base: int = 140_000) -> int:
                     # "raise the budget" MemoryError is the CORRECT
                     # product response, not ladder coverage (seed 991000)
                     from imagestitching_tpu.runtime import tiler
-                    floor = min(tiler._banded_peak(plan, b, 3)
-                                for b in tiler._band_candidates(
-                                    plan.canvas_h))
+                    floor = tiler.min_feasible_bytes(plan)
                     kw["budget"] = MemoryBudget(
                         hbm_bytes=max(150_000, canvas // 2, floor))
                 try:

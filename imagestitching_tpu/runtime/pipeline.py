@@ -211,7 +211,16 @@ def _run_streamed(plan: LayoutPlan, images: Sequence[np.ndarray],
         jnp.asarray(bg), (plan.canvas_h, plan.canvas_w, channels))
     canvas = jnp.array(canvas)  # materialize so it is donatable
 
-    # async staging: upload image i+1 while image i computes
+    # async staging: upload image i+1 while image i computes.  Uploads and
+    # updates ENQUEUE without blocking, so staged sources can pile up in
+    # HBM faster than the device consumes them (r4s7 review; the tiler's
+    # streamed model assumes a bounded window) — once staged-but-unfenced
+    # bytes exceed the canvas' budget headroom, one tiny data-dependent
+    # fetch drains the queue and frees the consumed sources.
+    fence_limit = max(64 << 20,
+                      (config.budget.hbm_bytes
+                       - plan.canvas_h * plan.canvas_w * channels) // 2)
+    inflight = 0
     staged = jnp.asarray(images[0]) if images else None
     n = len(images)
     for i in range(n):
@@ -222,6 +231,10 @@ def _run_streamed(plan: LayoutPlan, images: Sequence[np.ndarray],
         if p.row_span[1] > p.row_span[0] and p.col_span[1] > p.col_span[0]:
             canvas = _streamed_update(plan, i, channels, canvas, src,
                                       config.engine, config.interpret)
+            inflight += images[i].nbytes
+            if inflight > fence_limit:
+                np.asarray(jax.device_get(canvas[:1, :1, :1]))
+                inflight = 0
         progress("composite", 0.30 + 0.60 * (i + 1) / n)
     return canvas if keep_on_device else np.asarray(canvas)
 
@@ -279,9 +292,32 @@ class _BandedExecutor:
             self.row_taps.append({"i0": ri0, "w": rw.astype(np.float32)})
             self.col_taps.append({"i0": ci0.astype(np.int32),
                                   "w": cw.astype(np.float32)})
+        # Column taps are band-invariant but must NOT be baked into the
+        # jitted program as closure constants: wide-K downscales make them
+        # (canvas_w x K) f32 per image, and closure constants serialize
+        # into the remote compile payload (CLAUDE.md: HTTP 413 at ~300 MB).
+        # Uploaded ONCE here, then passed as (device-resident) jit args —
+        # no per-band re-transfer, no compile-payload bloat.
+        self._col_i0_dev = [jnp.asarray(ct["i0"]) if ct is not None
+                            else jnp.zeros((1,), jnp.int32)
+                            for ct in self.col_taps]
+        self._col_w_dev = [jnp.asarray(ct["w"]) if ct is not None
+                           else jnp.zeros((1, 1), jnp.float32)
+                           for ct in self.col_taps]
+        # non-intersecting (band, image) pairs feed a constant zero crop:
+        # cache one device-resident buffer per image instead of faulting a
+        # fresh host np.zeros + H2D per band (~90% of pairs on tall jobs)
+        self._zero_crops: dict = {}
         self._jitted = jax.jit(self._compose)
 
-    def _compose(self, crops, rows_i0, rows_w, rows_in):
+    def _zero_crop(self, idx: int, shape) -> "jnp.ndarray":
+        z = self._zero_crops.get(idx)
+        if z is None or z.shape != shape:
+            z = jnp.zeros(shape, jnp.uint8)
+            self._zero_crops[idx] = z
+        return z
+
+    def _compose(self, crops, rows_i0, rows_w, rows_in, cols_i0, cols_w):
         plan, band, channels = self.plan, self.band, self.channels
         bg = jnp.asarray(plan.background[:channels], jnp.float32)
         canvas = jnp.broadcast_to(bg, (band, plan.canvas_w, channels))
@@ -291,8 +327,7 @@ class _BandedExecutor:
                 continue
             crop = crops[idx].astype(jnp.float32)
             rows = _ktap_axis(crop, rows_i0[idx], rows_w[idx], 0)
-            full = _ktap_axis(rows, jnp.asarray(tp["i0"]),
-                              jnp.asarray(tp["w"]), 1)
+            full = _ktap_axis(rows, cols_i0[idx], cols_w[idx], 1)
             c0, c1 = p.col_span
             region = jax.lax.dynamic_update_slice(
                 jnp.zeros((band, plan.canvas_w, channels), jnp.float32),
@@ -325,7 +360,8 @@ class _BandedExecutor:
                 r0, r1 = p.row_span
                 br0, br1 = max(r0, lo), min(r1, hi)
                 if tp is None or br1 <= br0:
-                    crops.append(np.zeros((need,) + img.shape[1:], np.uint8))
+                    crops.append(self._zero_crop(
+                        idx, (need,) + img.shape[1:]))
                 else:
                     # slice this band's windows from the full-axis taps
                     ri0 = tp["i0"][br0 - r0: br1 - r0]
@@ -346,7 +382,8 @@ class _BandedExecutor:
                 [jnp.asarray(c) for c in crops],
                 [jnp.asarray(x) for x in r_i0],
                 [jnp.asarray(x) for x in r_w],
-                [jnp.asarray(x) for x in r_in]))
+                [jnp.asarray(x) for x in r_in],
+                self._col_i0_dev, self._col_w_dev))
             out[lo:hi] = band_out[: hi - lo]
             progress("composite", 0.30 + 0.60 * (bi + 1) / len(bands))
         return out
@@ -547,8 +584,24 @@ def _run_overlapped_body(plan, loaders, config, progress, m, ex, log,
     oom = None
     if stream_ok:
         bg = np.asarray(plan.background[:channels], np.uint8)
-        canvas = jnp.array(jnp.broadcast_to(
-            jnp.asarray(bg), (plan.canvas_h, plan.canvas_w, channels)))
+        try:
+            canvas = jnp.array(jnp.broadcast_to(
+                jnp.asarray(bg), (plan.canvas_h, plan.canvas_w, channels)))
+        except Exception as e:  # noqa: BLE001 — OOM classification
+            if not _is_oom(e):
+                raise
+            oom = e   # canvas itself doesn't fit: decode-and-retain, banded
+            log.event("pipeline.oom_retry", failed="overlapped-alloc",
+                      band=None)
+    # Staged-source fence: jnp.asarray + update ENQUEUE without blocking, so
+    # when decode outpaces the device the sources pile up in HBM unbounded
+    # (r4s7 review; the tiler's streamed model assumes a bounded window).
+    # Once staged-but-unfenced bytes exceed the canvas' budget headroom, one
+    # tiny data-dependent fetch drains the queue and frees consumed sources.
+    fence_limit = max(64 << 20,
+                      (config.budget.hbm_bytes
+                       - plan.canvas_h * plan.canvas_w * channels) // 2)
+    inflight = 0
 
     gen = decoding.iter_decoded(loaders, config.decode_threads,
                                 config.decode_timeout_s)
@@ -579,6 +632,10 @@ def _run_overlapped_body(plan, loaders, config, progress, m, ex, log,
                     canvas = _streamed_update(plan, i, channels, canvas,
                                               src, config.engine,
                                               config.interpret)
+                    inflight += raw.nbytes
+                    if inflight > fence_limit:
+                        np.asarray(jax.device_get(canvas[:1, :1, :1]))
+                        inflight = 0
                     t_stage = time.perf_counter() - t_stage
                     m.stage_wait_s += t_stage
                     m.stage_wait_max_s = max(m.stage_wait_max_s, t_stage)
@@ -601,34 +658,51 @@ def _run_overlapped_body(plan, loaders, config, progress, m, ex, log,
     m.prepare_s = t_decode
 
     t_drain = time.perf_counter()
+    out = None
     if canvas is not None and oom is None:
         # compute_s = device drain exposed after the last decode (work that
         # ran *under* decode is genuinely overlapped and costs no wall
         # time).  block_until_ready returns at enqueue on some transports,
         # so force completion with a data-dependent 1-element fetch; it
         # overcounts compute by one transfer round trip.
-        np.asarray(jax.device_get(canvas[:1, :1, :1]))
-        m.compute_s = time.perf_counter() - t_drain
-        if keep_on_device:
-            out = canvas      # caller streams the readback (export overlap)
-        else:
-            t0 = time.perf_counter()
-            out = np.asarray(canvas)
-            m.readback_s = time.perf_counter() - t0
-    else:
+        try:
+            np.asarray(jax.device_get(canvas[:1, :1, :1]))
+            m.compute_s = time.perf_counter() - t_drain
+            if keep_on_device:
+                out = canvas  # caller streams the readback (export overlap)
+            else:
+                t0 = time.perf_counter()
+                out = np.asarray(canvas)
+                m.readback_s = time.perf_counter() - t0
+        except Exception as e:  # noqa: BLE001 — OOM classification
+            # On the async transport an update's RESOURCE_EXHAUSTED can
+            # first surface HERE (enqueue never blocked in the loop above);
+            # classify it like the per-iteration handler so the banded
+            # retry below still runs (r4s7 review).
+            if not _is_oom(e):
+                raise
+            oom = e
+            canvas = None
+            log.event("pipeline.oom_retry", failed="overlapped-drain",
+                      band=None)
+    if out is None:
         # re-decode images released after successful streamed updates (rare
         # path: only reached when an OOM forces the banded retry)
         missing = [i for i in range(n) if decoded[i] is None
                    and composited[i]]
         if missing:
             log.event("pipeline.oom_redecode", n=len(missing))
-            for k, raw2, err2 in decoding.iter_decoded(
-                    [loaders[j] for j in missing], config.decode_threads,
-                    config.decode_timeout_s):
-                if err2 is not None:
-                    raise err2
-                decoded[missing[k]] = _checked(missing[k],
-                                               np.asarray(raw2))
+            gen2 = decoding.iter_decoded(
+                [loaders[j] for j in missing], config.decode_threads,
+                config.decode_timeout_s)
+            try:
+                for k, raw2, err2 in gen2:
+                    if err2 is not None:
+                        raise err2
+                    decoded[missing[k]] = _checked(missing[k],
+                                                   np.asarray(raw2))
+            finally:
+                gen2.close()   # a failed redecode must cancel the workers
         # demotion ladder: banded compositing from the retained host arrays
         out = None
         for band in _banded_bands(ex, plan):
@@ -870,28 +944,49 @@ def _run_body(plan, images, config, progress, m, ex, log, t_start,
         # temporaries must fit each chip's budget, else fall through to the
         # single-chip strategy ladder)
         from ..parallel.sharding import ShardedStitch
-        engine = "pallas" if _pallas_ok(plan, config) else "xla"
+        # Engine gate is backend-only: the sharded kernel path builds
+        # _WindowPlans, whose chunk-height shrink handles deep downscales
+        # that check_plan_feasible's single-job _Schedule rejects — gating
+        # on _pallas_ok here demoted (or, with engine="pallas", spuriously
+        # failed) jobs the sharded kernel serves fine (r4s7 review).
+        # Genuine Infeasible surfaces from the try below.
+        engine = ("xla" if config.engine in ("xla", "oracle")
+                  or not _kernel_backend_ok(config.engine, config.interpret)
+                  else "pallas")
         try:
-            out = ShardedStitch(plan, mesh, channels, engine=engine,
-                                interpret=config.interpret)(images)
-        except NotImplementedError:
-            # kernel infeasible at this band geometry (Infeasible subclasses
-            # NotImplementedError): the gather engine is the ladder's floor
-            if config.engine == "pallas":
+            try:
+                out = ShardedStitch(plan, mesh, channels, engine=engine,
+                                    interpret=config.interpret)(images)
+            except NotImplementedError:
+                # kernel infeasible at this band geometry (Infeasible
+                # subclasses NotImplementedError): the gather engine is the
+                # ladder's floor
+                if config.engine == "pallas":
+                    raise
+                engine = "xla"
+                out = ShardedStitch(plan, mesh, channels)(images)
+        except Exception as e:  # noqa: BLE001 — OOM classification
+            if not _is_oom(e):
                 raise
-            engine = "xla"
-            out = ShardedStitch(plan, mesh, channels)(images)
-        log.event("pipeline.space_sharded", engine=engine,
-                  shards=n_space)
-        m.strategy = "space-sharded"
-        m.compute_s = time.perf_counter() - t0
-        m.total_s = time.perf_counter() - t_start
-        log.event("pipeline.done", strategy=m.strategy,
-                  compute_s=round(m.compute_s, 4),
-                  mp_per_sec=round(m.mp_per_sec, 1))
-        progress("composite", 1.0)
-        return out, m
-    if n_space > 1:
+            # byte estimate admitted the mesh path but real execution
+            # exhausted a device: recover on the single-chip ladder below
+            # instead of failing a job banded execution would complete
+            last_oom = e
+            out = None
+            log.event("pipeline.oom_retry", failed="space-sharded",
+                      band=None)
+        if out is not None:
+            log.event("pipeline.space_sharded", engine=engine,
+                      shards=n_space)
+            m.strategy = "space-sharded"
+            m.compute_s = time.perf_counter() - t0
+            m.total_s = time.perf_counter() - t_start
+            log.event("pipeline.done", strategy=m.strategy,
+                      compute_s=round(m.compute_s, 4),
+                      mp_per_sec=round(m.mp_per_sec, 1))
+            progress("composite", 1.0)
+            return out, m
+    elif n_space > 1:
         log.event("pipeline.sharded_budget_reject",
                   est_per_device_mb=round(
                       tiler.sharded_peak_bytes(plan, n_space, channels)
@@ -938,7 +1033,9 @@ def _run_body(plan, images, config, progress, m, ex, log, t_start,
             "stitch ran out of device memory on every strategy") from last_oom
     m.compute_s = time.perf_counter() - t0
     m.total_s = time.perf_counter() - t_start
-    log.event("pipeline.done", strategy=ex.strategy,
+    # m.strategy, not ex.strategy: after an OOM demotion the log must name
+    # the strategy that actually won, matching the returned metrics
+    log.event("pipeline.done", strategy=m.strategy,
               compute_s=round(m.compute_s, 4),
               mp_per_sec=round(m.mp_per_sec, 1))
     progress("composite", 1.0)

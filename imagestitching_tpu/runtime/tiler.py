@@ -9,9 +9,11 @@ stays full-resolution and the governor picks how to schedule it:
 
 * ``resident`` — all sources on device at once, one fused program.  Fastest;
   needs sources + canvas + scratch under budget.
-* ``streamed`` — one source on device at a time; the canvas persists and is
-  donated between per-image updates (the big-task analog, but in-place and
-  without flush hacks).  Peak ~= canvas + largest source + its region.
+* ``streamed`` — a bounded window of sources on device (the loop prefetches
+  image i+1 while i composites, and the pipeline fences staged-but-unconsumed
+  uploads against the budget headroom); the canvas persists and is donated
+  between per-image updates (the big-task analog, but in-place and without
+  flush hacks).  Peak ~= canvas + two sources + a region.
 * ``banded``   — output row bands composited one at a time, each from
   host-cropped source bands, result streamed back to the host (the blockwise
   spatial-tiling answer to "canvas larger than HBM", SURVEY.md §5).
@@ -69,14 +71,26 @@ def sharded_peak_bytes(plan: LayoutPlan, n_shards: int,
                        channels: int = 3) -> int:
     """Per-device peak of the space-sharded compose (parallel.sharding).
 
-    Every source is replicated to every device (uint8), and the band compose
-    builds ~3 band-sized float32 temporaries (canvas, region, masked blend)
-    plus the uint8 result.
+    Every source is replicated to every device — as raw uint8 AND (kernel
+    engine) a lane-padded planar CHW staging copy (_stage_full_chw pads
+    disp_w to 128, a large multiplier for narrow sources) — the xla engine
+    additionally casts a full image to f32 per placement, and the band
+    compose builds ~3 band-sized float32 temporaries (canvas, region,
+    masked blend) plus the uint8 result.  An under-estimate here admits
+    mesh jobs that OOM at runtime; pipeline._run_body now recovers those on
+    the single-chip ladder, but the estimate should rarely need it.
     """
     band = _round_up(plan.canvas_h, n_shards) // n_shards
-    srcs = sum(channels * p.raw_w * p.raw_h for p in plan.placements)
+    srcs = 0
+    f32_cast = 0
+    for p in plan.placements:
+        disp_w, disp_h = geometry.display_size(p.raw_w, p.raw_h,
+                                               p.orientation)
+        padded = channels * _round_up(disp_h, 8) * _round_up(disp_w, 128)
+        srcs += channels * p.raw_w * p.raw_h + padded
+        f32_cast = max(f32_cast, 4 * padded)
     band_f32 = 4 * channels * band * plan.canvas_w
-    return srcs + 3 * band_f32 + band_f32 // 4
+    return srcs + f32_cast + 3 * band_f32 + band_f32 // 4
 
 
 def plan_execution(plan: LayoutPlan, budget: MemoryBudget,
@@ -91,8 +105,12 @@ def plan_execution(plan: LayoutPlan, budget: MemoryBudget,
     if resident_peak <= limit:
         return ExecutionPlan("resident", resident_peak, limit)
 
+    # canvas + the computing source + the i+1 prefetch + one region (the
+    # pipeline's staging fence bounds any further pile-up to the budget
+    # headroom, so two sources is the honest steady-state peak)
     streamed_peak = canvas + max(
-        (s + r for s, r in zip(srcs, regions)), default=0)
+        (s + r for s, r in zip(srcs, regions)), default=0) + (
+            max(srcs) if srcs else 0)
     if streamed_peak <= limit:
         return ExecutionPlan("streamed", streamed_peak, limit)
 
@@ -108,6 +126,16 @@ def plan_execution(plan: LayoutPlan, budget: MemoryBudget,
         f"bands (canvas {plan.canvas_w}x{plan.canvas_h}); raise the budget")
 
 
+def min_feasible_bytes(plan: LayoutPlan, channels: int = 3) -> int:
+    """Smallest budget ANY strategy can honor (the minimum banded peak).
+
+    Budgets below this get the clean "raise the budget" MemoryError from
+    :func:`plan_execution` — the correct product response, not a ladder gap
+    (the tight-budget soak floors its randomized budgets here)."""
+    return min(_banded_peak(plan, b, channels)
+               for b in _band_candidates(plan.canvas_h))
+
+
 def _band_candidates(rows: int) -> List[int]:
     out = []
     b = min(rows, 4096)
@@ -120,6 +148,14 @@ def _band_candidates(rows: int) -> List[int]:
 
 
 def _banded_peak(plan: LayoutPlan, band: int, channels: int) -> int:
+    """Device peak of one _BandedExecutor band.
+
+    The executor materializes real float32 intermediates (pipeline._compose):
+    the crop cast (4x its uint8 bytes), a (band, disp_w, C) f32 row-pass
+    result per image, and (band, canvas_w, C) f32 canvas/region buffers plus
+    the uint8 band out — an earlier uint8-only model under-counted ~4-6x
+    and picked bands that OOMed at runtime (r4s7 review).
+    """
     band_canvas = channels * plan.canvas_w * band
     worst = 0
     for p in plan.placements:
@@ -132,8 +168,11 @@ def _banded_peak(plan: LayoutPlan, band: int, channels: int) -> int:
         support = geometry.filter_support(plan.filter, max(scale, 1e-9))
         rows_needed = min(disp_h, int(math.ceil(
             band / max(scale, 1e-9) + 2 * support)) + 2)
-        worst = max(worst, channels * rows_needed * _round_up(disp_w, 128) * 2)
-    return 2 * band_canvas + worst
+        crop = channels * rows_needed * _round_up(disp_w, 128)
+        row_pass = 4 * channels * band * _round_up(disp_w, 128)
+        worst = max(worst, 5 * crop + row_pass)   # uint8 upload + f32 cast
+    # f32 canvas carry + f32 region (DUS output) + mask + uint8 band out
+    return 10 * band_canvas + worst
 
 
 def band_ranges(plan: LayoutPlan, band_rows: int) -> List[Tuple[int, int]]:

@@ -61,8 +61,12 @@ def test_fuzz_budget_strategies_match(seed):
         pytest.skip("oversized")
     want = oracle.stitch(plan, imgs)
     canvas = 3 * plan.canvas_pixels
-    for budget in [MemoryBudget(hbm_bytes=max(200_000, canvas * 2)),
-                   MemoryBudget(hbm_bytes=max(150_000, canvas // 2))]:
+    # floor tight budgets at the tiler's own minimum feasible peak — below
+    # it the clean "raise the budget" MemoryError is the correct response
+    from imagestitching_tpu.runtime import tiler
+    floor = tiler.min_feasible_bytes(plan)
+    for budget in [MemoryBudget(hbm_bytes=max(floor, 200_000, canvas * 2)),
+                   MemoryBudget(hbm_bytes=max(floor, 150_000, canvas // 2))]:
         out, m = pipeline.run(plan, imgs,
                               RuntimeConfig(engine="xla", budget=budget))
         diff = np.abs(out.astype(np.int16) - want.astype(np.int16)).max()

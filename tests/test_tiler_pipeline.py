@@ -96,10 +96,12 @@ def test_pipeline_streamed_matches_oracle():
              ImageSpec(180, 120)]
     imgs = [rand_img(200, 150), rand_img(150, 200), rand_img(180, 120)]
     plan = plan_for(specs, mode="min", gap=3)
-    canvas = 3 * plan.canvas_w * plan.canvas_h
+    # one byte under the resident peak: resident rejected, streamed accepted
+    # (budget derived from the model so the pick survives model retuning)
+    from imagestitching_tpu.runtime import tiler
     cfg = RuntimeConfig(
         engine="xla",
-        budget=MemoryBudget(hbm_bytes=canvas + 600_000))
+        budget=MemoryBudget(hbm_bytes=tiler.resident_peak_bytes(plan) - 1))
     out, metrics = pipeline.run(plan, imgs, cfg)
     assert metrics.strategy == "streamed"
     parity(out, oracle.stitch(plan, imgs))
@@ -109,9 +111,10 @@ def test_pipeline_streamed_pallas_interpret():
     specs = [ImageSpec(200, 150), ImageSpec(150, 100)]
     imgs = [rand_img(200, 150), rand_img(150, 100)]
     plan = plan_for(specs, mode="min")
-    canvas = 3 * plan.canvas_w * plan.canvas_h
+    from imagestitching_tpu.runtime import tiler
     cfg = RuntimeConfig(engine="pallas", interpret=True,
-                        budget=MemoryBudget(hbm_bytes=canvas + 700_000))
+                        budget=MemoryBudget(
+                            hbm_bytes=tiler.resident_peak_bytes(plan) - 1))
     out, metrics = pipeline.run(plan, imgs, cfg)
     assert metrics.strategy == "streamed"
     parity(out, oracle.stitch(plan, imgs))
@@ -279,3 +282,59 @@ def test_banded_ladder_short_canvas():
     assert m.strategy == "banded"
     want = _oracle.stitch(_solve(specs, opts), imgs)
     assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_overlapped_drain_oom_demotes_to_banded(monkeypatch):
+    """r4s7 review: on the async transport a streamed update's OOM first
+    surfaces at the DRAIN fetch — it must trigger the banded retry (with
+    redecode of released sources), not escape to the caller."""
+    import jax
+
+    specs = [ImageSpec(120, 90), ImageSpec(100, 80)]
+    imgs = [rand_img(120, 90), rand_img(100, 80)]
+    plan = plan_for(specs, mode="min", gap=2)
+    loaders = [(lambda a=a: a) for a in imgs]
+
+    real_get = jax.device_get
+    fired = []
+
+    def oom_once(x):
+        # fire only on the drain's (1,1,1) canvas probe, not the transport
+        # rtt probe that runs earlier in the same body
+        if not fired and getattr(x, "shape", None) == (1, 1, 1):
+            fired.append(True)
+            raise RuntimeError("RESOURCE_EXHAUSTED: out of memory "
+                               "allocating canvas (simulated)")
+        return real_get(x)
+
+    monkeypatch.setattr(jax, "device_get", oom_once)
+    out, m = pipeline.run_overlapped(
+        plan, loaders, RuntimeConfig(engine="xla"))
+    assert fired                       # the drain really hit the fake OOM
+    assert m.strategy == "overlapped/banded"
+    parity(out, oracle.stitch(plan, imgs))
+
+
+def test_sharded_oom_falls_back_to_single_chip(monkeypatch):
+    """r4s7 review: a runtime OOM inside the space-sharded compose (the
+    byte estimate admitted it) must recover on the single-chip ladder."""
+    from imagestitching_tpu.parallel import mesh as pmesh
+    from imagestitching_tpu.parallel import sharding as psharding
+
+    class Boom:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, images):
+            raise RuntimeError("RESOURCE_EXHAUSTED: out of memory on "
+                               "device shard (simulated)")
+
+    monkeypatch.setattr(psharding, "ShardedStitch", Boom)
+    specs = [ImageSpec(100, 80), ImageSpec(90, 70)]
+    imgs = [rand_img(100, 80), rand_img(90, 70)]
+    plan = plan_for(specs, mode="min", gap=1)
+    mesh = pmesh.make_mesh((1, 8))
+    out, m = pipeline.run(plan, imgs,
+                          RuntimeConfig(engine="xla", mesh=mesh))
+    assert m.strategy != "space-sharded"
+    parity(out, oracle.stitch(plan, imgs))
