@@ -115,12 +115,17 @@ def run(n_cases: int, base: int = 10_000) -> int:
                 supersample=bool(rng.random() < 0.1))
             plan = solve(specs, options)
             want = oracle.stitch(plan, imgs)
+            # tight budgets floored at the tiler's own minimum feasible
+            # peak: below it the clean "raise the budget" MemoryError is
+            # the correct product response, not ladder coverage
+            from imagestitching_tpu.runtime import tiler as _tiler
+            floor = _tiler.min_feasible_bytes(plan)
             cfg = RuntimeConfig(
                 engine=str(rng.choice(["auto", "xla"])),
                 interpret=True,
                 overlap=str(rng.choice(["auto", "never", "always"])),
-                budget=MemoryBudget(hbm_bytes=int(
-                    rng.choice([2_000_000_000, 3_000_000, 300_000]))))
+                budget=MemoryBudget(hbm_bytes=max(floor, int(
+                    rng.choice([2_000_000_000, 3_000_000, 300_000])))))
             items = [(a, s.orientation) for a, s in zip(imgs, specs)]
             mode = rng.integers(0, 3)
             if mode == 0:
@@ -210,13 +215,15 @@ def run_large(n_cases: int, base: int = 80_000) -> int:
                                         mesh=pmesh.make_mesh((1, 8)))
                     out = api.stitch_arrays(imgs, specs, options, cfg)
             else:
+                from imagestitching_tpu.runtime import tiler as _tiler
                 cfg = RuntimeConfig(
                     engine=str(rng.choice(["auto", "xla"])),
                     interpret=True,
                     overlap=str(rng.choice(["auto", "never", "always"])),
-                    budget=MemoryBudget(hbm_bytes=int(
-                        rng.choice([2_000_000_000, 2_000_000_000,
-                                    64_000_000]))))
+                    budget=MemoryBudget(hbm_bytes=max(
+                        _tiler.min_feasible_bytes(plan), int(
+                            rng.choice([2_000_000_000, 2_000_000_000,
+                                        64_000_000])))))
                 items = [(a, s.orientation) for a, s in zip(imgs, specs)]
                 if mode == 0:
                     out = ist.stitch(items, options=options, config=cfg)
