@@ -220,8 +220,11 @@ def main() -> None:
         f"{p50_5:.1f} ms = **{tf_s5:.1f} TF/s sustained, "
         f"{mfu5:.0%} of the 138.7 TF/s measured split-bf16 peak** "
         f"(tile picks th x tw x n_sub: {', '.join(picks5)}). The gap is "
-        "per-grid-step dispatch overhead plus VPU casts/DMA that the "
-        "n_sub column-subtile fusion amortizes but cannot eliminate; the "
+        "per-virtual-step cost (band DMA issue + slot semaphore waits) "
+        "plus VPU casts — measured NOT amortizable by fusing column "
+        "subtiles into fewer dispatches (benchmarks/profile_nsub.py on "
+        "chip: n_sub=1 at 162 steps/job 61.3 ms beats n_sub=4 at 81 "
+        "steps/job 62.6-63.0 ms, so the fusion is disabled); the "
         "model-flops numerator is itself ~140x an ideal 2-tap gather's "
         "arithmetic, so low MFU here is the price of riding the MXU at "
         "all (the gather engine is 2.4x slower end-to-end).",
@@ -276,6 +279,17 @@ def main() -> None:
         "|---|---|---|---|---|---|---|",
         e2e_row,
         e2e_row2,
+        "",
+        "## Decode (host)",
+        "",
+        "Native WEBP decode (codec.cpp + libwebp, round 4): a 12 MP "
+        "quality-80 webp decodes in **239 ms vs 370 ms Pillow** (1.5x) on "
+        "this 1-core host, bit-exact against the Pillow rung on lossless/"
+        "lossy/alpha content (alpha composited on white with the shared "
+        "round-half-up), and — like the JPEG/PNG paths — GIL-free, so the "
+        "prepare pool's webp decodes actually overlap on multi-core hosts. "
+        "Animated webp is refused by the native layer and takes the Pillow "
+        "first-frame ladder, mirroring GIF.",
         "",
         f"_Generated by benchmarks/run_all.py; samples: "
         f"{[r[5] for r in rows]}_",

@@ -131,12 +131,22 @@ _STEP_OVERHEAD_S = 1.2e-6      # per-grid-step dispatch/DMA-setup cost
 # single-job configs (config 3: 0.93 -> 1.21 ms) — hence two constants,
 # not one (benchmarks/profile_stepfusion.py, round 3).
 _STEP_OVERHEAD_BATCHED_S = 2.5e-6
-# Column-subtile fusion candidates for batched grids: each grid step runs
-# n_sub independent (band DMA + contraction + store) column subtiles, paying
-# ONE dispatch overhead — ~42% of config 5's batch was per-step overhead at
-# the round-3 calibration (VERDICT r3 #3).  Single-job grids keep n_sub=1
-# (few steps; the batched picks measurably regress them, see round-3 notes).
-_N_SUB_BATCHED = (1, 2, 4)
+# Column-subtile fusion (n_sub): each grid step runs n_sub independent
+# (band DMA + contraction + store) column subtiles, paying ONE dispatch
+# overhead.  Built as the structural shot at config 5's modeled ~42%
+# per-step overhead (VERDICT r3 #3) — and MEASURED A NEGATIVE on the real
+# chip (benchmarks/profile_nsub.py, 2026-08-19, B=64 config-5 batch):
+#   n_sub=1  162 steps/job  61.3 ms   <- fastest (= round-3 picks)
+#   n_sub=2  146 steps/job  63.8 ms
+#   n_sub=4   81 steps/job  62.6-63.0 ms  (the free pick at (1,2,4))
+# Halving grid-step dispatches does NOT halve the overhead term, so the
+# calibrated 2.5 us is a per-VIRTUAL-step cost (band DMA issue + slot
+# semaphore waits, which n_sub still pays per subtile), not a dispatch
+# cost n_sub can amortize.  Candidates therefore stay at (1,): the
+# machinery + parity tests remain (n_sub_force) for future targets, but
+# the free search must not pick a measured regression.  Don't re-enable
+# without a chip burn showing a win.
+_N_SUB_BATCHED = (1,)
 
 
 def _vmem_bytes(th: int, tw: int, bh: int, bw: int, channels: int = 3,

@@ -213,8 +213,10 @@ def test_column_subtile_fusion_parity(filt):
 
 
 def test_batched_model_considers_fusion():
-    """The batched tile search includes n_sub candidates; whatever it picks
-    must round-trip through the schedule into the static key."""
+    """Whatever n_sub the batched tile search picks must round-trip through
+    the schedule into the static key.  (Since the 2026-08-19 chip burn the
+    candidate set is (1,) — fusion measured slower on the real chip, see
+    _N_SUB_BATCHED — but the invariant must hold for any candidate set.)"""
     specs = [ImageSpec(1024, 600), ImageSpec(1920, 1080)]
     plan = plan_for(specs, mode="min", max_images=None)
     s = pallas_resize._Schedule(plan.placements[1], "bilinear", batched=True)
