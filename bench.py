@@ -706,6 +706,54 @@ def _fixture_paths(sizes, quality: int = 90):
     return paths, False
 
 
+def _host_cpu_busy_s():
+    """Non-idle CPU seconds across the host since boot (/proc/stat cpu line).
+
+    iowait counts as idle (our own disk IO parks there); steal counts as
+    busy (a hypervisor neighbor eating the core IS contention for us).
+    Returns None where /proc/stat is absent (non-linux).
+    """
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        if parts[:1] != ["cpu"]:
+            return None
+        vals = [float(v) for v in parts[1:]]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0.0)
+        return (sum(vals) - idle) / float(os.sysconf("SC_CLK_TCK"))
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _self_cpu_s():
+    """CPU seconds burned by this process (all threads) + reaped children."""
+    try:
+        import resource
+    except ImportError:                       # pragma: no cover — non-unix
+        return None
+    s = resource.getrusage(resource.RUSAGE_SELF)
+    c = resource.getrusage(resource.RUSAGE_CHILDREN)
+    return s.ru_utime + s.ru_stime + c.ru_utime + c.ru_stime
+
+
+def _contention(others_frac, load_before, load_after, ncpu):
+    """Did OTHER work share the host during the measurement window?
+
+    Primary signal: direct accounting — CPU seconds other processes burned
+    (host busy minus our own rusage) as a fraction of the wall window.
+    loadavg cannot distinguish neighbors from our own concurrency: the
+    overlapped e2e variant's decode + 4 readback + encode threads push a
+    1-core host's loadavg to ~1.5 with the host otherwise IDLE (measured),
+    so any fixed loadavg threshold false-positives on exactly the variant
+    that matters.  The loadavg heuristic remains only as the non-linux
+    fallback.
+    """
+    if others_frac is not None:
+        return others_frac > 0.15
+    return (load_before is not None and load_after is not None
+            and max(load_before, load_after) > ncpu + 0.5)
+
+
 def _e2e_variant(sizes, runs: int, budget_s: float, prefix: str) -> dict:
     import shutil
     import statistics as _stats
@@ -727,6 +775,8 @@ def _e2e_variant(sizes, runs: int, budget_s: float, prefix: str) -> dict:
             load_before = os.getloadavg()[0]
         except OSError:                       # pragma: no cover — non-unix
             load_before = None
+        busy0, self0 = _host_cpu_busy_s(), _self_cpu_s()
+        wall0 = time.perf_counter()
         # no RAM bitmap cache: every run pays real decodes
         cfg = RuntimeConfig(overlap="always", budget=MemoryBudget(
             host_cache_pixels=0, host_cache_entries=0))
@@ -785,16 +835,22 @@ def _e2e_variant(sizes, runs: int, budget_s: float, prefix: str) -> dict:
             load_after = os.getloadavg()[0]
         except OSError:                       # pragma: no cover — non-unix
             load_after = None
+        busy1, self1 = _host_cpu_busy_s(), _self_cpu_s()
+        window = time.perf_counter() - wall0
+        others_frac = None
+        if None not in (busy0, busy1, self0, self1) and window > 0:
+            others_frac = max(0.0, (busy1 - busy0) - (self1 - self0)) / window
         ncpu = os.cpu_count() or 1
-        # the bench itself contributes ~1.0 while running; anything beyond
-        # (1-min EMA) means OTHER work shared the host during the runs
-        contended = (load_before is not None and load_after is not None
-                     and max(load_before, load_after) > ncpu + 0.5)
+        contended = _contention(others_frac, load_before, load_after, ncpu)
         if contended:
+            ofr = ("" if others_frac is None
+                   else f", other-process CPU {others_frac:.0%} of a core")
             log(f"{prefix}: HOST CONTENDED (loadavg "
-                f"{load_before:.2f}->{load_after:.2f}, {ncpu} cores) — "
+                f"{load_before:.2f}->{load_after:.2f}, {ncpu} cores{ofr}) — "
                 "walls above measure the neighbors, not the pipeline")
         return {
+            prefix + "others_cpu_frac": (None if others_frac is None
+                                         else round(others_frac, 3)),
             prefix + "load_before": (None if load_before is None
                                      else round(load_before, 2)),
             prefix + "load_after": (None if load_after is None

@@ -184,6 +184,34 @@ def test_e2e_variant_emits_stability_fields(tmp_path, monkeypatch):
     assert out["e2e_ms"] is not None
     assert out["e2e_ms_min"] <= out["e2e_ms"] <= out["e2e_ms_max"]
     assert out["e2e_runs"] >= 1
+    # contention accounting fields (linux: direct /proc/stat accounting)
+    assert "e2e_contended" in out
+    assert out["e2e_others_cpu_frac"] is None or out["e2e_others_cpu_frac"] >= 0
+
+
+def test_contention_ignores_own_threads():
+    # own-concurrency loadavg (1-core host, overlapped pipeline pushes ~1.5)
+    # must NOT flag when the accounting says other processes were idle —
+    # the round-4 live-tunnel run false-positived exactly here
+    assert bench._contention(0.02, 1.18, 1.54, 1) is False
+    # real neighbor: half a core of foreign CPU during the window
+    assert bench._contention(0.5, 0.2, 0.3, 1) is True
+    # non-linux fallback keeps the old loadavg heuristic
+    assert bench._contention(None, 2.0, 0.4, 1) is True
+    assert bench._contention(None, 0.9, 1.1, 1) is False
+    assert bench._contention(None, None, None, 1) is False
+
+
+def test_host_cpu_accounting_helpers():
+    b0, s0 = bench._host_cpu_busy_s(), bench._self_cpu_s()
+    assert b0 is None or b0 > 0
+    assert s0 is None or s0 > 0
+    if b0 is not None and s0 is not None:
+        t = 0.0
+        for i in range(200000):
+            t += i * 0.5
+        b1, s1 = bench._host_cpu_busy_s(), bench._self_cpu_s()
+        assert b1 >= b0 and s1 >= s0
 
 
 # --------------------------------------------------------------- round 4:
