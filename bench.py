@@ -736,6 +736,54 @@ def _self_cpu_s():
     return s.ru_utime + s.ru_stime + c.ru_utime + c.ru_stime
 
 
+# device traffic on this sandbox routes through out-of-process transport
+# infrastructure (the axon tunnel relay + the VM's network proxy) whose CPU
+# would otherwise be charged to "neighbors": a measured 8 MB D2H fetch burns
+# ~0.30 CPU-s across them (~37 ms/MB), so the resample variant's readback
+# alone looks like ~20% foreign CPU.  Their cmdlines are matched here and
+# their CPU is reported separately as transport, not contention.
+_INFRA_CMDLINE_RE = os.environ.get("BENCH_INFRA_CMDLINE_RE",
+                                   r"tpu_init|process_api")
+
+
+def _infra_pids():
+    import re
+    pat = re.compile(_INFRA_CMDLINE_RE)
+    pids = []
+    try:
+        entries = os.listdir("/proc")
+    except OSError:                           # pragma: no cover — non-linux
+        return pids
+    for p in entries:
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/cmdline", "rb") as f:
+                cl = f.read().decode("utf-8", "replace")
+        except OSError:
+            continue
+        if pat.search(cl):
+            pids.append(int(p))
+    return pids
+
+
+def _pids_cpu_s(pids):
+    """Sum of utime+stime (seconds) for the given pids; exited pids skipped."""
+    try:
+        tck = float(os.sysconf("SC_CLK_TCK"))
+    except (OSError, ValueError):             # pragma: no cover — non-linux
+        return 0.0
+    total = 0.0
+    for p in pids:
+        try:
+            with open(f"/proc/{p}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            total += (int(parts[11]) + int(parts[12])) / tck
+        except (OSError, IndexError, ValueError):
+            pass
+    return total
+
+
 def _contention(others_frac, load_before, load_after, ncpu):
     """Did OTHER work share the host during the measurement window?
 
@@ -776,6 +824,8 @@ def _e2e_variant(sizes, runs: int, budget_s: float, prefix: str) -> dict:
         except OSError:                       # pragma: no cover — non-unix
             load_before = None
         busy0, self0 = _host_cpu_busy_s(), _self_cpu_s()
+        infra_pids = _infra_pids()
+        infra0 = _pids_cpu_s(infra_pids)
         wall0 = time.perf_counter()
         # no RAM bitmap cache: every run pays real decodes
         cfg = RuntimeConfig(overlap="always", budget=MemoryBudget(
@@ -836,10 +886,13 @@ def _e2e_variant(sizes, runs: int, budget_s: float, prefix: str) -> dict:
         except OSError:                       # pragma: no cover — non-unix
             load_after = None
         busy1, self1 = _host_cpu_busy_s(), _self_cpu_s()
+        infra_s = _pids_cpu_s(infra_pids) - infra0
         window = time.perf_counter() - wall0
-        others_frac = None
+        others_frac = transport_frac = None
         if None not in (busy0, busy1, self0, self1) and window > 0:
-            others_frac = max(0.0, (busy1 - busy0) - (self1 - self0)) / window
+            others_frac = max(0.0, (busy1 - busy0) - (self1 - self0)
+                              - infra_s) / window
+            transport_frac = max(0.0, infra_s) / window
         ncpu = os.cpu_count() or 1
         contended = _contention(others_frac, load_before, load_after, ncpu)
         if contended:
@@ -851,6 +904,8 @@ def _e2e_variant(sizes, runs: int, budget_s: float, prefix: str) -> dict:
         return {
             prefix + "others_cpu_frac": (None if others_frac is None
                                          else round(others_frac, 3)),
+            prefix + "transport_cpu_frac": (None if transport_frac is None
+                                            else round(transport_frac, 3)),
             prefix + "load_before": (None if load_before is None
                                      else round(load_before, 2)),
             prefix + "load_after": (None if load_after is None

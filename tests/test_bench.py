@@ -187,6 +187,19 @@ def test_e2e_variant_emits_stability_fields(tmp_path, monkeypatch):
     # contention accounting fields (linux: direct /proc/stat accounting)
     assert "e2e_contended" in out
     assert out["e2e_others_cpu_frac"] is None or out["e2e_others_cpu_frac"] >= 0
+    assert (out["e2e_transport_cpu_frac"] is None
+            or out["e2e_transport_cpu_frac"] >= 0)
+
+
+def test_infra_cpu_accounting(monkeypatch):
+    # our own pid matched as "infra" must absorb our own burn into the
+    # transport bucket (the mechanism that exempts the tunnel relay +
+    # network proxy from the neighbors measurement)
+    me = [os.getpid()]
+    assert bench._pids_cpu_s(me) > 0
+    assert bench._pids_cpu_s([2**30]) == 0.0  # exited/absent pid: skipped
+    monkeypatch.setattr(bench, "_INFRA_CMDLINE_RE", r"\bbench_no_such\b")
+    assert bench._infra_pids() == []
 
 
 def test_contention_ignores_own_threads():
