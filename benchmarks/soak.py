@@ -1174,6 +1174,52 @@ def run_tpu(n_cases: int, base: int = 140_000) -> int:
             sharded = 0.06 <= roll < 0.18
             tight = 0.18 <= roll < 0.36
             merge = 0.36 <= roll < 0.46
+            grid = 0.46 <= roll < 0.53
+            if grid:
+                # grid-collage slice: per-column kernels run ON the chip
+                # (engine="auto" resolves per column signature on real
+                # Mosaic; every other grid burn emulates on XLA:CPU) and
+                # the host write-once assembly is oracle-checked
+                from imagestitching_tpu.core.grid import plan_grid
+                gn = int(rng.integers(1, 7))
+                gdisp = [rng.integers(
+                    0, 256, (int(rng.integers(16, 220)),
+                             int(rng.integers(16, 180)), 3), np.uint8)
+                    for _ in range(gn)]
+                g_cols = int(rng.integers(1, 5))
+                g_order = str(rng.choice(["balance", "preserve"]))
+                g_valign = str(rng.choice(["top", "center"]))
+                options = StitchOptions(
+                    mode=str(rng.choice(["min", "max", "original"])),
+                    gap=_rand_gap(rng, 9),
+                    filter=str(rng.choice(["bilinear", "triangle",
+                                           "lanczos3"])),
+                    background=tuple(int(x)
+                                     for x in rng.integers(0, 256, 3)),
+                    max_images=None)
+                limits = (ist.CanvasLimits(
+                    max_side=int(rng.integers(120, 600)))
+                    if rng.random() < 0.3 else None)
+                g_kw = {"interpret": True} if interpret else {}
+                got = api.stitch_grid(
+                    gdisp, cols=g_cols, options=options,
+                    config=RuntimeConfig(
+                        engine=str(rng.choice(["auto", "auto", "xla"])),
+                        **g_kw),
+                    limits=limits, order=g_order, valign=g_valign)
+                g_specs = [ImageSpec(a.shape[1], a.shape[0])
+                           for a in gdisp]
+                gplan = plan_grid(g_specs, g_cols, options, limits,
+                                  g_order)
+                want = _assemble_grid_oracle(gplan, gdisp, g_valign)
+                assert got.shape == want.shape, (got.shape, want.shape)
+                diff = np.abs(got.astype(int) - want.astype(int)).max()
+                assert diff <= 1, f"diff={diff}"
+                print(f"seed {base + seed}: ok (grid, n={gn}, "
+                      f"cols={gplan.cols}, {g_order}/{g_valign}, "
+                      f"canvas={gplan.canvas_w}x{gplan.canvas_h}, "
+                      f"diff={diff})", flush=True)
+                continue
             if merge:
                 # overlap-merge slice: the scorer matmul runs ON the chip
                 # (every other merge burn emulates it on XLA:CPU); trims
@@ -1685,6 +1731,23 @@ def run_merge(n_cases: int, base: int = 190_000) -> int:
     return fails
 
 
+def _assemble_grid_oracle(gplan, disp, valign):
+    """Independent float64-oracle assembly of a grid plan: per-column
+    oracle stitches placed write-once on a hand-built background canvas
+    (the verification twin of core/grid._assemble)."""
+    want = np.empty((gplan.canvas_h, gplan.canvas_w, 3), np.uint8)
+    want[:] = np.asarray(gplan.background, np.uint8)
+    gap_px = int(np.floor(gplan.gap + 0.5))
+    x = 0
+    for idx_list, plan in zip(gplan.columns, gplan.col_plans):
+        col = oracle.stitch(plan, [disp[i] for i in idx_list])
+        y = ((gplan.canvas_h - col.shape[0]) // 2
+             if valign == "center" else 0)
+        want[y:y + col.shape[0], x:x + col.shape[1]] = col
+        x += gplan.col_width + gap_px
+    return want
+
+
 def run_grid(n_cases: int, base: int = 200_000) -> int:
     """Randomized soak of the grid collage (``api.stitch_grid``,
     core/grid.py): random image sets (grayscale and EXIF-tagged inputs
@@ -1759,16 +1822,7 @@ def run_grid(n_cases: int, base: int = 200_000) -> int:
 
             specs = [ImageSpec(a.shape[1], a.shape[0]) for a in disp]
             gplan = plan_grid(specs, cols, options, limits, order)
-            want = np.empty((gplan.canvas_h, gplan.canvas_w, 3), np.uint8)
-            want[:] = np.asarray(gplan.background, np.uint8)
-            gap_px = int(np.floor(gplan.gap + 0.5))
-            x = 0
-            for idx_list, plan in zip(gplan.columns, gplan.col_plans):
-                col = oracle.stitch(plan, [disp[i] for i in idx_list])
-                y = ((gplan.canvas_h - col.shape[0]) // 2
-                     if valign == "center" else 0)
-                want[y:y + col.shape[0], x:x + col.shape[1]] = col
-                x += gplan.col_width + gap_px
+            want = _assemble_grid_oracle(gplan, disp, valign)
             assert got.shape == want.shape, (got.shape, want.shape)
             diff = np.abs(got.astype(int) - want.astype(int)).max()
             assert diff <= 1, f"diff={diff}"

@@ -147,6 +147,33 @@ def test_tpu_server_batched_serving_parity():
         assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
 
 
+def test_tpu_grid_collage_parity():
+    """stitch_grid on the real chip: per-column kernels resolved by
+    engine="auto" on real Mosaic, host write-once assembly checked against
+    an independent per-column float64 oracle assembly (core/grid.py)."""
+    from imagestitching_tpu.core.grid import plan_grid
+
+    imgs = [rng.integers(0, 256, (int(h), int(w), 3), np.uint8)
+            for (w, h) in ((120, 90), (100, 140), (80, 70), (110, 100),
+                           (95, 120))]
+    options = StitchOptions(gap=3, background=(20, 40, 60),
+                            max_images=None)
+    got = api.stitch_grid(imgs, cols=2, options=options, valign="center")
+    specs = [ImageSpec(a.shape[1], a.shape[0]) for a in imgs]
+    gplan = plan_grid(specs, 2, options, None, "balance")
+    want = np.empty((gplan.canvas_h, gplan.canvas_w, 3), np.uint8)
+    want[:] = np.asarray(gplan.background, np.uint8)
+    gap_px = int(np.floor(gplan.gap + 0.5))
+    x = 0
+    for idx_list, plan in zip(gplan.columns, gplan.col_plans):
+        col = oracle.stitch(plan, [imgs[i] for i in idx_list])
+        y = (gplan.canvas_h - col.shape[0]) // 2
+        want[y:y + col.shape[0], x:x + col.shape[1]] = col
+        x += gplan.col_width + gap_px
+    assert got.shape == want.shape
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
 def test_tpu_merge_overlap_scorer_parity():
     """The merge scorer's MXU matmul on the real chip: candidate ORDER can
     differ from the float64 twin only on non-matching near-ties, and the
