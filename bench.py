@@ -767,21 +767,37 @@ def _infra_pids():
     return pids
 
 
-def _pids_cpu_s(pids):
-    """Sum of utime+stime (seconds) for the given pids; exited pids skipped."""
+def _pids_cpu_map(pids):
+    """{pid: utime+stime seconds} for the given pids; exited pids skipped."""
     try:
         tck = float(os.sysconf("SC_CLK_TCK"))
     except (OSError, ValueError):             # pragma: no cover — non-linux
-        return 0.0
-    total = 0.0
+        return {}
+    out = {}
     for p in pids:
         try:
             with open(f"/proc/{p}/stat") as f:
                 parts = f.read().rsplit(")", 1)[1].split()
-            total += (int(parts[11]) + int(parts[12])) / tck
+            out[p] = (int(parts[11]) + int(parts[12])) / tck
         except (OSError, IndexError, ValueError):
             pass
-    return total
+    return out
+
+
+def _infra_cpu_delta(before, after):
+    """In-window infra CPU seconds from per-pid samples, restart-safe.
+
+    A pid that DIED mid-window would make an aggregate end-minus-start
+    delta hugely negative (its accumulated CPU vanishes from the end
+    sample), inflating the neighbors term and re-creating the false
+    HOST CONTENDED flag; per-pid deltas are clamped at 0 instead (its
+    in-window CPU is unattributable and errs toward neighbors).  A pid
+    present only at window end started after the start scan listed all of
+    /proc, so its whole CPU is in-window and counts fully — a RESPAWNED
+    relay is charged to transport, not to neighbors.
+    """
+    return sum(max(0.0, c1 - before.get(pid, 0.0))
+               for pid, c1 in after.items())
 
 
 def _contention(others_frac, load_before, load_after, ncpu):
@@ -824,8 +840,7 @@ def _e2e_variant(sizes, runs: int, budget_s: float, prefix: str) -> dict:
         except OSError:                       # pragma: no cover — non-unix
             load_before = None
         busy0, self0 = _host_cpu_busy_s(), _self_cpu_s()
-        infra_pids = _infra_pids()
-        infra0 = _pids_cpu_s(infra_pids)
+        infra0 = _pids_cpu_map(_infra_pids())
         wall0 = time.perf_counter()
         # no RAM bitmap cache: every run pays real decodes
         cfg = RuntimeConfig(overlap="always", budget=MemoryBudget(
@@ -886,13 +901,13 @@ def _e2e_variant(sizes, runs: int, budget_s: float, prefix: str) -> dict:
         except OSError:                       # pragma: no cover — non-unix
             load_after = None
         busy1, self1 = _host_cpu_busy_s(), _self_cpu_s()
-        infra_s = _pids_cpu_s(infra_pids) - infra0
+        infra_s = _infra_cpu_delta(infra0, _pids_cpu_map(_infra_pids()))
         window = time.perf_counter() - wall0
         others_frac = transport_frac = None
         if None not in (busy0, busy1, self0, self1) and window > 0:
             others_frac = max(0.0, (busy1 - busy0) - (self1 - self0)
                               - infra_s) / window
-            transport_frac = max(0.0, infra_s) / window
+            transport_frac = infra_s / window
         ncpu = os.cpu_count() or 1
         contended = _contention(others_frac, load_before, load_after, ncpu)
         if contended:

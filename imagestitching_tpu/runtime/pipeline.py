@@ -202,6 +202,23 @@ def _streamed_update(plan, index: int, channels: int, canvas, src,
     return exe(canvas, src, offs, taps)
 
 
+def _fence_limit(plan: LayoutPlan, channels: int,
+                 config: RuntimeConfig) -> int:
+    """Staged-but-unfenced byte budget for the streamed paths.
+
+    Half the budget headroom above the canvas, floored at 8 MB so ordinary
+    jobs don't pay a fence (= one transport round trip through the tunnel)
+    per small image — but the floor is itself capped at the headroom: a
+    64 MB unconditional floor used to let staged sources pile PAST a tight
+    budget in exactly the regime the fence exists to bound (r4s9 review).
+    Zero headroom fences after every image, which is always safe (the
+    update is already enqueued when the fence fires).
+    """
+    headroom = max(0, config.budget.hbm_bytes
+                   - plan.canvas_h * plan.canvas_w * channels)
+    return max(min(8 << 20, headroom), headroom // 2)
+
+
 def _run_streamed(plan: LayoutPlan, images: Sequence[np.ndarray],
                   channels: int, config: RuntimeConfig,
                   progress: ProgressFn,
@@ -217,9 +234,7 @@ def _run_streamed(plan: LayoutPlan, images: Sequence[np.ndarray],
     # streamed model assumes a bounded window) — once staged-but-unfenced
     # bytes exceed the canvas' budget headroom, one tiny data-dependent
     # fetch drains the queue and frees the consumed sources.
-    fence_limit = max(64 << 20,
-                      (config.budget.hbm_bytes
-                       - plan.canvas_h * plan.canvas_w * channels) // 2)
+    fence_limit = _fence_limit(plan, channels, config)
     inflight = 0
     staged = jnp.asarray(images[0]) if images else None
     n = len(images)
@@ -598,9 +613,7 @@ def _run_overlapped_body(plan, loaders, config, progress, m, ex, log,
     # (r4s7 review; the tiler's streamed model assumes a bounded window).
     # Once staged-but-unfenced bytes exceed the canvas' budget headroom, one
     # tiny data-dependent fetch drains the queue and frees consumed sources.
-    fence_limit = max(64 << 20,
-                      (config.budget.hbm_bytes
-                       - plan.canvas_h * plan.canvas_w * channels) // 2)
+    fence_limit = _fence_limit(plan, channels, config)
     inflight = 0
 
     gen = decoding.iter_decoded(loaders, config.decode_threads,

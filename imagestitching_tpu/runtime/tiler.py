@@ -147,6 +147,16 @@ def _band_candidates(rows: int) -> List[int]:
     return out
 
 
+def _tap_k(kind: str, scale: float) -> int:
+    """Static tap count K of geometry.filter_taps at this dest/src scale."""
+    if kind == "bilinear":
+        return 2
+    if kind == "box":
+        return max(1, int(math.ceil(1.0 / max(scale, 1e-9))) + 1)
+    support = geometry.filter_support(kind, max(scale, 1e-9))
+    return max(2, int(math.ceil(2 * support)) + 1)
+
+
 def _banded_peak(plan: LayoutPlan, band: int, channels: int) -> int:
     """Device peak of one _BandedExecutor band.
 
@@ -155,12 +165,22 @@ def _banded_peak(plan: LayoutPlan, band: int, channels: int) -> int:
     result per image, and (band, canvas_w, C) f32 canvas/region buffers plus
     the uint8 band out — an earlier uint8-only model under-counted ~4-6x
     and picked bands that OOMed at runtime (r4s7 review).
+
+    EVERY image's uint8 crop (zero-filled for non-intersecting pairs — the
+    executor caches those device-resident) plus its row/column tap buffers
+    are live jit args of each band call simultaneously, so those SUM over
+    images; only the f32 cast/row-pass temporaries are sequential per image
+    (XLA reuses them) and take the max (r4s9 review: the old max-only model
+    under-counted multi-image bands by up to a factor of n).
     """
     band_canvas = channels * plan.canvas_w * band
-    worst = 0
+    crops_sum = 0
+    taps_sum = 0
+    worst_tmp = 0
     for p in plan.placements:
         r0, r1 = p.row_span
-        if r1 <= r0:
+        c0, c1 = p.col_span
+        if r1 <= r0 or c1 <= c0:
             continue
         disp_w, disp_h = geometry.display_size(p.raw_w, p.raw_h,
                                                p.orientation)
@@ -170,9 +190,15 @@ def _banded_peak(plan: LayoutPlan, band: int, channels: int) -> int:
             band / max(scale, 1e-9) + 2 * support)) + 2)
         crop = channels * rows_needed * _round_up(disp_w, 128)
         row_pass = 4 * channels * band * _round_up(disp_w, 128)
-        worst = max(worst, 5 * crop + row_pass)   # uint8 upload + f32 cast
+        crops_sum += crop                     # uint8 input arg, all live
+        k_rows = _tap_k(plan.filter, scale)
+        k_cols = _tap_k(plan.filter, p.w / max(1, disp_w))
+        # per band: (band, k_rows) f32 w + (band,) i32 i0 + (band,) f32 in;
+        # band-invariant device-resident: (span, k_cols) f32 w + (span,) i32
+        taps_sum += 4 * band * (k_rows + 2) + 4 * (c1 - c0) * (k_cols + 1)
+        worst_tmp = max(worst_tmp, 4 * crop + row_pass)   # f32 cast + rows
     # f32 canvas carry + f32 region (DUS output) + mask + uint8 band out
-    return 10 * band_canvas + worst
+    return 10 * band_canvas + crops_sum + taps_sum + worst_tmp
 
 
 def band_ranges(plan: LayoutPlan, band_rows: int) -> List[Tuple[int, int]]:

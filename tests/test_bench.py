@@ -196,10 +196,25 @@ def test_infra_cpu_accounting(monkeypatch):
     # transport bucket (the mechanism that exempts the tunnel relay +
     # network proxy from the neighbors measurement)
     me = [os.getpid()]
-    assert bench._pids_cpu_s(me) > 0
-    assert bench._pids_cpu_s([2**30]) == 0.0  # exited/absent pid: skipped
+    assert bench._pids_cpu_map(me)[os.getpid()] > 0
+    assert bench._pids_cpu_map([2**30]) == {}  # exited/absent pid: skipped
     monkeypatch.setattr(bench, "_INFRA_CMDLINE_RE", r"\bbench_no_such\b")
     assert bench._infra_pids() == []
+
+
+def test_infra_cpu_delta_restart_safe():
+    # relay alive across the window: plain delta
+    assert bench._infra_cpu_delta({1: 10.0}, {1: 12.5}) == 2.5
+    # relay DIED mid-window: its vanished CPU must contribute 0, never a
+    # negative aggregate that inflates the neighbors term (r4s9 review —
+    # the old end-minus-start-over-one-snapshot went hugely negative here)
+    assert bench._infra_cpu_delta({1: 500.0}, {}) == 0.0
+    # relay RESPAWNED as a new pid: started after the start scan, so its
+    # whole CPU is in-window and charges to transport, not neighbors
+    assert bench._infra_cpu_delta({1: 500.0}, {2: 3.0}) == 3.0
+    # pid-number reuse with a lower counter: that pid clamps to 0 (its 2.0
+    # belongs to a NEW process but the sample can't tell), new pid 3 counts
+    assert bench._infra_cpu_delta({1: 500.0}, {1: 2.0, 3: 1.0}) == 1.0
 
 
 def test_contention_ignores_own_threads():

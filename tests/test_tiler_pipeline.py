@@ -63,6 +63,44 @@ def test_impossible_budget_raises():
         tiler.plan_execution(plan, MemoryBudget(hbm_bytes=100_000))
 
 
+def test_banded_peak_sums_per_image_args():
+    # EVERY image's crop + tap buffers are simultaneously-live jit args of
+    # one band call (_BandedExecutor.run), so the model must SUM them over
+    # images — a max-only model under-counted n-image bands (r4s9 review):
+    # n copies of one image must cost strictly more than one, by at least
+    # the n-1 extra uint8 crops
+    one = plan_for([ImageSpec(1500, 1500)])
+    six = plan_for([ImageSpec(1500, 1500)] * 6)
+    band = 64
+    p1 = tiler._banded_peak(one, band, 3)
+    p6 = tiler._banded_peak(six, band, 3)
+    # identical per-image geometry: 10*band_canvas differs (canvas_h only
+    # affects ranges, canvas_w equal), crops/taps scale with n
+    scale = one.placements[0].h / 1500
+    support = 1.0 * max(1.0, 1.0 / scale)
+    import math
+    rows_needed = min(1500, int(math.ceil(band / scale + 2 * support)) + 2)
+    crop = 3 * rows_needed * ((1500 + 127) // 128 * 128)
+    assert p6 - p1 >= 5 * crop
+
+
+def test_fence_limit_capped_at_headroom():
+    # the fence floor must never exceed the budget headroom above the
+    # canvas: a 64 MB unconditional floor let staged sources pile past a
+    # tight budget (r4s9 review)
+    plan = plan_for([ImageSpec(1000, 1000)] * 3)
+    canvas = 3 * plan.canvas_w * plan.canvas_h
+    tight = RuntimeConfig(budget=MemoryBudget(hbm_bytes=canvas + (6 << 20)))
+    lim = pipeline._fence_limit(plan, 3, tight)
+    assert lim <= tight.budget.hbm_bytes - canvas
+    # zero headroom: fence after every image (always safe)
+    assert pipeline._fence_limit(
+        plan, 3, RuntimeConfig(budget=MemoryBudget(hbm_bytes=canvas))) == 0
+    # plentiful budget: floor never binds, headroom//2 as before
+    big = RuntimeConfig(budget=MemoryBudget(hbm_bytes=canvas + (1 << 30)))
+    assert pipeline._fence_limit(plan, 3, big) == (1 << 30) // 2
+
+
 def test_band_source_rows_cover_taps():
     plan = plan_for([ImageSpec(100, 333), ImageSpec(50, 100)], mode="min")
     p = plan.placements[0]

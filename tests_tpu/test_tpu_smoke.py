@@ -150,7 +150,13 @@ def test_tpu_server_batched_serving_parity():
 def test_tpu_grid_collage_parity():
     """stitch_grid on the real chip: per-column kernels resolved by
     engine="auto" on real Mosaic, host write-once assembly checked against
-    an independent per-column float64 oracle assembly (core/grid.py)."""
+    an independent per-column float64 oracle assembly (core/grid.py).
+
+    The assembly twin is DELIBERATELY not imported from benchmarks/soak.py
+    (_assemble_grid_oracle): importing that module forces
+    JAX_PLATFORMS=cpu at import time whenever --tpu isn't in sys.argv,
+    which would silently demote this real-chip test to the CPU backend.
+    """
     from imagestitching_tpu.core.grid import plan_grid
 
     imgs = [rng.integers(0, 256, (int(h), int(w), 3), np.uint8)
