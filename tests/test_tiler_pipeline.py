@@ -84,6 +84,38 @@ def test_banded_peak_sums_per_image_args():
     assert p6 - p1 >= 5 * crop
 
 
+def test_banded_model_bounds_live_arg_bytes():
+    # reality link (allocator stats are unavailable on the tunneled TPU —
+    # benchmarks/profile_banded_peak.py): the model's non-canvas terms must
+    # bound the ACTUAL bytes of every band call's jit args (all live at
+    # once), for multi-image plans and a wide-K filter
+    from imagestitching_tpu.core import geometry
+    specs = [ImageSpec(700, 500), ImageSpec(600, 800), ImageSpec(640, 640)]
+    plan = plan_for(specs, filter="lanczos3")
+    band = 64
+    ex = pipeline._BandedExecutor(plan, band, 3)
+    captured = []
+    orig = ex._jitted
+
+    def wrap(crops, ri0, rw, rin, ci0, cw):
+        captured.append(sum(int(a.nbytes)
+                            for lst in (crops, ri0, rw, rin, ci0, cw)
+                            for a in lst))
+        return orig(crops, ri0, rw, rin, ci0, cw)
+
+    ex._jitted = wrap
+    imgs = [rng.integers(0, 256, (s.raw_h, s.raw_w, 3), np.uint8)
+            for s in specs]
+    oriented = [geometry.orient_array(a, s.orientation)
+                for a, s in zip(imgs, specs)]
+    out = ex.run(oriented)
+    parity(out, oracle.stitch(plan, oriented))
+    assert captured
+    model = tiler._banded_peak(plan, band, 3)
+    band_canvas = 3 * plan.canvas_w * band
+    assert model - 10 * band_canvas >= max(captured)
+
+
 def test_fence_limit_capped_at_headroom():
     # the fence floor must never exceed the budget headroom above the
     # canvas: a 64 MB unconditional floor let staged sources pile past a
