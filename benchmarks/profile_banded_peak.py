@@ -50,6 +50,16 @@ def measure(specs, band, filt="bilinear", label=""):
     ex = pipeline._BandedExecutor(plan, band, 3)
     out = ex.run(oriented)
     after = _stats()
+    # peak_bytes_in_use is a LIFETIME high-water mark: if an earlier case in
+    # this process peaked higher, it never advances during this run and the
+    # delta below would report the stale peak, not this case's — detect and
+    # flag instead of printing garbage (r4s10 review)
+    if after["peak_bytes_in_use"] <= before["peak_bytes_in_use"]:
+        print(f"{label or filt}: peak did not advance past an earlier "
+              f"case's high-water ({before['peak_bytes_in_use']/1e6:.2f} "
+              f"MB) — run this case alone in a fresh process", flush=True)
+        assert out.shape == (plan.canvas_h, plan.canvas_w, 3)
+        return model, None
     # high-water delta over the run (fresh buffers only; the baseline holds
     # whatever earlier jobs left resident)
     peak = after["peak_bytes_in_use"] - before["bytes_in_use"]
