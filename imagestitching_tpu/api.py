@@ -126,19 +126,27 @@ def prepare(items: Sequence[ImageInput], config: RuntimeConfig,
     failures: List[Tuple[int, Exception]] = []
     done = 0
     jobs = [(lambda it=it: _load_one(it, config)) for it in items]
-    for i, value, err in decoding.iter_decoded(
-            jobs, config.decode_threads, config.decode_timeout_s):
-        if err is not None:
-            if not isinstance(err, Exception):
-                raise err     # KeyboardInterrupt etc. — never skippable
-            log.event("prepare.fail", index=i, error=repr(err))
-            if on_error == "raise":
-                raise err
-            failures.append((i, err))
-        else:
-            images[i], orientations[i] = value
-        done += 1
-        progress("prepare", done / max(1, len(items)))
+    pool = decoding.iter_decoded(jobs, config.decode_threads,
+                                 config.decode_timeout_s)
+    try:
+        for i, value, err in pool:
+            if err is not None:
+                if not isinstance(err, Exception):
+                    raise err     # KeyboardInterrupt etc. — never skippable
+                log.event("prepare.fail", index=i, error=repr(err))
+                if on_error == "raise":
+                    raise err
+                failures.append((i, err))
+            else:
+                images[i], orientations[i] = value
+            done += 1
+            progress("prepare", done / max(1, len(items)))
+    finally:
+        # the on_error="raise" path must cancel the pool promptly: abandoned
+        # (its generator frame forms a self-cycle only gc collects), the
+        # daemon workers would keep decoding every queued image meanwhile —
+        # same class as the _stitch_blit_overlapped ADVICE r3 fix
+        pool.close()
 
     kept_images: List[np.ndarray] = []
     specs: List[ImageSpec] = []
