@@ -109,3 +109,27 @@ def test_stitch_raises_on_hanging_fifo(tmp_path):
             os.close(fd)
         except OSError:
             pass  # no reader blocked anymore
+
+
+def test_prepare_raise_cancels_pool(tmp_path, monkeypatch):
+    # on_error="raise" must cancel the decode pool promptly (try/finally
+    # close), not abandon it to gc — an abandoned pool's daemon workers
+    # keep decoding every queued image meanwhile (r4s10; the prepare twin
+    # of the _stitch_blit_overlapped ADVICE r3 fix)
+    good = tmp_path / "g.png"
+    make_png(good, 20, 20)
+    bad = tmp_path / "bad.png"
+    bad.write_bytes(b"\x89PNG\r\n\x1a\nnot really")
+    pools = []
+    orig = decoding.iter_decoded
+
+    def capture(*a, **kw):
+        pool = orig(*a, **kw)
+        pools.append(pool)
+        return pool
+
+    monkeypatch.setattr(decoding, "iter_decoded", capture)
+    with pytest.raises(Exception):
+        api.prepare([str(good), str(bad)] + [str(good)] * 6,
+                    RuntimeConfig(decode_threads=1), on_error="raise")
+    assert pools and pools[0]._cancelled.is_set()
