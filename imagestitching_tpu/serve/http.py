@@ -40,6 +40,27 @@ from ..runtime.logger import get_logger
 from .server import ServerOverloaded, StitchServer
 
 
+class BadImage(ValueError):
+    """A request image failed to decode — the client's bytes, their 400."""
+
+
+def _status_for(e: Exception) -> int:
+    """Map a request failure to an HTTP status.
+
+    Client-attributable errors (bad options, undecodable images, an
+    explicitly-requested kernel engine that cannot run the job) are 400;
+    a job that outlives the result deadline is 504; anything else is a
+    server-side failure and reports 500 — blaming the client for a dead
+    device (the pre-r4s10 behavior: every exception was a 400) misdirects
+    the operator AND the client's retry logic."""
+    from ..ops.pallas_resize import Infeasible
+    if isinstance(e, (ValueError, Infeasible)):
+        return 400
+    if isinstance(e, TimeoutError):      # concurrent.futures alias too
+        return 504
+    return 500
+
+
 def _parse_multipart(content_type: str, body: bytes) -> List[bytes]:
     """File parts, in order, from a multipart/form-data body."""
     head = (f"Content-Type: {content_type}\r\n"
@@ -166,8 +187,10 @@ class _Handler(BaseHTTPRequestHandler):
             self.end_headers()
             self.wfile.write(body)
         except Exception as e:  # noqa: BLE001 — request isolation boundary
-            get_logger().event("http.request_fail", error=repr(e))
-            self._send_json(400, {"error": str(e)})
+            code = _status_for(e)
+            get_logger().event("http.request_fail", error=repr(e),
+                               status=code)
+            self._send_json(code, {"error": str(e)})
 
 
 class StitchHTTPServer:
@@ -206,7 +229,10 @@ class StitchHTTPServer:
         # overload pre-check before paying per-request decode work (the
         # authoritative slot-reserving check still happens at submission)
         self.server.ensure_capacity()
-        decoded = [codec.decode(b) for b in blobs]
+        try:
+            decoded = [codec.decode(b) for b in blobs]
+        except Exception as e:   # noqa: BLE001 — any failure here is the
+            raise BadImage(f"image decode failed: {e}") from e  # client's
         images = [d[0] for d in decoded]
         orientations = [d[1] for d in decoded]   # EXIF applied on device
         if enc.get("grid_cols"):

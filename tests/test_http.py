@@ -219,3 +219,34 @@ def test_concurrent_mixed_requests(srv):
         assert all(ex.map(one, range(16)))
     st = _get_json(srv, "/stats")
     assert st["server"]["jobs"] >= 16
+
+
+def test_internal_failure_maps_to_500(srv, monkeypatch):
+    # a dead device / runtime failure is the server's problem: 500, not the
+    # pre-r4s10 blanket 400 that told clients their request was malformed
+    def boom(*a, **kw):
+        raise RuntimeError("device exploded")
+
+    monkeypatch.setattr(srv.server, "submit", boom)
+    img = base64.b64encode(_png_bytes(
+        rng.integers(0, 256, (8, 8, 3), np.uint8))).decode()
+    req = urllib.request.Request(
+        _url(srv, "/stitch"), data=json.dumps({"images": [img]}).encode(),
+        headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 500
+    assert "device exploded" in json.loads(ei.value.read())["error"]
+
+
+def test_status_mapping():
+    from imagestitching_tpu.ops.pallas_resize import Infeasible
+    from imagestitching_tpu.serve.http import BadImage, _status_for
+    assert _status_for(ValueError("x")) == 400
+    assert _status_for(BadImage("x")) == 400
+    assert _status_for(Infeasible("no tiles")) == 400
+    assert _status_for(TimeoutError("slow")) == 504      # job deadline
+    import concurrent.futures as cf
+    assert _status_for(cf.TimeoutError()) == 504
+    assert _status_for(RuntimeError("x")) == 500
+    assert _status_for(MemoryError()) == 500
