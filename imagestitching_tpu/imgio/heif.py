@@ -166,6 +166,15 @@ def decode(data: bytes) -> np.ndarray:
         _check(lib.heif_context_get_primary_image_handle(
             ctx, ctypes.byref(handle)), "primary handle")
         try:
+            w = int(lib.heif_image_handle_get_width(handle))
+            h = int(lib.heif_image_handle_get_height(handle))
+            # decompression-bomb guard, BEFORE HEVC decode allocates: same
+            # Pillow DecompressionBombError threshold as every decoder in
+            # native/codec.cpp (a few-KB file can declare huge dimensions)
+            if w * h > 178_956_970:
+                raise ValueError(
+                    f"heif: {w}x{h} = {w * h} px exceeds the decompression-"
+                    "bomb limit (178956970)")
             has_alpha = bool(lib.heif_image_handle_has_alpha_channel(handle))
             chroma = (_CHROMA_INTERLEAVED_RGBA if has_alpha
                       else _CHROMA_INTERLEAVED_RGB)
@@ -174,8 +183,6 @@ def decode(data: bytes) -> np.ndarray:
                                          _COLORSPACE_RGB, chroma, None),
                    "decode")
             try:
-                w = lib.heif_image_handle_get_width(handle)
-                h = lib.heif_image_handle_get_height(handle)
                 stride = ctypes.c_int()
                 plane = lib.heif_image_get_plane_readonly(
                     img, _CHANNEL_INTERLEAVED, ctypes.byref(stride))

@@ -73,3 +73,49 @@ def test_corrupt_heic_raises(tmp_path):
     bad.write_bytes(b"\x00\x00\x00\x18ftypheic" + b"garbage" * 10)
     with pytest.raises(Exception):
         codec.decode(bad)
+
+
+def test_bomb_guard_before_decode(monkeypatch):
+    # a few-KB HEIC (e.g. a tile grid) can declare huge dimensions; the
+    # guard must refuse BEFORE the HEVC decode allocates (same
+    # 178,956,970-px Pillow threshold as every decoder in native/codec.cpp
+    # — r4s10, heif was the one gap).  libheif validates single-image ispe
+    # against the SPS at read time, so a tampered real file cannot reach
+    # the guard — drive it through a stub lib that reports bomb dimensions
+    # (the grid-image shape libheif DOES accept).
+    class _Ok:
+        code = 0
+        subcode = 0
+        message = b""
+
+    class _StubLib:
+        def heif_context_alloc(self):
+            return 1
+
+        def heif_context_free(self, ctx):
+            pass
+
+        def heif_context_read_from_memory_without_copy(self, *a):
+            return _Ok()
+
+        def heif_context_get_primary_image_handle(self, ctx, handle):
+            return _Ok()
+
+        def heif_image_handle_get_width(self, h):
+            return 65535
+
+        def heif_image_handle_get_height(self, h):
+            return 65535
+
+        def heif_image_handle_release(self, h):
+            pass
+
+        def heif_image_handle_has_alpha_channel(self, h):
+            raise AssertionError("guard must fire before decode setup")
+
+        def heif_decode_image(self, *a):
+            raise AssertionError("guard must fire before HEVC decode")
+
+    monkeypatch.setattr(heif, "_load", lambda: _StubLib())
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        heif.decode(b"\x00" * 32)
