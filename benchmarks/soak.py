@@ -880,6 +880,26 @@ def run_http(n_cases: int, base: int = 160_000) -> int:
                                           b"x" * ((1 << 16) + 1),
                                           "application/json")
                     assert st == 413, (st, body)
+                if rng.random() < 0.5:
+                    # internal-failure slice (r4s10): a server-side error
+                    # must surface as 500, never the old blanket 400
+                    _orig_submit = srv.server.submit
+
+                    def _boom(*a, **kw):
+                        raise RuntimeError("soak-injected backend failure")
+
+                    srv.server.submit = _boom
+                    try:
+                        st, body, _ = request(
+                            srv.port, "POST", "/stitch",
+                            json.dumps({"images": [_b64.b64encode(
+                                encode_blob(rng, rng.integers(
+                                    0, 256, (8, 8, 3), np.uint8), 1)
+                            ).decode()]}).encode(), "application/json")
+                        assert st == 500, (st, body)
+                        assert b"soak-injected" in body, body[:200]
+                    finally:
+                        srv.server.submit = _orig_submit
 
                 st, body, _ = request(srv.port, "GET", "/stats")
                 assert st == 200, st
