@@ -265,6 +265,7 @@ def _slope_run(run_chain, dev_imgs, k_lo, k_hi, rounds):
     call(k_lo)       # compile + warm
     call(k_hi)
     samples = []
+    ceilings = []
     attempts = 0
     while len(samples) < rounds and attempts < rounds * 3:
         attempts += 1
@@ -277,8 +278,24 @@ def _slope_run(run_chain, dev_imgs, k_lo, k_hi, rounds):
         t_hi = time.perf_counter() - t0
         if retried[0]:
             continue    # poisoned timing: discard the whole round
-        samples.append((t_hi - t_lo) / (k_hi - k_lo) * 1000.0)
+        slope = (t_hi - t_lo) / (k_hi - k_lo) * 1000.0
+        ceilings.append(t_hi / k_hi * 1000.0)
+        if slope <= 0:
+            # a neighbor inflating t_lo past t_hi makes the slope
+            # non-positive — physically impossible per-call time, and a
+            # negative `value` in the emitted JSON reads as a broken
+            # artifact.  Discard the round like a retry-poisoned one.
+            continue
+        samples.append(slope)
     if not samples:
+        if ceilings:
+            # every round was contention-inverted: report the per-call
+            # ceiling (total/k includes dispatch overhead, so it is a
+            # conservative OVERestimate — but positive and real).
+            log("slope timing: all rounds contention-inverted; "
+                "falling back to per-call ceiling")
+            return (statistics.median(ceilings),
+                    [round(s, 2) for s in ceilings])
         raise RuntimeError(
             "slope timing: every round hit a transient device error")
     return statistics.median(samples), [round(s, 2) for s in samples]

@@ -32,6 +32,37 @@ class _Flaky:
         self.resets += 1
 
 
+def test_slope_run_contention_inverted_falls_back_positive(monkeypatch):
+    """A neighbor inflating t_lo past t_hi on EVERY round must not emit a
+    negative per-call time: inverted rounds are discarded and the per-call
+    ceiling (total/k) is reported instead.  Regression: the carried-chain
+    fallback test flaked with a negative `value` when a concurrent backend
+    probe contended the 1-core host mid-round."""
+    import itertools
+    seq = itertools.cycle([0.0, 10.0, 10.0, 11.0])   # t_lo=10s, t_hi=1s
+    monkeypatch.setattr(bench.time, "perf_counter", lambda: next(seq))
+    p50, samples = bench._slope_run(lambda k, imgs: 0, [], 2, 10, 3)
+    assert p50 > 0
+    assert samples and all(s > 0 for s in samples)
+    assert p50 == pytest.approx(1.0 / 10 * 1000.0)   # ceiling of the k_hi run
+
+
+def test_slope_run_discards_inverted_rounds_keeps_good(monkeypatch):
+    """One inverted round among good ones is discarded, not averaged in."""
+    import itertools
+    rounds = iter([
+        [0.0, 10.0, 10.0, 11.0],    # inverted: discarded
+        [0.0, 1.0, 1.0, 3.0],       # slope = 2s/8 = 250 ms
+        [0.0, 1.0, 1.0, 3.0],
+        [0.0, 1.0, 1.0, 3.0],
+    ])
+    flat = itertools.chain.from_iterable(rounds)
+    monkeypatch.setattr(bench.time, "perf_counter", lambda: next(flat))
+    p50, samples = bench._slope_run(lambda k, imgs: 0, [], 2, 10, 3)
+    assert p50 == pytest.approx((2.0 - 1.0) / 8 * 1000.0)
+    assert len(samples) == 3 and all(s > 0 for s in samples)
+
+
 def test_retry_transient_recovers_and_resets():
     f = _Flaky(2)
     got = bench._retry_transient(f, attempts=3, sleep_s=0.0, reset=f.reset)
@@ -88,6 +119,12 @@ def test_slope_run_discards_retry_poisoned_rounds(monkeypatch):
 
     orig_sleep = bench.time.sleep
     monkeypatch.setattr(bench.time, "sleep", lambda s: orig_sleep(0))
+    # deterministic clock (4 reads per round, positive slope): with the
+    # real timer an instant run_chain gives noise-dominated slopes that
+    # the contention-inversion discard would eat nondeterministically
+    import itertools
+    seq = itertools.cycle([0.0, 1.0, 1.0, 3.0])
+    monkeypatch.setattr(bench.time, "perf_counter", lambda: next(seq))
     p50, samples = bench._slope_run(run_chain, [], 2, 10, rounds=3)
     assert len(samples) == 3           # the poisoned round was re-run
     # 2 warmups + 3 calls in the discarded round (ok, abort, retry-ok) +
