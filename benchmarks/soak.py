@@ -74,6 +74,16 @@ from imagestitching_tpu.core import oracle  # noqa: E402
 from imagestitching_tpu.core.layout import ImageSpec, solve  # noqa: E402
 
 
+def _flatten_white(arr: np.ndarray) -> np.ndarray:
+    """Independent float64 twin of api._flatten_alpha: straight alpha onto
+    white, half-up rounding.  1/3-channel arrays pass through."""
+    if arr.ndim != 3 or arr.shape[2] not in (2, 4):
+        return arr
+    a = arr[:, :, -1:].astype(np.float64) / 255.0
+    color = arr[:, :, :-1].astype(np.float64) * a + 255.0 * (1.0 - a)
+    return np.clip(np.floor(color + 0.5), 0, 255).astype(np.uint8)
+
+
 def _rand_gap(rng, hi: int) -> float:
     """Integer gaps ~70% of the time, fractional the rest.  Sub-pixel gap
     phases are what the r4s5 signature-collision class hid behind (two
@@ -573,7 +583,10 @@ def run_serve(n_cases: int, base: int = 120_000) -> int:
                     filter=str(rng.choice(["bilinear", "triangle",
                                            "lanczos3"])),
                     supersample=False)
-                classes.append((specs, options))
+                # r4s11: channel classes — submit flattens RGBA onto white
+                # (decode-ladder formula) and keeps all-gray jobs 1-channel
+                chans = int(rng.choice([1, 3, 4], p=[0.15, 0.7, 0.15]))
+                classes.append((specs, options, chans))
             engine = str(rng.choice(["auto", "pallas", "xla"]))
             srv = StitchServer(
                 max_batch=int(rng.choice([2, 3, 4, 8, 16])),
@@ -585,9 +598,22 @@ def run_serve(n_cases: int, base: int = 120_000) -> int:
                 max_signatures=int(rng.choice([1, 2, 32])))
             jobs = []
             try:
+                if rng.random() < 0.3 and engine != "pallas":
+                    # warmup slice: pre-compile one class's executables;
+                    # subsequent real jobs of that class must still parity
+                    # (explicit pallas is skipped: an infeasible signature
+                    # correctly fails the warmup future itself)
+                    wspecs, wopts, wch = classes[int(rng.integers(n_classes))]
+                    info = srv.warmup(
+                        [(h, w, max(1, min(wch, 3))) for w, h, _ in wspecs],
+                        wopts, orientations=[o for _, _, o in wspecs],
+                        batch_sizes=(int(rng.integers(1, 6)),))
+                    assert info["batches"] and info["engine"] in (
+                        "pallas", "xla"), info
                 for _ in range(int(rng.integers(4, 17))):
-                    specs, options = classes[int(rng.integers(n_classes))]
-                    imgs = [rng.integers(0, 256, (h, w, 3), np.uint8)
+                    specs, options, chans = \
+                        classes[int(rng.integers(n_classes))]
+                    imgs = [rng.integers(0, 256, (h, w, chans), np.uint8)
                             for w, h, _ in specs]
                     ors = [o for _, _, o in specs]
                     jobs.append((imgs, specs, options,
@@ -618,7 +644,7 @@ def run_serve(n_cases: int, base: int = 120_000) -> int:
                         n_infeasible += 1
                     continue
                 out = fut.result(timeout=60)
-                want = oracle.stitch(plan, imgs)
+                want = oracle.stitch(plan, [_flatten_white(a) for a in imgs])
                 assert out.shape == want.shape, (out.shape, want.shape)
                 diff = np.abs(out.astype(int) - want.astype(int)).max()
                 assert diff <= 1, f"diff={diff}"

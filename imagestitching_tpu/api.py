@@ -90,17 +90,47 @@ def _decode_with_retry(src) -> Tuple[np.ndarray, int]:
         return codec.salvage_decode(src)
 
 
+def _flatten_alpha(arr: np.ndarray) -> np.ndarray:
+    """Composite a straight-alpha uint8 HWC array (C in {2, 4}) onto white.
+
+    Same formula and half-up rounding as the decode ladder
+    (codec._img_to_rgb): the same pixels must stitch identically whether
+    they arrive as an RGBA array or as encoded RGBA bytes."""
+    a = arr[:, :, -1:].astype(np.float32) / 255.0
+    color = arr[:, :, :-1].astype(np.float32) * a + 255.0 * (1.0 - a)
+    return np.clip(np.floor(color + 0.5), 0, 255).astype(np.uint8)
+
+
 def _as_uint8(arr: np.ndarray) -> np.ndarray:
     arr = np.asarray(arr)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     if arr.ndim != 3:
         raise ValueError(f"expected HWC image, got shape {arr.shape}")
-    if arr.dtype == np.uint8:
-        return arr
-    if np.issubdtype(arr.dtype, np.floating):
-        return _oracle.to_uint8(arr)
-    return np.clip(arr, 0, 255).astype(np.uint8)
+    if arr.dtype != np.uint8:
+        if np.issubdtype(arr.dtype, np.floating):
+            arr = _oracle.to_uint8(arr)
+        else:
+            arr = np.clip(arr, 0, 255).astype(np.uint8)
+    if arr.shape[2] in (2, 4):       # LA / RGBA: flatten like the decoder
+        arr = _flatten_alpha(arr)
+    if arr.shape[2] not in (1, 3):
+        raise ValueError(
+            f"expected 1/3-channel (or 2/4 with alpha) HWC image, got "
+            f"{arr.shape[2]} channels")
+    return arr
+
+
+def _unify_channels(images: List[np.ndarray]) -> List[np.ndarray]:
+    """Promote grayscale to RGB when one job mixes 1- and 3-channel images
+    (a gray array next to a decoded RGB file is a normal mix, and one
+    compiled program serves the whole job, so the channel count must be
+    uniform).  All-gray jobs stay single-channel."""
+    cs = {a.shape[2] for a in images}
+    if len(cs) <= 1:
+        return list(images)
+    return [np.repeat(a, 3, axis=2) if a.shape[2] == 1 else a
+            for a in images]
 
 
 def prepare(items: Sequence[ImageInput], config: RuntimeConfig,
@@ -182,7 +212,7 @@ def stitch_arrays(images: Sequence[np.ndarray],
     config = (config or RuntimeConfig()).validate()
     if limits is None:
         limits = config.limits          # explicit arg overrides the config
-    images = [_as_uint8(a) for a in images]
+    images = _unify_channels([_as_uint8(a) for a in images])
     if specs is None:
         specs = [ImageSpec(a.shape[1], a.shape[0]) for a in images]
     log = get_logger()
@@ -565,13 +595,11 @@ def stitch_grid(items: Sequence[ImageInput], cols: int = 3,
     from .core import geometry
     disp = []
     for img, s in zip(images, specs):
+        # _as_uint8 flattens LA/RGBA onto white and guarantees C in {1, 3};
+        # grid assembly is RGB-only, so grayscale promotes here
         a = geometry.orient_array(_as_uint8(img), s.orientation)
         if a.shape[2] == 1:
             a = np.repeat(a, 3, axis=2)
-        elif a.shape[2] != 3:
-            raise ValueError(
-                f"grid collage takes RGB (or grayscale) inputs; got "
-                f"{a.shape[2]} channels — composite alpha first")
         disp.append(a)
     d_specs = [ImageSpec(a.shape[1], a.shape[0]) for a in disp]
     gplan = plan_grid(d_specs, cols, options, limits, order)

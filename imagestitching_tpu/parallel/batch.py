@@ -161,6 +161,19 @@ class BatchedStitch:
         else:
             self._jitted = jax.jit(fn)
 
+    def warm(self) -> None:
+        """Compile + execute once on zero-filled inputs, fetching O(1) bytes.
+
+        Device-materialized zeros (``jnp.zeros`` inside jit) avoid staging
+        B copies of every input through the host->device link, and the
+        one-element readback forces completion — ``block_until_ready`` can
+        return at enqueue on relayed backends — without a full-canvas D2H
+        (~GBs at batch 64, minutes through a slow relay)."""
+        dev = [jnp.zeros((self.batch_size, p.raw_h, p.raw_w, self.channels),
+                         jnp.uint8) for p in self.plan.placements]
+        out = self._jitted(dev)
+        np.asarray(out[:1, :1, :1, :1])
+
     def __call__(self, stacked_images: Sequence[np.ndarray]) -> np.ndarray:
         """stacked_images[i]: (B, H_i, W_i, C) uint8 for image slot i."""
         if len(stacked_images) != len(self.plan.placements):

@@ -12,6 +12,10 @@ within ``max_wait_s`` of each other share one device program):
   ``merge_threshold``, ``grid_cols`` (+ ``grid_order``/``valign`` — grid
   collage instead of a strip), ``format=png|jpg``,
   ``quality``, ``png_level``).  Responds with the encoded strip.
+* ``POST /warmup``  — pre-compile the executables for an expected job
+  geometry (JSON ``{"shapes": [[h, w], ...], "batch_sizes": [1, 8], ...}``
+  plus the same option fields as ``/stitch``) so the first real request
+  pays dispatch, not trace + XLA compile.
 * ``GET /healthz``  — liveness + backend info.
 * ``GET /stats``    — batcher counters plus the logger ring tail
   (crash-safe-log analog of the reference, pages/index/index.js:76-124).
@@ -146,7 +150,7 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):  # noqa: N802
         url = urlparse(self.path)
-        if url.path != "/stitch":
+        if url.path not in ("/stitch", "/warmup"):
             self._send_json(404, {"error": f"no route {url.path}"})
             return
         app = self.server.app          # type: ignore[attr-defined]
@@ -163,6 +167,22 @@ class _Handler(BaseHTTPRequestHandler):
             body = self.rfile.read(length)
             ctype = self.headers.get("Content-Type", "")
             params = {k: v for k, v in parse_qs(url.query).items()}
+            if url.path == "/warmup":
+                # pre-compile the executables for an expected job geometry:
+                # JSON {"shapes": [[h, w], ...], "batch_sizes": [1, 8],
+                # "orientations": [...], <stitch option fields>}
+                payload = json.loads(body or b"{}")
+                params = {**payload, **params}
+                options, _ = _options_from(params)
+                shapes = payload.get("shapes") or []
+                if not shapes:
+                    raise ValueError("no shapes in warmup request")
+                info = app.server.warmup(
+                    shapes, options,
+                    orientations=payload.get("orientations"),
+                    batch_sizes=payload.get("batch_sizes", (1,)))
+                self._send_json(200, info)
+                return
             if ctype.startswith("multipart/form-data"):
                 blobs = _parse_multipart(ctype, body)
             else:

@@ -49,6 +49,21 @@ class _Job:
     enqueued_at: float
 
 
+@dataclasses.dataclass
+class _Warmup:
+    """Pre-compile request: build + execute the batch executable for
+    ``plan`` at padded batch size ``batch`` with zero-filled inputs."""
+    plan: LayoutPlan
+    batch: int
+    channels: int
+    future: Future
+
+
+def _job_channels(job: "_Job") -> int:
+    return (job.images[0].shape[2]
+            if job.images and job.images[0].ndim == 3 else 3)
+
+
 class StitchServer:
     """Dynamic-batching stitch service.
 
@@ -102,7 +117,7 @@ class StitchServer:
                          "Tuple[Optional[str], Dict[int, BatchedStitch]]]") = \
             collections.OrderedDict()
         self._log = get_logger()
-        self._stats = {"jobs": 0, "batches": 0, "failed": 0}
+        self._stats = {"jobs": 0, "batches": 0, "failed": 0, "warmups": 0}
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._closed = False
         self._thread.start()
@@ -120,8 +135,15 @@ class StitchServer:
         """
         if self._closed:
             raise RuntimeError("server is closed")
+        from .. import api as _api
         options = (options or StitchOptions()).validate()
-        imgs = [np.ascontiguousarray(np.asarray(a)) for a in images]
+        # same normalization as api.stitch_arrays: LA/RGBA flatten onto
+        # white (decode-ladder formula), mixed gray+RGB promote to RGB —
+        # so channel count is uniform per job and in {1, 3} (the compiled
+        # program is parameterized by it; an un-normalized 4-channel job
+        # used to die at trace time with a concat-shape TypeError)
+        imgs = _api._unify_channels(
+            [np.ascontiguousarray(_api._as_uint8(a)) for a in images])
         if orientations is None:
             orientations = [1] * len(imgs)
         if len(orientations) != len(imgs):
@@ -204,7 +226,74 @@ class StitchServer:
         finally:
             self._release()
 
-    def _resolve(self, job: "_Job", value=None, error=None) -> None:
+    def warmup(self, shapes: Sequence, options: Optional[StitchOptions] = None,
+               limits: Optional[CanvasLimits] = None,
+               orientations: Optional[Sequence[int]] = None,
+               batch_sizes: Sequence[int] = (1,),
+               timeout: Optional[float] = 300.0) -> dict:
+        """Pre-compile the executables jobs of this geometry will need.
+
+        A cold signature pays trace + XLA compile on its first flush (tens
+        of seconds through a remote backend) — the serving analog of the
+        reference pre-warming its canvas before first use rather than on
+        the first stitch.  ``shapes`` is one ``(height, width)`` or
+        ``(height, width, channels)`` per image; each entry of
+        ``batch_sizes`` warms the pow-2-padded executable a flush of that
+        many jobs would select (same padding rule, so the first real
+        request of that size pays dispatch, not compile).  Runs on the
+        worker thread (sole owner of the compiled-program cache) with
+        zero-filled inputs; blocks until done.  Returns
+        ``{"engine": ..., "batches": [...], "signature_cached": True}``.
+        """
+        if self._closed:
+            raise RuntimeError("server is closed")
+        options = (options or StitchOptions()).validate()
+        norm: List[Tuple[int, int, int]] = []
+        for s in shapes:
+            t = tuple(int(x) for x in s)
+            if len(t) == 2:
+                t = t + (3,)
+            if len(t) != 3 or min(t) < 1:
+                raise ValueError(f"bad warmup shape {s!r}: expected "
+                                 "(height, width[, channels])")
+            if t[2] not in (1, 3):
+                raise ValueError(
+                    f"warmup channels must be 1 or 3 (submit flattens "
+                    f"alpha), got {t[2]}")
+            norm.append(t)
+        channels = max(shp[2] for shp in norm)   # mixed promotes to RGB
+        if orientations is None:
+            orientations = [1] * len(norm)
+        if len(orientations) != len(norm):
+            raise ValueError("orientations length must match shapes")
+        specs = [ImageSpec(shp[1], shp[0], int(o))
+                 for shp, o in zip(norm, orientations)]
+        plan = solve(specs, options,
+                     self.config.limits if limits is None else limits)
+        cap = self._batch_cap(plan, channels)
+        targets = sorted({
+            self._padded_batch(max(1, min(int(b), self.max_batch, cap)), cap)
+            for b in batch_sizes})
+        futs: List[Tuple[int, Future]] = []
+        for b in targets:
+            self._admit()
+            fut: Future = Future()
+            try:
+                with self._plock:
+                    if self._closed:
+                        raise RuntimeError("server is closed")
+                    self._queue.put(_Warmup(plan, b, channels, fut))
+            except BaseException:
+                self._release()
+                raise
+            futs.append((b, fut))
+        engine = None
+        for b, fut in futs:
+            engine = fut.result(timeout=timeout)["engine"]
+        return {"engine": engine, "batches": targets,
+                "signature_cached": True}
+
+    def _resolve(self, job, value=None, error=None) -> None:
         with self._plock:
             self._pending -= 1
         try:
@@ -265,8 +354,14 @@ class StitchServer:
                 for jobs in buckets.values():
                     self._flush(jobs)
                 return
+            if isinstance(job, _Warmup):
+                self._warm(job)
+                continue
             if job is not False:
-                sig = job.plan.signature()
+                # channels joins the bucket key: same-geometry gray and RGB
+                # jobs need different compiled programs (and np.stack of
+                # mixed channel counts would die mid-flush)
+                sig = (job.plan.signature(), _job_channels(job))
                 buckets.setdefault(sig, []).append(job)
                 if len(buckets[sig]) >= self.max_batch:
                     self._flush(buckets.pop(sig))
@@ -277,6 +372,25 @@ class StitchServer:
             for sig in list(buckets):
                 self._flush(buckets.pop(sig))
             deadline = None
+
+    def _warm(self, wj: "_Warmup") -> None:
+        """Worker-thread half of :meth:`warmup`: compile + run one
+        zero-filled batch so the executable (and the backend's compile
+        cache) is hot before real traffic arrives."""
+        try:
+            t0 = time.perf_counter()
+            compiled = self._get_compiled(wj.plan, wj.batch, wj.channels)
+            compiled.warm()
+            engine, _ = self._compiled[wj.plan.signature()]
+            self._stats["warmups"] += 1
+            self._log.event("serve.warmup", batch=wj.batch, engine=engine,
+                            canvas=(wj.plan.canvas_w, wj.plan.canvas_h),
+                            wall_s=round(time.perf_counter() - t0, 3))
+            self._resolve(wj, value={"engine": engine, "batch": wj.batch})
+        except Exception as e:  # noqa: BLE001 — isolation boundary
+            self._log.event("serve.warmup_fail", batch=wj.batch,
+                            error=repr(e))
+            self._resolve(wj, error=e)
 
     def _resolve_engine(self, plan: LayoutPlan) -> str:
         """Per-signature engine for ``engine="auto"``: the fused kernel
@@ -302,7 +416,8 @@ class StitchServer:
             return "xla"
         return "pallas"
 
-    def _get_compiled(self, plan: LayoutPlan, batch: int) -> BatchedStitch:
+    def _get_compiled(self, plan: LayoutPlan, batch: int,
+                      channels: int = 3) -> BatchedStitch:
         sig = plan.signature()
         engine, per_size = self._compiled.setdefault(sig, (None, {}))
         self._compiled.move_to_end(sig)
@@ -310,14 +425,32 @@ class StitchServer:
             old_sig, (_, old_sizes) = self._compiled.popitem(last=False)
             self._log.event("serve.signature_evicted",
                             sizes=sorted(old_sizes), kept=len(self._compiled))
-        if batch not in per_size:
+        key = (batch, channels)
+        if key not in per_size:
             if engine is None:
                 engine = self._resolve_engine(plan)
                 self._compiled[sig] = (engine, per_size)
-            per_size[batch] = BatchedStitch(
-                plan, batch, engine=engine,
+            per_size[key] = BatchedStitch(
+                plan, batch, channels, engine=engine,
                 mesh=self.mesh, interpret=self.interpret)
-        return per_size[batch]
+        return per_size[key]
+
+    def _padded_batch(self, b: int, cap: int) -> int:
+        """Pad a batch to a power-of-two bucket to bound the number of
+        compiled batch sizes (recompilation governor); under a mesh the
+        batch must also divide evenly across the jobs axis.  Shared by
+        :meth:`_flush` and :meth:`warmup` so a warmed size is exactly the
+        size a real flush of that many jobs selects."""
+        padded = 1
+        while padded < b:
+            padded *= 2
+        padded = min(padded, self.max_batch, max(1, cap))
+        padded = max(padded, b)
+        if self.mesh is not None:
+            unit = self.mesh.shape["jobs"]
+            padded = max(padded, unit)
+            padded = ((padded + unit - 1) // unit) * unit
+        return padded
 
     def _batch_cap(self, plan: LayoutPlan, channels: int) -> int:
         """Max jobs per launch under the HBM budget (VERDICT r1 #7).
@@ -339,8 +472,7 @@ class StitchServer:
         if not jobs:
             return
         plan = jobs[0].plan
-        channels = jobs[0].images[0].shape[2] if (
-            jobs[0].images and jobs[0].images[0].ndim == 3) else 3
+        channels = _job_channels(jobs[0])
         cap = self._batch_cap(plan, channels)
         if self.mesh is not None:
             unit = self.mesh.shape["jobs"]
@@ -352,26 +484,15 @@ class StitchServer:
                 self._flush(jobs[lo:lo + cap])
             return
         try:
-            # Pad the batch to a power-of-two bucket to bound the number of
-            # compiled batch sizes (recompilation governor); under a mesh the
-            # batch must also divide evenly across the jobs axis.
             b = len(jobs)
-            padded = 1
-            while padded < b:
-                padded *= 2
-            padded = min(padded, self.max_batch, max(1, cap))
-            padded = max(padded, b)
-            if self.mesh is not None:
-                unit = self.mesh.shape["jobs"]
-                padded = max(padded, unit)
-                padded = ((padded + unit - 1) // unit) * unit
+            padded = self._padded_batch(b, cap)
             stacks = []
             for slot in range(len(plan.placements)):
                 arrs = [j.images[slot] for j in jobs]
                 while len(arrs) < padded:
                     arrs.append(arrs[0])          # pad with a copy
                 stacks.append(np.stack(arrs))
-            compiled = self._get_compiled(plan, padded)
+            compiled = self._get_compiled(plan, padded, channels)
             out = compiled(stacks)
             # bump stats BEFORE resolving: a client woken by its future must
             # observe stats() that already include its own job (readers

@@ -482,3 +482,44 @@ def test_blit_overlapped_decode_error_closes_pool(monkeypatch):
                                     lambda *a: None, copies)
     assert len(pools) == 1
     assert pools[0]._cancelled.is_set()
+
+
+def test_stitch_arrays_rgba_flattens_onto_white():
+    """Array-input RGBA composites onto white exactly like the same pixels
+    arriving as encoded RGBA bytes (codec._img_to_rgb formula)."""
+    a = rng.integers(0, 256, (24, 32, 4), np.uint8)
+    b = rng.integers(0, 256, (20, 28, 4), np.uint8)
+
+    def flat(arr):
+        al = arr[:, :, 3:].astype(np.float32) / 255.0
+        rgb = arr[:, :, :3].astype(np.float32) * al + 255.0 * (1.0 - al)
+        return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+    cfg = RuntimeConfig(engine="xla")
+    got = api.stitch_arrays([a, b], options=StitchOptions(gap=2), config=cfg)
+    want = api.stitch_arrays([flat(a), flat(b)],
+                             options=StitchOptions(gap=2), config=cfg)
+    assert np.array_equal(got, want)
+    # and byte-path equivalence: PNG round-trip of the RGBA pixels
+    import io
+    buf = io.BytesIO()
+    Image.fromarray(a).save(buf, format="png")
+    decoded, _ = codec.decode(buf.getvalue())
+    assert np.array_equal(decoded, flat(a))
+
+
+def test_stitch_arrays_mixed_gray_rgb():
+    g = rng.integers(0, 256, (24, 32), np.uint8)
+    c = rng.integers(0, 256, (20, 28, 3), np.uint8)
+    cfg = RuntimeConfig(engine="xla")
+    got = api.stitch_arrays([g, c], options=StitchOptions(gap=2), config=cfg)
+    want = api.stitch_arrays([np.repeat(g[:, :, None], 3, axis=2), c],
+                             options=StitchOptions(gap=2), config=cfg)
+    assert got.shape[2] == 3
+    assert np.array_equal(got, want)
+
+
+def test_stitch_arrays_rejects_weird_channel_counts():
+    with pytest.raises(ValueError, match="channels"):
+        api.stitch_arrays([rng.integers(0, 256, (8, 8, 5), np.uint8)],
+                          options=StitchOptions())

@@ -134,8 +134,14 @@ def test_stitch_grid_grayscale_and_rgba():
     rgb = noise(40, 40)
     got = api.stitch_grid([gray, rgb], cols=2, options=StitchOptions(gap=0))
     assert np.array_equal(got[:, :40], np.repeat(gray[:, :, None], 3, 2))
-    with pytest.raises(ValueError):
-        api.stitch_grid([noise(40, 40, 4)], cols=1)
+    # RGBA flattens onto white at the api boundary (decode-ladder
+    # semantics) instead of the pre-r4 "composite alpha first" rejection
+    rgba = noise(40, 40, 4)
+    got4 = api.stitch_grid([rgba], cols=1, options=StitchOptions(gap=0))
+    al = rgba[:, :, 3:].astype(np.float32) / 255.0
+    flat = np.clip(np.floor(rgba[:, :, :3] * al + 255.0 * (1 - al) + 0.5),
+                   0, 255).astype(np.uint8)
+    assert np.array_equal(got4, flat)
 
 
 def test_stitch_grid_rejects_merge_overlap():

@@ -250,3 +250,26 @@ def test_status_mapping():
     assert _status_for(cf.TimeoutError()) == 504
     assert _status_for(RuntimeError("x")) == 500
     assert _status_for(MemoryError()) == 500
+
+
+def test_http_warmup(srv):
+    req = urllib.request.Request(
+        _url(srv, "/warmup"),
+        data=json.dumps({"shapes": [[24, 32], [20, 28]], "gap": 2,
+                         "batch_sizes": [1]}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=60) as r:
+        assert r.status == 200
+        info = json.loads(r.read())
+    assert info["engine"] == "xla" and info["batches"] == [1]
+    assert srv.server.stats()["warmups"] >= 1
+
+
+def test_http_warmup_requires_shapes(srv):
+    req = urllib.request.Request(
+        _url(srv, "/warmup"), data=b"{}",
+        headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 400
+    assert "shapes" in json.loads(ei.value.read())["error"]

@@ -420,3 +420,87 @@ def test_server_config_limits_are_applied():
                           limits=CanvasLimits(max_side=40))) as s:
         out = s.submit([rand_img(64, 80)]).result(timeout=60)
         assert max(out.shape[:2]) <= 40
+
+
+def _flat_white(arr):
+    """Float64 straight-alpha-onto-white twin of api._flatten_alpha."""
+    a = arr[:, :, -1:].astype(np.float64) / 255.0
+    color = arr[:, :, :-1].astype(np.float64) * a + 255.0 * (1.0 - a)
+    return np.clip(np.floor(color + 0.5), 0, 255).astype(np.uint8)
+
+
+def test_server_rgba_flattens_like_decode():
+    """An RGBA array job composites onto white (decode-ladder semantics)
+    instead of dying at trace time with a concat-shape TypeError."""
+    imgs = [rng.integers(0, 256, (24, 32, 4), np.uint8),
+            rng.integers(0, 256, (20, 28, 4), np.uint8)]
+    with StitchServer(max_batch=4, max_wait_s=0.002, engine="xla") as s:
+        out = s.submit(imgs, StitchOptions(gap=2)).result(timeout=60)
+    plan = solve([ImageSpec(32, 24), ImageSpec(28, 20)],
+                 StitchOptions(gap=2))
+    want = oracle.stitch(plan, [_flat_white(a) for a in imgs])
+    assert out.shape[2] == 3
+    assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_server_mixed_gray_rgb_promotes():
+    imgs = [rng.integers(0, 256, (24, 32), np.uint8),
+            rng.integers(0, 256, (20, 28, 3), np.uint8)]
+    with StitchServer(max_batch=4, max_wait_s=0.002, engine="xla") as s:
+        out = s.submit(imgs, StitchOptions(gap=2)).result(timeout=60)
+    plan = solve([ImageSpec(32, 24), ImageSpec(28, 20)],
+                 StitchOptions(gap=2))
+    want = oracle.stitch(
+        plan, [np.repeat(imgs[0][:, :, None], 3, axis=2), imgs[1]])
+    assert out.shape[2] == 3
+    assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_server_gray_and_rgb_same_geometry_bucket_separately():
+    """Same plan.signature() with different channel counts must compile
+    separate programs (np.stack of mixed channels would die mid-flush)."""
+    g = [rng.integers(0, 256, (24, 32, 1), np.uint8)]
+    c = [rng.integers(0, 256, (24, 32, 3), np.uint8)]
+    with StitchServer(max_batch=8, max_wait_s=0.05, engine="xla") as s:
+        fg, fc = s.submit(g), s.submit(c)
+        og, oc = fg.result(timeout=60), fc.result(timeout=60)
+    assert og.shape == (24, 32, 1)
+    assert oc.shape == (24, 32, 3)
+    assert np.array_equal(og, g[0])
+    assert np.array_equal(oc, c[0])
+
+
+def test_warmup_precompiles_then_serves():
+    with StitchServer(max_batch=8, max_wait_s=0.002, engine="xla") as s:
+        info = s.warmup([(24, 32), (20, 28)], StitchOptions(gap=2),
+                        batch_sizes=(1, 5))
+        # 5 pads to the same pow-2 bucket a real 5-job flush selects
+        assert info == {"engine": "xla", "batches": [1, 8],
+                        "signature_cached": True}
+        assert s.stats()["warmups"] == 2
+        assert s.stats()["signatures"] == 1
+        # the warmed signature holds exactly the padded (batch, channels)
+        # executables a real flush will look up
+        (_, per_size), = s._compiled.values()
+        assert set(per_size) == {(1, 3), (8, 3)}
+        imgs = [rng.integers(0, 256, (24, 32, 3), np.uint8),
+                rng.integers(0, 256, (20, 28, 3), np.uint8)]
+        out = s.submit(imgs, StitchOptions(gap=2)).result(timeout=60)
+        plan = solve([ImageSpec(32, 24), ImageSpec(28, 20)],
+                     StitchOptions(gap=2))
+        want = oracle.stitch(plan, imgs)
+        assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
+        # the real 1-job flush reused the warmed executable
+        (_, per_size), = s._compiled.values()
+        assert set(per_size) == {(1, 3), (8, 3)}
+
+
+def test_warmup_validates_shapes():
+    with StitchServer(max_batch=4, max_wait_s=0.002, engine="xla") as s:
+        with pytest.raises(ValueError, match="warmup shape"):
+            s.warmup([(24,)])
+        with pytest.raises(ValueError, match="channels"):
+            s.warmup([(24, 32, 4)])
+        with pytest.raises(ValueError, match="orientations"):
+            s.warmup([(24, 32)], orientations=[1, 1])
+        assert s.stats()["warmups"] == 0
