@@ -504,3 +504,23 @@ def test_warmup_validates_shapes():
         with pytest.raises(ValueError, match="orientations"):
             s.warmup([(24, 32)], orientations=[1, 1])
         assert s.stats()["warmups"] == 0
+
+
+def test_warmup_under_jobs_mesh():
+    """warm() must execute through the shard_map path too: the padded
+    batch rounds to a jobs-axis multiple and the zero-filled execution
+    runs per-device shards, same as a real mesh flush."""
+    with StitchServer(max_batch=16, max_wait_s=0.002, engine="pallas",
+                      interpret=True, use_mesh=True) as s:
+        unit = s.mesh.shape["jobs"]
+        info = s.warmup([(24, 32), (20, 28)], StitchOptions(gap=2),
+                        batch_sizes=(1, 3))
+        assert all(b % unit == 0 for b in info["batches"]), info
+        assert s.stats()["warmups"] == len(info["batches"])
+        imgs = [rng.integers(0, 256, (24, 32, 3), np.uint8),
+                rng.integers(0, 256, (20, 28, 3), np.uint8)]
+        out = s.submit(imgs, StitchOptions(gap=2)).result(timeout=120)
+        plan = solve([ImageSpec(32, 24), ImageSpec(28, 20)],
+                     StitchOptions(gap=2))
+        want = oracle.stitch(plan, imgs)
+        assert np.abs(out.astype(int) - want.astype(int)).max() <= 1

@@ -147,6 +147,28 @@ def test_tpu_server_batched_serving_parity():
         assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
 
 
+def test_tpu_server_warmup_then_serve_parity():
+    """warmup() on the real chip: the pre-compiled Mosaic executable is the
+    one a real flush looks up, and served results still match the oracle."""
+    from imagestitching_tpu.serve.server import StitchServer
+
+    options = StitchOptions(gap=3, supersample=False)
+    shapes = [(176, 120), (144, 136)]
+    specs = [ImageSpec(w, h) for (w, h) in shapes]
+    plan = solve(specs, options)
+    imgs = [rng.integers(0, 256, (h, w, 3), np.uint8) for (w, h) in shapes]
+    with StitchServer(max_batch=4, max_wait_s=0.02) as server:
+        info = server.warmup([(h, w) for (w, h) in shapes], options,
+                             batch_sizes=(1,))
+        assert info["batches"] == [1] and info["engine"] in ("pallas", "xla")
+        assert server.stats()["warmups"] == 1
+        out = server.submit(imgs, options).result(timeout=300)
+        (_, per_size), = server._compiled.values()
+        assert set(per_size) == {(1, 3)}    # flush reused the warmed program
+    want = oracle.stitch(plan, imgs)
+    assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
+
+
 def test_tpu_grid_collage_parity():
     """stitch_grid on the real chip: per-column kernels resolved by
     engine="auto" on real Mosaic, host write-once assembly checked against
