@@ -291,14 +291,17 @@ def _slope_run(run_chain, dev_imgs, k_lo, k_hi, rounds):
         if ceilings:
             # every round was contention-inverted: report the per-call
             # ceiling (total/k includes dispatch overhead, so it is a
-            # conservative OVERestimate — but positive and real).
+            # conservative OVERestimate — but positive and real).  The
+            # "ceiling" mode marks the JSON so consumers never mix the two
+            # incomparable metrics silently.
             log("slope timing: all rounds contention-inverted; "
                 "falling back to per-call ceiling")
             return (statistics.median(ceilings),
-                    [round(s, 2) for s in ceilings])
+                    [round(s, 2) for s in ceilings], "ceiling")
         raise RuntimeError(
             "slope timing: every round hit a transient device error")
-    return statistics.median(samples), [round(s, 2) for s in samples]
+    return (statistics.median(samples), [round(s, 2) for s in samples],
+            "slope")
 
 
 def _probe_of(carry, out):
@@ -510,7 +513,7 @@ def _bench_device(result: dict, errors: dict,
     # slope between two chain lengths.  Images must be jit ARGUMENTS (a
     # closure would serialize 324 MB of constants into the remote compile).
     try:
-        p50, samples = _retry_transient(
+        p50, samples, tmode = _retry_transient(
             lambda: _slope_auto(plan, fn_impl, holder["dev"]),
             reset=_put_inputs, label="slope")
         result["timing_mode"] = "slope_auto"
@@ -521,11 +524,16 @@ def _bench_device(result: dict, errors: dict,
         log(f"slope_auto failed after retries: {e!r}; "
             "falling back to short carried chain")
         _put_inputs()
-        p50, samples = _retry_transient(
+        p50, samples, tmode = _retry_transient(
             lambda: _slope_time(fn_impl, holder["dev"], k_lo=2, k_hi=10,
                                 rounds=3),
             attempts=2, reset=_put_inputs, label="slope-fallback")
         result["timing_mode"] = "carried_fallback"
+    if tmode == "ceiling":
+        # the value is a per-call ceiling (total/k), NOT a marginal slope:
+        # machine-readable so BENCHMARKS regeneration / baseline diffs
+        # never silently mix the two metrics
+        result["ceiling_fallback"] = True
     log(f"per-job device time (slope): {p50:.2f} ms  "
         f"samples={['%.2f' % s for s in samples]}")
     log(f"({out_mp / (p50 / 1000):.0f} MP/s output, "
@@ -599,12 +607,13 @@ def _bench_resize_heavy(rng) -> None:
         jax.block_until_ready(holder["dev"])
 
     _retry_transient(_put, label="h2d-2")
-    p50_2, s2 = _retry_transient(
+    p50_2, s2, tm2 = _retry_transient(
         lambda: _slope_auto(plan2, fn2_impl, holder["dev"], rounds=3),
         reset=_put, label="slope-2")
     mp2 = plan2.canvas_w * plan2.canvas_h / 1e6
     log(f"resize-heavy 9-image job ({mp2:.0f} MP out): {p50_2:.2f} ms "
-        f"({mp2 / (p50_2 / 1000):.0f} MP/s)  samples={s2}")
+        f"({mp2 / (p50_2 / 1000):.0f} MP/s)  samples={s2}"
+        + (" [CEILING fallback]" if tm2 == "ceiling" else ""))
 
 
 def _bench_end_to_end(result: dict, n_images: int, w: int, h: int,

@@ -53,7 +53,14 @@ def main() -> None:
         jax.block_until_ready(dev)
         out = jax.jit(fn_impl)(dev)
         out.block_until_ready()
-        p50, samples = _slope_auto(plan, fn_impl, dev, k_hi=104, rounds=3)
+        p50, samples, tmode = _slope_auto(plan, fn_impl, dev,
+                                          k_hi=104, rounds=3)
+        if tmode == "ceiling":
+            # regeneration runs on an idle host by policy — a ceiling here
+            # means the run is invalid, not that the number should be kept
+            raise RuntimeError(
+                "slope timing fell back to the per-call ceiling "
+                "(contention-inverted rounds): rerun on an idle host")
         want = oracle.stitch(plan, imgs)
         if parity_full and want.nbytes < 80_000_000:
             got = np.asarray(out)

@@ -250,6 +250,20 @@ def _probe_item(item: ImageInput) -> Optional[ImageSpec]:
     return None
 
 
+def _overlappable_array(item: ImageInput) -> bool:
+    """True when an array input can ride the overlapped executors, whose
+    channel count is a compile-time constant 3.  RGBA qualifies (the
+    loaders flatten it onto white, yielding 3 channels); gray/LA arrays
+    (1 channel after normalization) take the prepare -> stitch_arrays
+    path instead, which parameterizes channels.  Non-array inputs always
+    decode to RGB."""
+    arr = item[0] if isinstance(item, tuple) else item
+    if isinstance(arr, np.ndarray):
+        a = np.asarray(arr)
+        return a.ndim == 3 and a.shape[2] in (3, 4)
+    return True
+
+
 def _is_big_task(items: Sequence[ImageInput]) -> bool:
     """Reference big-task thresholds: >=7 images or >=25 MB total
     (pages/index/index.js:1211-1212)."""
@@ -299,6 +313,7 @@ def stitch(items: Sequence[ImageInput],
     # merge_overlap needs every image's pixels before layout (the trims
     # change the specs), so it always takes the decode-everything path
     want_overlap = (not options.merge_overlap
+                    and all(_overlappable_array(it) for it in items)
                     and (config.overlap == "always"
                          or (config.overlap == "auto"
                              and _is_big_task(items))))
@@ -508,11 +523,8 @@ def _blit_stream_attempt(items, out_path: str, ext: str, quality: int,
     config = (kwargs.get("config") or RuntimeConfig()).validate()
     if config.overlap == "never":
         return None                     # user disabled pipelined execution
-    for it in items:                    # array inputs must already be RGB
-        arr = it[0] if isinstance(it, tuple) else it
-        if isinstance(arr, np.ndarray) and not (
-                arr.ndim == 3 and arr.shape[2] == 3):
-            return None
+    if not all(_overlappable_array(it) for it in items):
+        return None                     # gray/LA arrays: plain path
     options = kwargs.get("options") or StitchOptions(
         direction=kwargs.get("direction", "vertical"),
         mode=kwargs.get("mode", "min"),
@@ -665,8 +677,12 @@ def make_preview(image: np.ndarray, box_w: int,
     only the preview-sized result crosses back to the host; ``device=False``
     forces the float64 host (oracle) path.
     """
-    if not (is_device_array(image) or isinstance(image, np.ndarray)):
-        image = np.asarray(image)
+    if not is_device_array(image):
+        # normalize BEFORE the device/host split: LA/RGBA flattens onto
+        # white on both paths (a host-fallback-only flatten would make the
+        # preview's channel count depend on backend health).  Device-array
+        # inputs are framework outputs, already 1/3-channel.
+        image = _as_uint8(np.asarray(image))
     h, w = (image.shape[0], image.shape[1])
     pw, ph = preview_size(w, h, box_w, min_height)
     if device:

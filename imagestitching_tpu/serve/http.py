@@ -172,6 +172,8 @@ class _Handler(BaseHTTPRequestHandler):
                 # JSON {"shapes": [[h, w], ...], "batch_sizes": [1, 8],
                 # "orientations": [...], <stitch option fields>}
                 payload = json.loads(body or b"{}")
+                if not isinstance(payload, dict):
+                    raise ValueError("warmup body must be a JSON object")
                 params = {**payload, **params}
                 options, _ = _options_from(params)
                 shapes = payload.get("shapes") or []

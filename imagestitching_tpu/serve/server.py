@@ -137,24 +137,26 @@ class StitchServer:
             raise RuntimeError("server is closed")
         from .. import api as _api
         options = (options or StitchOptions()).validate()
-        # same normalization as api.stitch_arrays: LA/RGBA flatten onto
-        # white (decode-ladder formula), mixed gray+RGB promote to RGB —
-        # so channel count is uniform per job and in {1, 3} (the compiled
-        # program is parameterized by it; an un-normalized 4-channel job
-        # used to die at trace time with a concat-shape TypeError)
-        imgs = _api._unify_channels(
-            [np.ascontiguousarray(_api._as_uint8(a)) for a in images])
         if orientations is None:
-            orientations = [1] * len(imgs)
-        if len(orientations) != len(imgs):
+            orientations = [1] * len(images)
+        if len(orientations) != len(images):
             raise ValueError("orientations length must match images")
-        specs = [ImageSpec(a.shape[1], a.shape[0], int(o))
-                 for a, o in zip(imgs, orientations)]
-        # Reserve the queue slot BEFORE any expensive per-job work (overlap
-        # scoring, layout solve): backpressure must bound what an overloaded
-        # server pays per rejected request, not just what it buffers.
+        # Reserve the queue slot BEFORE any expensive per-job work (channel
+        # normalization is O(pixels), then overlap scoring, layout solve):
+        # backpressure must bound what an overloaded server pays per
+        # rejected request, not just what it buffers.
         self._admit()
         try:
+            # same normalization as api.stitch_arrays: LA/RGBA flatten onto
+            # white (decode-ladder formula), mixed gray+RGB promote to RGB —
+            # so channel count is uniform per job and in {1, 3} (the
+            # compiled program is parameterized by it; an un-normalized
+            # 4-channel job used to die at trace time with a concat-shape
+            # TypeError)
+            imgs = _api._unify_channels(
+                [np.ascontiguousarray(_api._as_uint8(a)) for a in images])
+            specs = [ImageSpec(a.shape[1], a.shape[0], int(o))
+                     for a, o in zip(imgs, orientations)]
             if options.merge_overlap:
                 # pixel-derived trims change the specs, so merge runs in the
                 # caller's thread before the job is keyed/batched by signature
@@ -270,10 +272,18 @@ class StitchServer:
                  for shp, o in zip(norm, orientations)]
         plan = solve(specs, options,
                      self.config.limits if limits is None else limits)
-        cap = self._batch_cap(plan, channels)
+        try:
+            sizes = [int(b) for b in batch_sizes]
+        except TypeError as e:
+            raise ValueError(
+                f"batch_sizes must be a list of ints, got "
+                f"{batch_sizes!r}") from e
+        if not sizes:
+            raise ValueError("batch_sizes must be non-empty")
+        cap = self._effective_cap(plan, channels)
         targets = sorted({
-            self._padded_batch(max(1, min(int(b), self.max_batch, cap)), cap)
-            for b in batch_sizes})
+            self._padded_batch(max(1, min(b, self.max_batch, cap)), cap)
+            for b in sizes})
         futs: List[Tuple[int, Future]] = []
         for b in targets:
             self._admit()
@@ -435,6 +445,18 @@ class StitchServer:
                 mesh=self.mesh, interpret=self.interpret)
         return per_size[key]
 
+    def _effective_cap(self, plan: LayoutPlan, channels: int) -> int:
+        """HBM batch cap, rounded down to a jobs-axis multiple under a
+        mesh.  Shared by :meth:`_flush` and :meth:`warmup`: a warmup
+        clamped against the RAW cap could select a batch size no real
+        flush ever uses (the flush splits at the mesh-rounded cap) and
+        execute a zero batch larger than the HBM bound."""
+        cap = self._batch_cap(plan, channels)
+        if self.mesh is not None:
+            unit = self.mesh.shape["jobs"]
+            cap = max(unit, (cap // unit) * unit)
+        return cap
+
     def _padded_batch(self, b: int, cap: int) -> int:
         """Pad a batch to a power-of-two bucket to bound the number of
         compiled batch sizes (recompilation governor); under a mesh the
@@ -473,10 +495,7 @@ class StitchServer:
             return
         plan = jobs[0].plan
         channels = _job_channels(jobs[0])
-        cap = self._batch_cap(plan, channels)
-        if self.mesh is not None:
-            unit = self.mesh.shape["jobs"]
-            cap = max(unit, (cap // unit) * unit)
+        cap = self._effective_cap(plan, channels)
         if len(jobs) > cap:
             self._log.event("serve.batch_capped", n=len(jobs), cap=cap,
                             canvas=(plan.canvas_w, plan.canvas_h))

@@ -523,3 +523,36 @@ def test_stitch_arrays_rejects_weird_channel_counts():
     with pytest.raises(ValueError, match="channels"):
         api.stitch_arrays([rng.integers(0, 256, (8, 8, 5), np.uint8)],
                           options=StitchOptions())
+
+
+def test_make_preview_rgba_consistent_across_paths():
+    """Channel normalization happens BEFORE the device/host split: the
+    preview of an RGBA array must not depend on backend health."""
+    rgba = rng.integers(0, 256, (64, 96, 4), np.uint8)
+    dev = api.make_preview(rgba, 48)
+    host = api.make_preview(rgba, 48, device=False)
+    assert dev.shape == host.shape and dev.shape[2] == 3
+    assert np.abs(dev.astype(int) - host.astype(int)).max() <= 1
+
+
+def test_stitch_overlapped_gray_arrays_take_plain_path():
+    """>=7 gray arrays used to crash in run_overlapped (channels is a
+    compile-time 3 there); they now route to the plain path and keep the
+    single-channel output contract of the identical smaller job."""
+    imgs = [rng.integers(0, 256, (16, 24), np.uint8) for _ in range(7)]
+    out = api.stitch(imgs, gap=2, config=RuntimeConfig(engine="xla"))
+    small = api.stitch(imgs[:2], gap=2, config=RuntimeConfig(engine="xla"))
+    assert out.shape[2] == 1 and small.shape[2] == 1
+    assert np.array_equal(out[:16], imgs[0][:, :, None])
+
+
+def test_stitch_overlapped_rgba_arrays_still_overlap():
+    """RGBA arrays stay eligible for the overlapped/blit fast paths: the
+    loaders flatten them onto white, yielding the compile-time 3 channels."""
+    imgs = [rng.integers(0, 256, (16, 24, 4), np.uint8) for _ in range(7)]
+    cfg = RuntimeConfig(engine="auto", overlap="always")
+    out, metrics = api.stitch(imgs, gap=0, config=cfg, return_metrics=True)
+    assert metrics.strategy in ("host-blit", "overlapped")
+    want = api.stitch_arrays(list(imgs), options=StitchOptions(gap=0),
+                             config=RuntimeConfig(engine="xla"))
+    assert np.abs(out.astype(int) - want.astype(int)).max() <= 1

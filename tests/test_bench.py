@@ -41,10 +41,11 @@ def test_slope_run_contention_inverted_falls_back_positive(monkeypatch):
     import itertools
     seq = itertools.cycle([0.0, 10.0, 10.0, 11.0])   # t_lo=10s, t_hi=1s
     monkeypatch.setattr(bench.time, "perf_counter", lambda: next(seq))
-    p50, samples = bench._slope_run(lambda k, imgs: 0, [], 2, 10, 3)
+    p50, samples, mode = bench._slope_run(lambda k, imgs: 0, [], 2, 10, 3)
     assert p50 > 0
     assert samples and all(s > 0 for s in samples)
     assert p50 == pytest.approx(1.0 / 10 * 1000.0)   # ceiling of the k_hi run
+    assert mode == "ceiling"   # machine-readable: not a marginal slope
 
 
 def test_slope_run_discards_inverted_rounds_keeps_good(monkeypatch):
@@ -58,9 +59,10 @@ def test_slope_run_discards_inverted_rounds_keeps_good(monkeypatch):
     ])
     flat = itertools.chain.from_iterable(rounds)
     monkeypatch.setattr(bench.time, "perf_counter", lambda: next(flat))
-    p50, samples = bench._slope_run(lambda k, imgs: 0, [], 2, 10, 3)
+    p50, samples, mode = bench._slope_run(lambda k, imgs: 0, [], 2, 10, 3)
     assert p50 == pytest.approx((2.0 - 1.0) / 8 * 1000.0)
     assert len(samples) == 3 and all(s > 0 for s in samples)
+    assert mode == "slope"
 
 
 def test_retry_transient_recovers_and_resets():
@@ -125,7 +127,8 @@ def test_slope_run_discards_retry_poisoned_rounds(monkeypatch):
     import itertools
     seq = itertools.cycle([0.0, 1.0, 1.0, 3.0])
     monkeypatch.setattr(bench.time, "perf_counter", lambda: next(seq))
-    p50, samples = bench._slope_run(run_chain, [], 2, 10, rounds=3)
+    p50, samples, mode = bench._slope_run(run_chain, [], 2, 10, rounds=3)
+    assert mode == "slope"
     assert len(samples) == 3           # the poisoned round was re-run
     # 2 warmups + 3 calls in the discarded round (ok, abort, retry-ok) +
     # 3 clean rounds x 2 calls: the re-run actually happened

@@ -273,3 +273,22 @@ def test_http_warmup_requires_shapes(srv):
         urllib.request.urlopen(req, timeout=30)
     assert ei.value.code == 400
     assert "shapes" in json.loads(ei.value.read())["error"]
+
+
+def test_http_warmup_non_dict_body_is_400(srv):
+    req = urllib.request.Request(
+        _url(srv, "/warmup"), data=b"[1, 2]",
+        headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 400
+
+
+def test_http_warmup_bad_batch_sizes_is_400(srv):
+    req = urllib.request.Request(
+        _url(srv, "/warmup"),
+        data=json.dumps({"shapes": [[16, 16]], "batch_sizes": 8}).encode(),
+        headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 400

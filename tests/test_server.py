@@ -524,3 +524,46 @@ def test_warmup_under_jobs_mesh():
                      StitchOptions(gap=2))
         want = oracle.stitch(plan, imgs)
         assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_submit_rejects_before_paying_normalization(monkeypatch):
+    """Backpressure must fire BEFORE the O(pixels) channel normalization
+    (review r4s11: the flatten ran ahead of _admit, so an overloaded
+    server paid full-image compositing per rejected request)."""
+    import imagestitching_tpu.api as api_mod
+    from imagestitching_tpu.serve.server import ServerOverloaded
+
+    s = StitchServer(max_batch=2, max_wait_s=30.0, engine="xla",
+                     max_queue=1)
+    try:
+        with s.admission():           # hold the only slot
+            def boom(a):
+                raise AssertionError("normalization ran before admission")
+            monkeypatch.setattr(api_mod, "_as_uint8", boom)
+            with pytest.raises(ServerOverloaded):
+                s.submit([rng.integers(0, 256, (8, 8, 4), np.uint8)])
+    finally:
+        s.close()
+
+
+def test_warmup_clamps_to_mesh_rounded_cap(monkeypatch):
+    """warmup must clamp against the same mesh-rounded cap _flush splits
+    at — the raw cap could warm a batch size no real flush ever selects
+    (and execute a zero batch above the HBM bound)."""
+    with StitchServer(max_batch=16, max_wait_s=30.0, engine="xla",
+                      use_mesh=True) as s:
+        unit = s.mesh.shape["jobs"]            # 8 on the virtual CPU mesh
+        assert unit == 8
+        monkeypatch.setattr(s, "_batch_cap", lambda plan, ch: 10)
+        assert s._effective_cap(None, 3) == 8
+        info = s.warmup([(16, 16)], batch_sizes=(10,))
+        assert info["batches"] == [8]          # not 16 (raw-cap rounding)
+
+
+def test_warmup_rejects_bad_batch_sizes():
+    with StitchServer(max_batch=4, max_wait_s=0.002, engine="xla") as s:
+        with pytest.raises(ValueError, match="non-empty"):
+            s.warmup([(16, 16)], batch_sizes=())
+        with pytest.raises(ValueError, match="batch_sizes"):
+            s.warmup([(16, 16)], batch_sizes=3)
+        assert s.stats()["warmups"] == 0
