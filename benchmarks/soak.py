@@ -1324,6 +1324,13 @@ def run_tpu(n_cases: int, base: int = 140_000) -> int:
                 lo, hi = 32, 512
             common = _boundary_biased(rng, lo, min(hi, 384) if not big
                                       else hi)
+            # channel slice (r4s11): gray jobs run the Mosaic kernel at
+            # C=1 and RGBA flattens onto white at the api boundary —
+            # neither is reachable by any other chip burn.  Sharded keeps
+            # C=3 (ShardedStitch's channel arg is the caller's contract).
+            chans = 3
+            if not big and not sharded and rng.random() < 0.2:
+                chans = int(rng.choice([1, 4]))
             specs, imgs = [], []
             for _ in range(n):
                 w = (common if (equalize and direction == "vertical")
@@ -1332,7 +1339,7 @@ def run_tpu(n_cases: int, base: int = 140_000) -> int:
                      else _boundary_biased(rng, lo, hi))
                 o = int(rng.integers(1, 9))
                 specs.append(ImageSpec(w, h, o))
-                imgs.append(rng.integers(0, 256, (h, w, 3), np.uint8))
+                imgs.append(rng.integers(0, 256, (h, w, chans), np.uint8))
             options = StitchOptions(
                 direction=direction,
                 mode=str(rng.choice(["min", "max", "original"])),
@@ -1342,7 +1349,8 @@ def run_tpu(n_cases: int, base: int = 140_000) -> int:
                 background=tuple(int(x) for x in rng.integers(0, 256, 3)),
                 supersample=bool((not big) and rng.random() < 0.1))
             plan = solve(specs, options)
-            want = oracle.stitch(plan, imgs)
+            imgs_norm = [_flatten_white(a) for a in imgs]   # 4ch -> white
+            want = oracle.stitch(plan, imgs_norm)
             if sharded:
                 from imagestitching_tpu.parallel.mesh import make_mesh
                 from imagestitching_tpu.parallel.sharding import \
@@ -1394,7 +1402,8 @@ def run_tpu(n_cases: int, base: int = 140_000) -> int:
             assert diff <= 1, f"diff={diff}"
             print(f"seed {base + seed}: ok ({engine}, n={n}, "
                   f"canvas={plan.canvas_w}x{plan.canvas_h}, "
-                  f"{options.filter}{', BIG' if big else ''}, "
+                  f"{options.filter}{', BIG' if big else ''}"
+                  f"{f', C={chans}' if chans != 3 else ''}, "
                   f"diff={diff})", flush=True)
         except Exception:
             fails += 1
