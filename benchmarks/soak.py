@@ -927,6 +927,34 @@ def run_http(n_cases: int, base: int = 160_000) -> int:
                     finally:
                         srv.server.submit = _orig_submit
 
+                if rng.random() < 0.4:
+                    # warmup slice (r4s11): randomized geometry through
+                    # POST /warmup, plus the malformed-payload 400 contract
+                    wn = int(rng.integers(1, 4))
+                    wshapes = [[int(rng.integers(8, 80)),
+                                int(rng.integers(8, 80))] for _ in range(wn)]
+                    st, body, _ = request(
+                        srv.port, "POST", "/warmup",
+                        json.dumps({"shapes": wshapes,
+                                    "gap": float(rng.integers(0, 5)),
+                                    "batch_sizes":
+                                        [int(rng.integers(1, 5))]}).encode(),
+                        "application/json")
+                    if st == 200:
+                        winfo = json.loads(body)
+                        assert winfo["batches"] and winfo["engine"] in (
+                            "pallas", "xla"), winfo
+                    else:
+                        # explicit pallas surfaces Infeasible as the
+                        # client's 400 (documented contract)
+                        assert engine == "pallas" and st == 400, (st, body)
+                    bad = str(rng.choice(["[1]", '{"shapes": []}',
+                                          '{"shapes": [[8, 8]], '
+                                          '"batch_sizes": 2}']))
+                    st, body, _ = request(srv.port, "POST", "/warmup",
+                                          bad.encode(), "application/json")
+                    assert st == 400, (st, body, bad)
+
                 st, body, _ = request(srv.port, "GET", "/stats")
                 assert st == 200, st
                 stats = json.loads(body)["server"]
