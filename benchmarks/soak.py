@@ -12,6 +12,7 @@ Usage:  python benchmarks/soak.py [N] [SEED_BASE]          (default 200, base 10
         python benchmarks/soak.py --export [N] [SEED_BASE]   (default 150, base 180000)
         python benchmarks/soak.py --merge [N] [SEED_BASE]    (default 200, base 190000)
         python benchmarks/soak.py --grid [N] [SEED_BASE]     (default 200, base 200000)
+        python benchmarks/soak.py --stress [N] [SEED_BASE]   (default 60, base 210000)
 
 ``--large`` probes the geometry the small soak cannot reach (VERDICT r2 #4):
 sides 256-2048 biased to tile/band boundary crossings (the 128/256/512/
@@ -663,6 +664,194 @@ def run_serve(n_cases: int, base: int = 120_000) -> int:
                 break
     ran = seed + 1 if n_cases else 0
     print(f"done: {ran}/{n_cases} serve cases, {fails} failures",
+          flush=True)
+    return fails
+
+
+def run_stress(n_cases: int, base: int = 210_000) -> int:
+    """Concurrency stress soak: T client threads hammer ONE StitchServer
+    simultaneously — the race surface the single-threaded ``--serve`` mode
+    never touches.
+
+    Each case spawns 2-5 threads that concurrently submit jobs from mixed
+    signature classes while also racing: ``warmup`` against live flushes,
+    ``Future.cancel`` against the worker's resolve, ``stats()`` probes,
+    ``ensure_capacity``/``admission()`` (grid-style out-of-band slot
+    holders) against the tiny ``max_queue`` bound, and — in one slice —
+    ``close()`` under live traffic.  Asserts what no interleaving may
+    break: every future completes (deadlock freedom, bounded wall),
+    admission-slot accounting quiesces to pending==0, the stats counters
+    cohere (jobs+failed == admitted jobs), and every successful result is
+    oracle-exact regardless of which batch shape the races produced.
+    The reference avoids races structurally with a single isStitching
+    mutex (pages/index/index.js:25,1193); this server replaces that with
+    real locking, so the soak is its sanitizer."""
+    import threading as _th
+    import time
+    from concurrent.futures import CancelledError, wait
+
+    from imagestitching_tpu.serve.server import ServerOverloaded, StitchServer
+
+    fails = 0
+    seed = -1
+    for seed in range(n_cases):
+        rng = np.random.default_rng(base + seed)
+        try:
+            n_classes = int(rng.integers(1, 4))
+            classes = []
+            for _ in range(n_classes):
+                k = int(rng.integers(1, 4))
+                specs = [(int(rng.integers(4, 41)), int(rng.integers(4, 41)),
+                          int(rng.integers(1, 9))) for _ in range(k)]
+                options = StitchOptions(
+                    direction=str(rng.choice(["vertical", "horizontal"])),
+                    mode=str(rng.choice(["min", "max", "original"])),
+                    gap=_rand_gap(rng, 7),
+                    filter=str(rng.choice(["bilinear", "triangle"])),
+                    supersample=False)
+                chans = int(rng.choice([1, 3, 4], p=[0.15, 0.7, 0.15]))
+                classes.append((specs, options, chans))
+            engine = str(rng.choice(["auto", "auto", "xla", "pallas"]))
+            close_slice = bool(rng.random() < 0.25)
+            srv = StitchServer(
+                max_batch=int(rng.choice([2, 4, 8])),
+                max_wait_s=float(rng.choice([0.0, 0.001, 0.01])),
+                engine=engine, interpret=True,
+                use_mesh=bool(rng.random() < 0.2),
+                # small queues make ServerOverloaded reachable under racing
+                # submitters; slot accounting must still quiesce to zero
+                max_queue=int(rng.choice([4, 8, 64])),
+                max_signatures=int(rng.choice([1, 2, 32])))
+            n_threads = int(rng.integers(2, 6))
+            jobs_lock = _th.Lock()
+            jobs = []          # (imgs, specs, options, future)
+            counters = {"rejected": 0, "closed_refused": 0, "warmups": 0,
+                        "warmup_infeasible": 0}
+
+            def client(tid: int) -> None:
+                trng = np.random.default_rng([base + seed, tid])
+                for _ in range(int(trng.integers(3, 9))):
+                    specs, options, chans = \
+                        classes[int(trng.integers(n_classes))]
+                    imgs = [trng.integers(0, 256, (h, w, chans), np.uint8)
+                            for w, h, _ in specs]
+                    ors = [o for _, _, o in specs]
+                    r = trng.random()
+                    try:
+                        if r < 0.08:
+                            # warmup racing live flushes (worker-thread
+                            # serialized with real batches by design)
+                            info = srv.warmup(
+                                [(h, w, max(1, min(chans, 3)))
+                                 for w, h, _ in specs],
+                                options, orientations=ors,
+                                batch_sizes=(int(trng.integers(1, 5)),))
+                            with jobs_lock:
+                                counters["warmups"] += 1
+                            assert info["engine"] in ("pallas", "xla"), info
+                        elif r < 0.14:
+                            # grid-style out-of-band slot holder
+                            with srv.admission():
+                                time.sleep(float(trng.random()) * 0.002)
+                        elif r < 0.18:
+                            srv.ensure_capacity()   # non-reserving probe
+                        else:
+                            fut = srv.submit(imgs, options, orientations=ors)
+                            with jobs_lock:
+                                jobs.append((imgs, specs, options, fut))
+                            if trng.random() < 0.12:
+                                fut.cancel()    # may lose the race: fine
+                    except ServerOverloaded:
+                        with jobs_lock:
+                            counters["rejected"] += 1
+                        time.sleep(0.001)
+                    except NotImplementedError:
+                        # explicit-pallas warmup on an infeasible signature
+                        # fails its own future (documented contract)
+                        assert engine == "pallas"
+                        with jobs_lock:
+                            counters["warmup_infeasible"] += 1
+                    except RuntimeError as e:
+                        if "closed" in str(e) and close_slice:
+                            with jobs_lock:
+                                counters["closed_refused"] += 1
+                            return
+                        raise
+                    if trng.random() < 0.2:
+                        st = srv.stats()
+                        assert st["pending"] <= srv.max_queue, st
+
+            threads = [_th.Thread(target=client, args=(t,), daemon=True)
+                       for t in range(n_threads)]
+            for t in threads:
+                t.start()
+            if close_slice:
+                time.sleep(float(rng.random()) * 0.02)
+                srv.close()
+            for t in threads:
+                t.join(timeout=600)
+                assert not t.is_alive(), "client thread deadlocked"
+            try:
+                futs = [f for _, _, _, f in jobs]
+                done, not_done = wait(futs, timeout=600)
+                assert not not_done, f"{len(not_done)} futures never resolved"
+                st = srv.stats()
+            finally:
+                srv.close()
+            # every future done => every _resolve ran => slots quiesced
+            assert st["pending"] == 0, st
+            n_ok = n_err = n_cancelled = 0
+            for imgs, specs, options, fut in jobs:
+                if fut.cancelled():
+                    n_cancelled += 1
+                    continue
+                try:
+                    out = fut.result(timeout=0)
+                except CancelledError:
+                    n_cancelled += 1
+                    continue
+                except NotImplementedError:
+                    plan = solve([ImageSpec(w, h, o) for w, h, o in specs],
+                                 options)
+                    assert engine == "pallas" and not _kernel_feasible(plan)
+                    n_err += 1
+                    continue
+                except RuntimeError as e:
+                    assert close_slice and "closed" in str(e), e
+                    n_err += 1
+                    continue
+                plan = solve([ImageSpec(w, h, o) for w, h, o in specs],
+                             options)
+                want = oracle.stitch(plan, [_flatten_white(a) for a in imgs])
+                assert out.shape == want.shape, (out.shape, want.shape)
+                diff = np.abs(out.astype(int) - want.astype(int)).max()
+                assert diff <= 1, f"diff={diff}"
+                n_ok += 1
+            # counter coherence: every admitted job was counted exactly once
+            # by the worker OR dropped as cancelled (never computed, never
+            # counted); jobs drained by close() behind the sentinel resolve
+            # with the closed error WITHOUT a stats bump, so the close slice
+            # asserts <= instead of ==
+            admitted = len(jobs)
+            counted = st["jobs"] + st["failed"] + n_cancelled
+            if close_slice:
+                assert counted <= admitted, (st, n_cancelled, admitted)
+            else:
+                assert counted == admitted, (st, n_cancelled, admitted)
+            assert st["warmups"] == counters["warmups"], (st, counters)
+            print(f"seed {base + seed}: ok ({n_threads} threads, "
+                  f"{admitted} jobs: {n_ok} ok/{n_err} err/"
+                  f"{n_cancelled} cancelled, rejected "
+                  f"{counters['rejected']}, {engine}"
+                  f"{', CLOSED' if close_slice else ''})", flush=True)
+        except Exception:
+            fails += 1
+            print(f"FAIL seed={base + seed}", flush=True)
+            traceback.print_exc()
+            if fails >= 3:
+                break
+    ran = seed + 1 if n_cases else 0
+    print(f"done: {ran}/{n_cases} stress cases, {fails} failures",
           flush=True)
     return fails
 
@@ -1942,7 +2131,8 @@ if __name__ == "__main__":
               "--tpu": (run_tpu, 30), "--http": (run_http, 40),
               "--cli": (run_cli, 150), "--serve": (run_serve, 100),
               "--formats": (run_formats, 200), "--large": (run_large, 200),
-              "--merge": (run_merge, 200), "--grid": (run_grid, 200)}
+              "--merge": (run_merge, 200), "--grid": (run_grid, 200),
+              "--stress": (run_stress, 60)}
     if argv and argv[0].startswith("--") and argv[0] not in _MODES:
         print(f"unknown mode {argv[0]}; usage: soak.py "
               f"[{'|'.join(sorted(_MODES))}] [N] [SEED_BASE]",

@@ -312,12 +312,33 @@ class StitchServer:
             else:
                 job.future.set_result(value)
         except InvalidStateError:
-            # The client cancelled while the job sat queued (serve futures
-            # are never marked running, so Future.cancel() succeeds).  The
-            # result has no recipient — drop it.  Must not propagate: a
-            # throw mid-resolve-loop would split-retry the whole batch,
-            # double-counting stats and recomputing batch-mates.
+            # Belt-and-braces: _start_or_drop transitions every dequeued
+            # future to RUNNING (cancel() then returns False), so a resolve
+            # should never find the future already settled.  Must not
+            # propagate regardless: a throw mid-resolve-loop would
+            # split-retry the whole batch, double-counting stats and
+            # recomputing batch-mates.
             self._log.event("serve.resolve_dropped", cancelled=True)
+
+    def _start_or_drop(self, job) -> bool:
+        """Executor half of the Future cancellation protocol: transition a
+        dequeued job's future to RUNNING, or — when the client cancelled it
+        while it sat queued — notify the future's waiters of the
+        cancellation and release the admission slot.
+
+        ``Future.cancel()`` alone only moves PENDING -> CANCELLED; the
+        CANCELLED -> CANCELLED_AND_NOTIFIED step that wakes
+        ``concurrent.futures.wait``/``as_completed`` is reserved to the
+        executor via ``set_running_or_notify_cancel()``.  Skipping it hung
+        any client that waited on a future it had cancelled (found by the
+        ``--stress`` soak, seed 999100), and silently burned a batch slot
+        computing a result nobody could receive."""
+        if job.future.set_running_or_notify_cancel():
+            return True
+        with self._plock:
+            self._pending -= 1
+        self._log.event("serve.job_cancelled")
+        return False
 
     def stats(self) -> dict:
         with self._plock:
@@ -338,7 +359,7 @@ class StitchServer:
                     job = self._queue.get_nowait()
                 except queue.Empty:
                     break
-                if job is not None:
+                if job is not None and self._start_or_drop(job):
                     self._resolve(job, error=RuntimeError("server closed"))
 
     def __enter__(self):
@@ -387,6 +408,8 @@ class StitchServer:
         """Worker-thread half of :meth:`warmup`: compile + run one
         zero-filled batch so the executable (and the backend's compile
         cache) is hot before real traffic arrives."""
+        if not self._start_or_drop(wj):
+            return
         try:
             t0 = time.perf_counter()
             compiled = self._get_compiled(wj.plan, wj.batch, wj.channels)
@@ -491,6 +514,12 @@ class StitchServer:
         return cap
 
     def _flush(self, jobs: List[_Job]) -> None:
+        # Cancellation gate exactly once per job (a second
+        # set_running_or_notify_cancel on a RUNNING future raises), so the
+        # cap-split/split-retry recursion below goes through _flush_started.
+        self._flush_started([j for j in jobs if self._start_or_drop(j)])
+
+    def _flush_started(self, jobs: List[_Job]) -> None:
         if not jobs:
             return
         plan = jobs[0].plan
@@ -500,7 +529,7 @@ class StitchServer:
             self._log.event("serve.batch_capped", n=len(jobs), cap=cap,
                             canvas=(plan.canvas_w, plan.canvas_h))
             for lo in range(0, len(jobs), cap):
-                self._flush(jobs[lo:lo + cap])
+                self._flush_started(jobs[lo:lo + cap])
             return
         try:
             b = len(jobs)
@@ -533,5 +562,5 @@ class StitchServer:
             self._log.event("serve.batch_fail_retry_split", n=len(jobs),
                             error=repr(e))
             mid = len(jobs) // 2
-            self._flush(jobs[:mid])
-            self._flush(jobs[mid:])
+            self._flush_started(jobs[:mid])
+            self._flush_started(jobs[mid:])

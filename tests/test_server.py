@@ -233,11 +233,15 @@ def test_server_signature_lru_bounded():
 
 
 def test_server_cancelled_future_does_not_poison_batch():
-    """A client cancelling its queued future (serve futures are never
-    marked running, so cancel() succeeds) must not poison the batch: the
-    batch-mates still resolve, stats count the batch exactly once, and the
-    dropped result is logged rather than raising InvalidStateError into
-    the split-retry path (which would recompute mates and double-count)."""
+    """A client cancelling its queued future (cancel() wins while the job
+    sits queued; the worker marks futures RUNNING only at flush) must not
+    poison the batch: the cancelled job is DROPPED from the batch (its
+    compute is never paid), the batch-mates still resolve, its admission
+    slot is released, and — the --stress-soak finding — its waiters are
+    notified: concurrent.futures.wait() on the cancelled future must
+    return, which requires the executor-side CANCELLED_AND_NOTIFIED
+    transition (set_running_or_notify_cancel), not just cancel()."""
+    from concurrent.futures import wait as fwait
     # max_wait_s far above any 1-core scheduling stall: the flush must come
     # from the batch-FULL trigger (4th submit below), never the deadline —
     # a deadline flush racing the cancel() would set_result first and make
@@ -249,9 +253,16 @@ def test_server_cancelled_future_does_not_poison_batch():
         mates = [s.submit([rand_img(20, 12)]) for _ in range(3)]
         for f in mates:
             assert f.result(timeout=60).shape == (12, 20, 3)
+        # the pre-fix server left the future in CANCELLED forever and this
+        # wait() blocked until timeout (waiters are only woken by the
+        # executor-side notify step)
+        done, not_done = fwait([f_cancel], timeout=30)
+        assert not not_done and f_cancel.cancelled()
+        st = s.stats()
+        assert st["pending"] == 0           # the dropped job freed its slot
         s.close()
         st = s.stats()
-        assert st["jobs"] == 4              # counted once, incl. cancelled
+        assert st["jobs"] == 3              # cancelled job never computed
         assert st["failed"] == 0
 
 
