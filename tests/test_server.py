@@ -578,3 +578,52 @@ def test_warmup_rejects_bad_batch_sizes():
         with pytest.raises(ValueError, match="batch_sizes"):
             s.warmup([(16, 16)], batch_sizes=3)
         assert s.stats()["warmups"] == 0
+
+
+def test_server_concurrent_clients_with_cancels():
+    """pytest twin of the --stress soak's core invariant: N client threads
+    submitting (and sometimes cancelling) concurrently must leave every
+    future notified — wait() returns, no deadlock — with admission slots
+    quiesced to zero and jobs+failed+cancelled == admitted.  Cancel
+    outcomes are inherently racy (a cancel can lose to the flush), so the
+    test asserts coherence, not specific winners."""
+    import threading
+    from concurrent.futures import wait as fwait
+
+    with StitchServer(max_batch=4, max_wait_s=0.002, engine="xla") as s:
+        lock = threading.Lock()
+        jobs = []
+
+        def client(tid):
+            trng = np.random.default_rng(100 + tid)
+            for k in range(4):
+                imgs = [trng.integers(0, 256, (12, 20, 3), np.uint8)]
+                fut = s.submit(imgs, StitchOptions(gap=float(tid)))
+                with lock:
+                    jobs.append((imgs, float(tid), fut))
+                if k == 1:
+                    fut.cancel()      # may win (queued) or lose (flushed)
+
+        threads = [threading.Thread(target=client, args=(t,))
+                   for t in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+            assert not t.is_alive()
+        done, not_done = fwait([f for _, _, f in jobs], timeout=120)
+        assert not not_done, f"{len(not_done)} futures never notified"
+        st = s.stats()
+        assert st["pending"] == 0, st
+        n_cancelled = 0
+        for imgs, gap, fut in jobs:
+            if fut.cancelled():
+                n_cancelled += 1
+                continue
+            out = fut.result(timeout=0)
+            plan = solve([ImageSpec(20, 12)], StitchOptions(gap=gap))
+            want = oracle.stitch(plan, imgs)
+            assert np.abs(out.astype(int) - want.astype(int)).max() <= 1
+        assert st["jobs"] + st["failed"] + n_cancelled == len(jobs), \
+            (st, n_cancelled, len(jobs))
+        assert st["failed"] == 0
