@@ -89,7 +89,10 @@ class ArtifactStore:
         if self._disabled or key is None:
             return
         f = self._file(key)
-        tmp = f + f".tmp{os.getpid()}"
+        # pid AND thread id: the prepare pool can put the same key from two
+        # threads at once (duplicate inputs) — a pid-only tmp name would
+        # interleave their writes and publish a corrupt entry
+        tmp = f + f".tmp{os.getpid()}.{threading.get_ident()}"
         try:
             with open(tmp, "wb") as fh:
                 np.savez(fh, arr=np.asarray(arr),
