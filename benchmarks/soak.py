@@ -1421,10 +1421,37 @@ def run_tpu(n_cases: int, base: int = 140_000) -> int:
     interpret = dev.platform == "cpu"
     from imagestitching_tpu.runtime import jaxcfg
     jaxcfg.ensure_compile_cache()
+    # Per-case progress watchdog (r4s12): a tunnel death mid-burn hangs the
+    # process inside a native RPC — uninterruptible from Python — until the
+    # caller's outer timeout (hours of wasted chip-chain wall observed live
+    # at seed base 149000).  A daemon thread exits 3 when no case has
+    # STARTED within the deadline; os.write is lock-free (the bench.py
+    # signal-emit lesson), os._exit skips interpreter teardown that would
+    # itself block on the dead backend.  Cases run 8-200 s healthy; 900 s
+    # of no progress means the tunnel, not a slow case.
+    import threading as _th
+    import time as _time
+    deadline_s = float(os.environ.get("ISX_TPU_CASE_DEADLINE_S", "900"))
+    progress = {"t": _time.monotonic(), "seed": None}
+
+    def _watchdog():
+        while True:
+            _time.sleep(min(30.0, max(1.0, deadline_s / 4)))
+            idle = _time.monotonic() - progress["t"]
+            if idle > deadline_s:
+                os.write(2, (f"\nWATCHDOG: case {progress['seed']} stuck "
+                             f"{idle:.0f}s (> {deadline_s:.0f}s deadline); "
+                             f"tunnel likely dead — exit 3\n").encode())
+                os._exit(3)
+
+    if not interpret and deadline_s > 0:
+        _th.Thread(target=_watchdog, daemon=True).start()
     fails = 0
     seed = -1
     for seed in range(n_cases):
         rng = np.random.default_rng(base + seed)
+        progress["t"] = _time.monotonic()
+        progress["seed"] = base + seed
         try:
             # case slices (VERDICT r3 #4): photo-scale sides (the headline
             # geometry class, D2H-bounded so rare), tight-budget (drives
