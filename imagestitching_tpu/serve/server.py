@@ -117,7 +117,15 @@ class StitchServer:
                          "Tuple[Optional[str], Dict[int, BatchedStitch]]]") = \
             collections.OrderedDict()
         self._log = get_logger()
-        self._stats = {"jobs": 0, "batches": 0, "failed": 0, "warmups": 0}
+        # latency accounting (worker-thread-only mutation, like the
+        # counters): queue_wait_* = submit -> flush-start wall per job (the
+        # dynamic-batching cost a client actually pays), flush_s = flush
+        # wall including stacking + executable lookup, so a cold
+        # signature's trace+compile spike is visible — exactly what
+        # warmup() exists to remove
+        self._stats = {"jobs": 0, "batches": 0, "failed": 0, "warmups": 0,
+                       "queue_wait_s": 0.0, "queue_wait_max_s": 0.0,
+                       "flush_s": 0.0}
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._closed = False
         self._thread.start()
@@ -532,6 +540,7 @@ class StitchServer:
                 self._flush_started(jobs[lo:lo + cap])
             return
         try:
+            t0 = time.perf_counter()
             b = len(jobs)
             padded = self._padded_batch(b, cap)
             stacks = []
@@ -544,7 +553,14 @@ class StitchServer:
             out = compiled(stacks)
             # bump stats BEFORE resolving: a client woken by its future must
             # observe stats() that already include its own job (readers
-            # synchronize on the futures, not on the worker thread)
+            # synchronize on the futures, not on the worker thread).
+            # Latency metrics accumulate only on this success path — the
+            # split-retry recursion below would double-count waits.
+            waits = [t0 - j.enqueued_at for j in jobs]
+            self._stats["queue_wait_s"] += sum(waits)
+            self._stats["queue_wait_max_s"] = max(
+                self._stats["queue_wait_max_s"], max(waits))
+            self._stats["flush_s"] += time.perf_counter() - t0
             self._stats["jobs"] += b
             self._stats["batches"] += 1
             for i, j in enumerate(jobs):

@@ -627,3 +627,21 @@ def test_server_concurrent_clients_with_cancels():
         assert st["jobs"] + st["failed"] + n_cancelled == len(jobs), \
             (st, n_cancelled, len(jobs))
         assert st["failed"] == 0
+
+
+def test_server_latency_metrics():
+    """stats() exposes dynamic-batching latency: queue_wait_* (submit ->
+    flush-start, what a client pays for batching) and flush_s (flush wall
+    incl. executable lookup, so cold-compile spikes are visible). Warmup
+    batches must not pollute them."""
+    with StitchServer(max_batch=4, max_wait_s=0.002, engine="xla") as s:
+        s.warmup([(16, 16)], batch_sizes=(4,))
+        st = s.stats()
+        assert st["flush_s"] == 0.0 and st["queue_wait_s"] == 0.0
+        futs = [s.submit([rand_img(16, 16)]) for _ in range(3)]
+        for f in futs:
+            f.result(timeout=60)
+        st = s.stats()
+        assert st["flush_s"] > 0.0
+        assert 0.0 <= st["queue_wait_max_s"] <= st["queue_wait_s"]
+        assert st["jobs"] == 3
