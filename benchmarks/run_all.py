@@ -196,6 +196,20 @@ def main() -> None:
     e2e_row2 = _row("e2e_resample_", "mixed sizes (resample)")
     log(f"e2e rows:\n{e2e_row}\n{e2e_row2}")
 
+    # single-core host-speed probe for the footer: deterministic,
+    # compressible input (so it measures the CPU, not the content), warm
+    # buffer (first-touch faults on this VM run at ~1.3 GB/s and would
+    # dominate an 8 MB cold probe)
+    import zlib
+    probe = np.tile(np.arange(4096, dtype=np.uint8), 2048).tobytes()
+    zlib.compress(probe[: 1 << 20], 6)          # warm code + allocator
+    t0 = time.perf_counter()
+    zlib.compress(probe, 6)
+    zlib_mbps = len(probe) / 1e6 / (time.perf_counter() - t0)
+    from imagestitching_tpu.runtime.jaxcfg import host_cpu_tag
+    host_tag = host_cpu_tag()
+    log(f"host probe: zlib-L6 {zlib_mbps:.0f} MB/s, tag={host_tag}")
+
     # ---- write BENCHMARKS.md
     lines = [
         "# BENCHMARKS — measured on one TPU v5e chip",
@@ -300,6 +314,18 @@ def main() -> None:
         "",
         f"_Generated by benchmarks/run_all.py; samples: "
         f"{[r[5] for r in rows]}_",
+        "",
+        # host attribution (r4s15): this VM migrates across physical hosts
+        # whose single-core speed differs 2-3x (measured: PNG-encode-busy
+        # 0.8 s vs 2.6 s on the SAME code, loadavg ~0 both times), so e2e
+        # host walls are only comparable across regens at similar zlib MB/s.
+        # Device rows are unaffected (the chip is the chip).
+        f"_Host for the e2e rows: cpu_tag={host_tag}, "
+        f"zlib-L6 {zlib_mbps:.0f} MB/s (single-core speed probe; compare "
+        f"across regens before reading e2e deltas as regressions), "
+        f"contended={e2e.get('e2e_contended')}/"
+        f"{e2e.get('e2e_resample_contended')}, loadavg "
+        f"{e2e.get('e2e_load_before')}->{e2e.get('e2e_resample_load_after')}_",
     ]
     with open("BENCHMARKS.md", "w") as f:
         f.write("\n".join(lines) + "\n")
