@@ -13,6 +13,7 @@ Usage:  python benchmarks/soak.py [N] [SEED_BASE]          (default 200, base 10
         python benchmarks/soak.py --merge [N] [SEED_BASE]    (default 200, base 190000)
         python benchmarks/soak.py --grid [N] [SEED_BASE]     (default 200, base 200000)
         python benchmarks/soak.py --stress [N] [SEED_BASE]   (default 60, base 210000)
+        python benchmarks/soak.py --layout [N] [SEED_BASE]   (default 2000, base 220000)
 
 ``--large`` probes the geometry the small soak cannot reach (VERDICT r2 #4):
 sides 256-2048 biased to tile/band boundary crossings (the 128/256/512/
@@ -2139,6 +2140,138 @@ def run_grid(n_cases: int, base: int = 200_000) -> int:
     return fails
 
 
+def run_layout(n_cases: int, base: int = 220_000) -> int:
+    """Independent-referee layout fuzz (VERDICT r4 #1): ``core/layout.solve``
+    vs the SEALED reference transliteration (benchmarks/layout_referee.py —
+    written from index.js:1251-1386,1526-1554 with no imports from the
+    package, so no bug can be shared by construction).  Every other soak
+    mode checks engines against ``oracle.stitch(plan)``, but the plan itself
+    comes from ``solve`` — this mode is the only referee for the plan.
+
+    Exact-equality contract: out size, scale_down, supersample factor and
+    every fractional placement rect must match BIT-EXACT (both sides are
+    float64 in the reference's operation order — any mismatch is a real
+    transcription divergence, the class the left-assoc grouping fix came
+    from).  Canvas size matches exactly except on the index.js:1379 guard
+    break edge, where the documented deviation (PARITY.md #8) is asserted
+    instead: repo canvas == target, reference canvas > max_pixels.
+
+    A third of cases steer the pixel-headroom ratio into (1.005, 1.06) to
+    saturate the guard-loop/deviation window random dims almost never hit.
+    Pure host math — no JAX, thousands of cases per minute."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from layout_referee import display_dims, referee_layout
+    fails = 0
+    for seed in range(n_cases):
+        rng = np.random.default_rng(base + seed)
+        try:
+            n = int(rng.integers(1, 13))
+            dim_kind = rng.random()
+            specs = []
+            for _ in range(n):
+                if dim_kind < 0.15:          # degenerate sides
+                    w = int(rng.choice([1, 1, 2, 3]))
+                    h = int(rng.integers(1, 50))
+                elif dim_kind < 0.3:         # huge (cap-triggering)
+                    w = int(rng.integers(2_000, 20_000))
+                    h = int(rng.integers(2_000, 20_000))
+                else:                        # ordinary
+                    w = int(rng.integers(1, 4_000))
+                    h = int(rng.integers(1, 4_000))
+                if rng.random() < 0.5:
+                    w, h = h, w
+                specs.append(ImageSpec(w, h, int(rng.integers(1, 9))))
+            direction = str(rng.choice(["vertical", "horizontal"]))
+            mode = str(rng.choice(["min", "max", "original"]))
+            gap = _rand_gap(rng, 40)
+            if rng.random() < 0.1:
+                gap = float(rng.integers(0, 500))   # beyond the UI clamp
+            max_ss = float(rng.choice([1.0, 1.3, 2.2, 2.6, 4.0]))
+            dims = [display_dims(s.raw_w, s.raw_h, s.orientation)
+                    for s in specs]
+
+            cap_kind = rng.random()
+            if cap_kind < 0.34:
+                # targeted guard-window slice: place the headroom ratio
+                # sqrt(max_pixels/base) in/around (1.01, 1.042) where the
+                # guard loop and the deviation edge live.  Derive the
+                # uncapped target first so scale_down stays 1.
+                free = referee_layout(
+                    dims, direction, mode, gap,
+                    max_side=1 << 30, max_pixels=1 << 60,
+                    max_supersample=1.0, supersample_enabled=False)
+                tw, th = free["out_w"], free["out_h"]
+                if tw * th > 200_000_000:
+                    limits = ist.CanvasLimits()   # too big to steer; generic
+                else:
+                    ratio = 1.005 + rng.random() * 0.055
+                    mp = int(tw * th * ratio * ratio) + int(
+                        rng.integers(-1, 2))
+                    limits = ist.CanvasLimits(
+                        max_side=1 << 20, max_pixels=max(1, mp),
+                        max_supersample=max_ss)
+            elif cap_kind < 0.67:
+                limits = ist.CanvasLimits(
+                    max_side=int(rng.integers(32, 16_384)),
+                    max_pixels=int(rng.integers(1_024, 16_000_000)),
+                    max_supersample=max_ss)
+            else:
+                preset = rng.random()
+                if preset < 0.4:
+                    limits = ist.CanvasLimits.reference_ios()
+                elif preset < 0.8:
+                    limits = ist.CanvasLimits.reference_android()
+                else:
+                    limits = ist.CanvasLimits(max_supersample=max_ss)
+
+            ss_on = bool(rng.random() < (0.7 if cap_kind < 0.34 else 0.3))
+            options = StitchOptions(direction=direction, mode=mode, gap=gap,
+                                    supersample=ss_on, max_images=None)
+            plan = solve(specs, options, limits=limits)
+            ref = referee_layout(
+                dims, direction, mode, gap,
+                max_side=limits.max_side, max_pixels=limits.max_pixels,
+                max_supersample=limits.max_supersample,
+                supersample_enabled=ss_on)
+
+            assert plan.out_w == ref["out_w"], (plan.out_w, ref["out_w"])
+            assert plan.out_h == ref["out_h"], (plan.out_h, ref["out_h"])
+            assert plan.scale_down == ref["scale_down"], \
+                (plan.scale_down, ref["scale_down"])
+            assert plan.supersample == ref["super_sample"], \
+                (plan.supersample, ref["super_sample"])
+            if ref["guard_reset"]:
+                # PARITY.md deviation #8: reference leaves an over-cap
+                # canvas; repo resets to the target size.
+                assert ref["canvas_w"] * ref["canvas_h"] \
+                    > limits.max_pixels, ref
+                assert (plan.canvas_w, plan.canvas_h) \
+                    == (plan.out_w, plan.out_h), plan
+            else:
+                assert (plan.canvas_w, plan.canvas_h) \
+                    == (ref["canvas_w"], ref["canvas_h"]), \
+                    ((plan.canvas_w, plan.canvas_h),
+                     (ref["canvas_w"], ref["canvas_h"]))
+            assert len(plan.placements) == len(ref["phys_rects"])
+            for p, (dx, dy, dw, dh) in zip(plan.placements,
+                                           ref["phys_rects"]):
+                assert (p.x0, p.y0, p.w, p.h) == (dx, dy, dw, dh), \
+                    (p.index, (p.x0, p.y0, p.w, p.h), (dx, dy, dw, dh))
+            if seed % 200 == 0:
+                print(f"seed {base + seed}: ok (n={n}, {direction}/{mode}, "
+                      f"gap={gap:.2f}, ss={plan.supersample:.3f}, "
+                      f"canvas={plan.canvas_w}x{plan.canvas_h}"
+                      f"{' [guard-reset]' if ref['guard_reset'] else ''})",
+                      flush=True)
+        except Exception:
+            fails += 1
+            print(f"FAIL seed={base + seed}", flush=True)
+            traceback.print_exc()
+    print(f"done: {n_cases - fails}/{n_cases} layout cases, "
+          f"{fails} failures", flush=True)
+    return fails
+
+
 def _fresh_base() -> int:
     """Fresh-base discipline (CLAUDE.md): a bare invocation must not
     silently re-burn an already-ledgered seed range, so when SEED_BASE
@@ -2159,7 +2292,7 @@ if __name__ == "__main__":
               "--cli": (run_cli, 150), "--serve": (run_serve, 100),
               "--formats": (run_formats, 200), "--large": (run_large, 200),
               "--merge": (run_merge, 200), "--grid": (run_grid, 200),
-              "--stress": (run_stress, 60)}
+              "--stress": (run_stress, 60), "--layout": (run_layout, 2000)}
     if argv and argv[0].startswith("--") and argv[0] not in _MODES:
         print(f"unknown mode {argv[0]}; usage: soak.py "
               f"[{'|'.join(sorted(_MODES))}] [N] [SEED_BASE]",

@@ -153,42 +153,47 @@ def _out_size(specs: Sequence[ImageSpec], direction: str, mode: str,
     heights = [max(1, s.height) for s in specs]
     if forced_edge is not None:
         widths = heights = [forced_edge]
+    # Accumulation grouping matters: the reference's reduce evaluates
+    # ``(sum + draw) + gap`` left-to-right (index.js:1265-1269).  Float
+    # addition is not associative, so ``sum += draw + gap`` — which groups
+    # ``sum + (draw + gap)`` — can differ by an ULP and flip a Math.round
+    # at an exact .5 boundary.  Keep every branch left-associated.
     if direction == "vertical":
         if mode == "min":
             out_w = float(min(widths))
             out_h = 0.0
             for idx, s in enumerate(specs):
                 iw, ih = max(1, s.width), max(1, s.height)
-                out_h += ih * (out_w / iw) + (gap if idx else 0.0)
+                out_h = out_h + ih * (out_w / iw) + (gap if idx else 0.0)
         elif mode == "max":
             out_w = float(max(widths))
             out_h = 0.0
             for idx, s in enumerate(specs):
                 iw, ih = max(1, s.width), max(1, s.height)
-                out_h += ih * (out_w / iw) + (gap if idx else 0.0)
+                out_h = out_h + ih * (out_w / iw) + (gap if idx else 0.0)
         else:  # original
             out_w = float(max(widths))
             out_h = 0.0
             for idx, s in enumerate(specs):
-                out_h += max(1, s.height) + (gap if idx else 0.0)
+                out_h = out_h + max(1, s.height) + (gap if idx else 0.0)
     else:
         if mode == "min":
             out_h = float(min(heights))
             out_w = 0.0
             for idx, s in enumerate(specs):
                 iw, ih = max(1, s.width), max(1, s.height)
-                out_w += iw * (out_h / ih) + (gap if idx else 0.0)
+                out_w = out_w + iw * (out_h / ih) + (gap if idx else 0.0)
         elif mode == "max":
             out_h = float(max(heights))
             out_w = 0.0
             for idx, s in enumerate(specs):
                 iw, ih = max(1, s.width), max(1, s.height)
-                out_w += iw * (out_h / ih) + (gap if idx else 0.0)
+                out_w = out_w + iw * (out_h / ih) + (gap if idx else 0.0)
         else:  # original
             out_h = float(max(heights))
             out_w = 0.0
             for idx, s in enumerate(specs):
-                out_w += max(1, s.width) + (gap if idx else 0.0)
+                out_w = out_w + max(1, s.width) + (gap if idx else 0.0)
     return out_w, out_h
 
 
@@ -222,6 +227,15 @@ def _supersample(target_w: int, target_h: int, limits: CanvasLimits,
     while cw * ch > limits.max_pixels and guard < 20:
         ss *= 0.96
         if ss < 1.0:
+            # DELIBERATE DEVIATION (PARITY.md #8): the reference breaks here
+            # WITHOUT recomputing canvasOutW/H (index.js:1379), exporting a
+            # canvas that exceeds its own pixel cap with background margins
+            # beyond the content (e.g. target 1000x1000, cap 1,040,000,
+            # max_supersample 2.2 -> reference canvas 1020x1020).  We reset
+            # to the target size so the cap is honored and no dead margin is
+            # emitted.  Reachable only with supersample enabled and
+            # sqrt(max_pixels/base) in (1.01, ~1.042).  Pinned by
+            # tests/test_layout_referee.py; fuzzed by soak --layout.
             ss = 1.0
             cw, ch = target_w, target_h
             break
