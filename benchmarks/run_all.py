@@ -201,7 +201,9 @@ def main() -> None:
     # buffer (first-touch faults on this VM run at ~1.3 GB/s and would
     # dominate an 8 MB cold probe)
     import zlib
-    probe = np.tile(np.arange(4096, dtype=np.uint8), 2048).tobytes()
+    # (np.arange(4096, uint8) would silently wrap mod 256 — state the
+    # actual 0..255 ramp pattern explicitly, ADVICE r4)
+    probe = np.tile(np.arange(256, dtype=np.uint8), 32768).tobytes()
     zlib.compress(probe[: 1 << 20], 6)          # warm code + allocator
     t0 = time.perf_counter()
     zlib.compress(probe, 6)
