@@ -1462,10 +1462,18 @@ def run_tpu(n_cases: int, base: int = 140_000) -> int:
             # one device = one shard, the code path is what's under test)
             roll = rng.random()
             big = roll < 0.06
-            sharded = 0.06 <= roll < 0.18
-            tight = 0.18 <= roll < 0.36
-            merge = 0.36 <= roll < 0.46
-            grid = 0.46 <= roll < 0.53
+            sharded = 0.06 <= roll < 0.16
+            tight = 0.16 <= roll < 0.32
+            merge = 0.32 <= roll < 0.45
+            grid = 0.45 <= roll < 0.56
+            # supersampled fractional-placement slice (VERDICT r4 #4): the
+            # ss>1 geometry class — every placement rect lands at x0=dx*ss
+            # sub-pixel phases, tap weights nowhere near integer offsets —
+            # previously had ZERO real-Mosaic coverage (the generic 10%
+            # supersample flag below only fires with default caps where
+            # ss pins to the 2.2 ceiling; the guard-loop window needs caps
+            # steered around the target size)
+            ss_case = 0.56 <= roll < 0.68
             if grid:
                 # grid-collage slice: per-column kernels run ON the chip
                 # (engine="auto" resolves per column signature on real
@@ -1559,12 +1567,15 @@ def run_tpu(n_cases: int, base: int = 140_000) -> int:
                       f"diff={diff})", flush=True)
                 continue
             n = int(rng.integers(1, 4 if big else 7))
-            equalize = (not big) and rng.random() < 0.35  # pure-blit plans
+            equalize = ((not big) and (not ss_case)
+                        and rng.random() < 0.35)  # pure-blit plans
             direction = str(rng.choice(["vertical", "horizontal"]))
             if big:
                 # forced-CPU validation shrinks photo-scale sides: the
                 # interpret-mode kernel on a 12 MP canvas is minutes/case
                 lo, hi = (2800, 4100) if not forced_cpu else (900, 1400)
+            elif ss_case:
+                lo, hi = 32, 256        # ss up to 2.2 squares the pixels
             else:
                 lo, hi = 32, 512
             common = _boundary_biased(rng, lo, min(hi, 384) if not big
@@ -1588,12 +1599,40 @@ def run_tpu(n_cases: int, base: int = 140_000) -> int:
             options = StitchOptions(
                 direction=direction,
                 mode=str(rng.choice(["min", "max", "original"])),
-                gap=_rand_gap(rng, 11),
+                gap=(float(rng.integers(0, 9)) + float(rng.random())
+                     if ss_case else _rand_gap(rng, 11)),
                 filter=str(rng.choice(["bilinear", "bilinear", "triangle",
                                        "box", "lanczos3"])),
                 background=tuple(int(x) for x in rng.integers(0, 256, 3)),
-                supersample=bool((not big) and rng.random() < 0.1))
-            plan = solve(specs, options)
+                supersample=bool(ss_case
+                                 or ((not big) and rng.random() < 0.1)))
+            limits = None
+            if ss_case:
+                # steer the pixel cap around the ss-free target size so all
+                # three supersample regimes land on real Mosaic: the 2.2
+                # ceiling (default caps), the guard-loop window incl. the
+                # deviation-#8 reset edge (ratio 1.005-1.06), and mid-range
+                # ss=ratio where every tap phase is irrational-ish
+                free = solve(specs, dataclasses.replace(options,
+                                                        supersample=False))
+                tgt = free.out_w * free.out_h
+                regime = rng.random()
+                if regime < 0.3:
+                    limits = None
+                elif regime < 0.7:
+                    ratio = 1.005 + rng.random() * 0.055
+                    limits = ist.CanvasLimits(
+                        max_side=1 << 20,
+                        max_pixels=max(1, int(tgt * ratio * ratio)
+                                       + int(rng.integers(-1, 2))),
+                        max_supersample=float(rng.choice([2.2, 2.6])))
+                else:
+                    ratio = 1.1 + rng.random() * 0.8
+                    limits = ist.CanvasLimits(
+                        max_side=1 << 20,
+                        max_pixels=max(1, int(tgt * ratio * ratio)),
+                        max_supersample=float(rng.choice([2.2, 2.6])))
+            plan = solve(specs, options, limits=limits)
             imgs_norm = [_flatten_white(a) for a in imgs]   # 4ch -> white
             want = oracle.stitch(plan, imgs_norm)
             if sharded:
@@ -1629,7 +1668,8 @@ def run_tpu(n_cases: int, base: int = 140_000) -> int:
                 try:
                     out = api.stitch_arrays(imgs, specs, options,
                                             RuntimeConfig(engine=engine,
-                                                          **kw))
+                                                          **kw),
+                                            limits=limits)
                 except NotImplementedError:
                     if engine != "pallas":
                         raise
@@ -1639,17 +1679,20 @@ def run_tpu(n_cases: int, base: int = 140_000) -> int:
                     engine = "auto(demoted)"
                     out = api.stitch_arrays(imgs, specs, options,
                                             RuntimeConfig(engine="auto",
-                                                          **kw))
+                                                          **kw),
+                                            limits=limits)
                 if tight:
                     engine += "+tight"
             assert out.shape == want.shape, (out.shape, want.shape)
             diff = np.abs(out.astype(int) - want.astype(int)).max()
             assert diff <= 1, f"diff={diff}"
+            ss_note = (f", ss={plan.supersample:.3f}"
+                       if plan.supersample != 1.0 or ss_case else "")
             print(f"seed {base + seed}: ok ({engine}, n={n}, "
                   f"canvas={plan.canvas_w}x{plan.canvas_h}, "
                   f"{options.filter}{', BIG' if big else ''}"
-                  f"{f', C={chans}' if chans != 3 else ''}, "
-                  f"diff={diff})", flush=True)
+                  f"{f', C={chans}' if chans != 3 else ''}"
+                  f"{ss_note}, diff={diff})", flush=True)
         except Exception:
             fails += 1
             print(f"FAIL seed={base + seed}", flush=True)
