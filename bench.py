@@ -826,6 +826,32 @@ def _infra_cpu_delta(before, after):
                for pid, c1 in after.items())
 
 
+def _cpu_speed_probe_mbps() -> float:
+    """Effective single-core speed right now, as warm zlib-L6 MB/s (same
+    probe BENCHMARKS.md's footer uses).  This VM's host changes effective
+    single-core speed 2-3x with ZERO in-VM neighbor CPU and ZERO reported
+    steal (measured r5s1: encode_busy 0.7 s vs 4.0 s on identical code +
+    content 25 min apart, others_cpu_frac 0.02) — so each e2e variant
+    stamps the measured speed into its own fields and cross-run wall
+    deltas become attributable instead of mysterious."""
+    import zlib
+    data = bytes(range(256)) * 4096                     # 1 MB, compressible
+    zlib.compress(data[: 1 << 18], 6)                   # warm code paths
+    t0 = time.perf_counter()
+    zlib.compress(data, 6)
+    return len(data) / 1e6 / (time.perf_counter() - t0)
+
+
+def _steal_jiffies():
+    """Hypervisor steal counter (jiffies), None when unavailable."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8]) if len(parts) > 8 else None
+    except OSError:                          # pragma: no cover — non-linux
+        return None
+
+
 def _wait_for_host_idle(max_wait_s: float, frac_thresh: float = 0.10,
                         sample_s: float = 3.0):
     """Bounded wait for neighbor CPU to quiet before an e2e window
@@ -910,6 +936,9 @@ def _e2e_variant(sizes, runs: int, budget_s: float, prefix: str) -> dict:
             load_before = None
         busy0, self0 = _host_cpu_busy_s(), _self_cpu_s()
         infra0 = _pids_cpu_map(_infra_pids())
+        steal0 = _steal_jiffies()
+        cpu_probe = _cpu_speed_probe_mbps()
+        log(f"{prefix}: host speed probe {cpu_probe:.0f} MB/s zlib-L6")
         wall0 = time.perf_counter()
         # no RAM bitmap cache: every run pays real decodes
         cfg = RuntimeConfig(overlap="always", budget=MemoryBudget(
@@ -971,7 +1000,11 @@ def _e2e_variant(sizes, runs: int, budget_s: float, prefix: str) -> dict:
             load_after = None
         busy1, self1 = _host_cpu_busy_s(), _self_cpu_s()
         infra_s = _infra_cpu_delta(infra0, _pids_cpu_map(_infra_pids()))
+        steal1 = _steal_jiffies()
         window = time.perf_counter() - wall0
+        steal_frac = (None if None in (steal0, steal1) or window <= 0
+                      else round((steal1 - steal0)
+                                 / os.sysconf("SC_CLK_TCK") / window, 3))
         others_frac = transport_frac = None
         if None not in (busy0, busy1, self0, self1) and window > 0:
             others_frac = max(0.0, (busy1 - busy0) - (self1 - self0)
@@ -997,6 +1030,8 @@ def _e2e_variant(sizes, runs: int, budget_s: float, prefix: str) -> dict:
             prefix + "contended": contended,
             prefix + "idle_wait_s": round(idle_wait_s, 1),
             prefix + "idle_wait_gave_up": idle_gave_up,
+            prefix + "cpu_probe_mbps": round(cpu_probe, 1),
+            prefix + "steal_frac": steal_frac,
             prefix + "fixtures_cached": cached,
             prefix + "ms": round(p50, 1),
             prefix + "ms_min": round(min(totals), 1),
