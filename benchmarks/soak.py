@@ -1474,6 +1474,52 @@ def run_tpu(n_cases: int, base: int = 140_000) -> int:
             # ss pins to the 2.2 ceiling; the guard-loop window needs caps
             # steered around the target size)
             ss_case = 0.56 <= roll < 0.68
+            # dynamic-batching slice: StitchServer on the REAL chip —
+            # batched (vmapped) executables compile on real Mosaic and
+            # jobs flow through submit/flush/admission; tests_tpu has a
+            # fixed-smoke twin, this is its randomized counterpart
+            serve_case = 0.68 <= roll < 0.73
+            if serve_case:
+                from imagestitching_tpu.serve.server import StitchServer
+                sv_dims = [(int(rng.integers(24, 140)),
+                            int(rng.integers(24, 140))) for _ in range(2)]
+                sv_opt = StitchOptions(
+                    direction=str(rng.choice(["vertical", "horizontal"])),
+                    mode=str(rng.choice(["min", "max", "original"])),
+                    gap=_rand_gap(rng, 5),
+                    background=tuple(int(x)
+                                     for x in rng.integers(0, 256, 3)))
+                sv_engine = str(rng.choice(["auto", "auto", "xla"]))
+                n_jobs = int(rng.integers(2, 5))
+                server = StitchServer(
+                    max_batch=4, max_wait_s=0.01, engine=sv_engine,
+                    interpret=interpret)
+                try:
+                    futs, sv_jobs = [], []
+                    for _ in range(n_jobs):
+                        imgs_j = [rng.integers(0, 256, (h, w, 3), np.uint8)
+                                  for (w, h) in sv_dims]
+                        futs.append(server.submit(imgs_j, sv_opt))
+                        sv_jobs.append(imgs_j)
+                    for fut, imgs_j in zip(futs, sv_jobs):
+                        got = fut.result(timeout=600)
+                        specs_j = [ImageSpec(a.shape[1], a.shape[0])
+                                   for a in imgs_j]
+                        want = oracle.stitch(solve(specs_j, sv_opt),
+                                             imgs_j)
+                        assert got.shape == want.shape, \
+                            (got.shape, want.shape)
+                        diff = np.abs(got.astype(int)
+                                      - want.astype(int)).max()
+                        assert diff <= 1, f"diff={diff}"
+                    st = server.stats()
+                    assert st["pending"] == 0, st
+                    assert st["jobs"] == n_jobs and st["failed"] == 0, st
+                finally:
+                    server.close()
+                print(f"seed {base + seed}: ok (serve/{sv_engine}, "
+                      f"jobs={n_jobs}, dims={sv_dims})", flush=True)
+                continue
             if grid:
                 # grid-collage slice: per-column kernels run ON the chip
                 # (engine="auto" resolves per column signature on real
