@@ -827,16 +827,24 @@ def _infra_cpu_delta(before, after):
 
 
 def _cpu_speed_probe_mbps() -> float:
-    """Effective single-core speed right now, as warm zlib-L6 MB/s (same
-    probe BENCHMARKS.md's footer uses).  This VM's host changes effective
-    single-core speed 2-3x with ZERO in-VM neighbor CPU and ZERO reported
-    steal (measured r5s1: encode_busy 0.7 s vs 4.0 s on identical code +
-    content 25 min apart, others_cpu_frac 0.02) — so each e2e variant
-    stamps the measured speed into its own fields and cross-run wall
-    deltas become attributable instead of mysterious."""
+    """Effective single-core speed right now, as warm zlib-L6 MB/s.
+
+    THE shared instrument: benchmarks/run_all.py stamps this exact probe
+    (same data, same size) into BENCHMARKS.md's footer, so bench's
+    per-variant fields and the footer are directly comparable — a
+    systematic offset between two differently-sized probes would read as
+    a host-speed change that never happened (r5 review).  Why it exists:
+    this VM's host changes effective single-core speed 2-3x with ZERO
+    in-VM neighbor CPU and ZERO reported steal (measured r5s1:
+    encode_busy 0.7 s vs 4.0 s on identical code + content 25 min apart,
+    others_cpu_frac 0.02) — so each e2e variant stamps the measured speed
+    and cross-run wall deltas become attributable instead of mysterious.
+    Deterministic compressible input (measures the CPU, not the content);
+    warm buffer (first-touch faults on this VM are ~1.3 GB/s and would
+    dominate a cold 8 MB probe)."""
     import zlib
-    data = bytes(range(256)) * 4096                     # 1 MB, compressible
-    zlib.compress(data[: 1 << 18], 6)                   # warm code paths
+    data = bytes(range(256)) * 32768                    # 8 MB, compressible
+    zlib.compress(data[: 1 << 20], 6)                   # warm code + alloc
     t0 = time.perf_counter()
     zlib.compress(data, 6)
     return len(data) / 1e6 / (time.perf_counter() - t0)
@@ -869,22 +877,31 @@ def _wait_for_host_idle(max_wait_s: float, frac_thresh: float = 0.10,
     """
     t0 = time.perf_counter()
     while True:
+        waited = time.perf_counter() - t0
+        budget_left = max_wait_s - waited
+        if budget_left <= 0:
+            # zero budget from the start is a skip, not a give-up: the
+            # variant was never allowed to wait (r5 review)
+            if waited > 0:
+                log(f"idle-wait gave up after {waited:.0f}s "
+                    "(budget exhausted, neighbors still busy)")
+            return waited, waited > 0
         busy0, self0 = _host_cpu_busy_s(), _self_cpu_s()
         if busy0 is None or self0 is None:
-            return 0.0, False
-        infra0 = _pids_cpu_map(_infra_pids())
-        time.sleep(sample_s)
-        busy1, self1 = _host_cpu_busy_s(), _self_cpu_s()
-        infra_s = _infra_cpu_delta(infra0, _pids_cpu_map(_infra_pids()))
-        frac = max(0.0, (busy1 - busy0) - (self1 - self0)
-                   - infra_s) / sample_s
-        waited = time.perf_counter() - t0
-        if frac < frac_thresh:
             return waited, False
-        if waited >= max_wait_s or _remaining_s() < 180.0:
-            log(f"idle-wait gave up after {waited:.0f}s "
-                f"(neighbor CPU still {frac:.0%} of a core)")
-            return waited, True
+        infra0 = _pids_cpu_map(_infra_pids())
+        t_w0 = time.perf_counter()
+        time.sleep(min(sample_s, max(0.5, budget_left)))
+        win = time.perf_counter() - t_w0    # actual window, not nominal —
+        busy1, self1 = _host_cpu_busy_s(), _self_cpu_s()   # sleep overruns
+        infra_s = _infra_cpu_delta(infra0, _pids_cpu_map(_infra_pids()))
+        frac = max(0.0, (busy1 - busy0) - (self1 - self0) - infra_s) / win
+        if frac < frac_thresh:
+            return time.perf_counter() - t0, False
+        if _remaining_s() < 180.0:
+            log(f"idle-wait gave up (self-deadline close; neighbor CPU "
+                f"still {frac:.0%} of a core)")
+            return time.perf_counter() - t0, True
 
 
 def _contention(others_frac, load_before, load_after, ncpu):

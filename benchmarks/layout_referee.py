@@ -34,8 +34,16 @@ import math
 
 
 def _math_round(x: float) -> int:
-    """JS ``Math.round``: floor(x + 0.5) — half-up toward +infinity."""
-    return math.floor(x + 0.5)
+    """JS ``Math.round``: half-up on the EXACT value (ES spec semantics).
+
+    Deliberately a different derivation from core.layout._js_round (which
+    tests the exact fractional part): doubling is exact for doubles, so
+    ``floor(2x)`` parity decides the tie side without ever forming
+    ``x + 0.5`` — the naive ``floor(x + 0.5)`` rounds the 1-ULP-below-half
+    doubles (e.g. 0.49999999999999994) UP where every real JS engine
+    returns the lower integer, and a shared naive formula on both sides
+    would have hidden exactly that divergence class from the fuzz."""
+    return (math.floor(2.0 * x) + 1) // 2
 
 
 def referee_layout(nat_dims, direction, mode, gap, *, max_side, max_pixels,

@@ -196,18 +196,14 @@ def main() -> None:
     e2e_row2 = _row("e2e_resample_", "mixed sizes (resample)")
     log(f"e2e rows:\n{e2e_row}\n{e2e_row2}")
 
-    # single-core host-speed probe for the footer: deterministic,
-    # compressible input (so it measures the CPU, not the content), warm
-    # buffer (first-touch faults on this VM run at ~1.3 GB/s and would
-    # dominate an 8 MB cold probe)
-    import zlib
-    # (np.arange(4096, uint8) would silently wrap mod 256 — state the
-    # actual 0..255 ramp pattern explicitly, ADVICE r4)
-    probe = np.tile(np.arange(256, dtype=np.uint8), 32768).tobytes()
-    zlib.compress(probe[: 1 << 20], 6)          # warm code + allocator
-    t0 = time.perf_counter()
-    zlib.compress(probe, 6)
-    zlib_mbps = len(probe) / 1e6 / (time.perf_counter() - t0)
+    # single-core host-speed probe for the footer: the ONE shared
+    # instrument (bench._cpu_speed_probe_mbps) so bench.py's per-variant
+    # cpu_probe_mbps fields and this footer are directly comparable —
+    # two differently-sized probes would carry a systematic offset that
+    # reads as a host-speed change (r5 review)
+    sys.path.insert(0, ".")     # run_all runs from the repo root (it
+    import bench as _bench      # writes BENCHMARKS.md to cwd)
+    zlib_mbps = _bench._cpu_speed_probe_mbps()
     from imagestitching_tpu.runtime.jaxcfg import host_cpu_tag
     host_tag = host_cpu_tag()
     log(f"host probe: zlib-L6 {zlib_mbps:.0f} MB/s, tag={host_tag}")

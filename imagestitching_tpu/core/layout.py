@@ -36,8 +36,16 @@ from . import geometry
 
 
 def _js_round(x: float) -> int:
-    """JS ``Math.round``: half-up toward +inf (Python ``round`` is banker's)."""
-    return math.floor(x + 0.5)
+    """JS ``Math.round``: half-up toward +inf (Python ``round`` is banker's).
+
+    NOT ``floor(x + 0.5)``: the ES spec defines the tie test on the exact
+    value, while the float addition ``x + 0.5`` can carry a 1-ULP-below-half
+    input over the boundary — ``Math.round(0.49999999999999994)`` is 0 in
+    every real JS engine but ``floor(x + 0.5)`` gives 1 (r5 review).  The
+    fractional part ``x - floor(x)`` is exact for finite nonnegative
+    doubles (Sterbenz), so testing it against 0.5 matches the engine."""
+    f = math.floor(x)
+    return f + (1 if x - f >= 0.5 else 0)
 
 
 @dataclasses.dataclass(frozen=True)

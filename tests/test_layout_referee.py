@@ -125,3 +125,28 @@ def test_accumulation_grouping_is_left_associative():
         assert (plan.out_w, plan.out_h) == (ref["out_w"], ref["out_h"])
         for p, (dx, dy, dw, dh) in zip(plan.placements, ref["phys_rects"]):
             assert (p.x0, p.y0, p.w, p.h) == (dx, dy, dw, dh)
+
+
+def test_js_round_exact_spec_semantics():
+    """Both rounders implement ES-spec Math.round on the EXACT value, via
+    DIFFERENT derivations (fractional-part test vs floor(2x) parity): the
+    naive floor(x+0.5) carries 1-ULP-below-half doubles over the boundary
+    (Math.round(0.49999999999999994) is 0 in every real JS engine, but
+    floor(x+0.5) gives 1) — and a shared naive formula on both sides would
+    have hidden that divergence class from the fuzz (r5 review)."""
+    from layout_referee import _math_round
+
+    from imagestitching_tpu.core.layout import _js_round
+
+    below_half = 0.49999999999999994          # largest double < 0.5
+    assert below_half < 0.5
+    assert _js_round(below_half) == 0
+    assert _math_round(below_half) == 0
+    import math
+    assert math.floor(below_half + 0.5) == 1  # the naive formula's bug
+    cases = [(0.0, 0), (0.5, 1), (1.5, 2), (2.5, 3), (0.75, 1),
+             (2.4999999999999996, 2), (3.4999999999999996, 3),
+             (1e15 + 0.5, 10**15 + 1), (123.0, 123)]
+    for x, want in cases:
+        assert _js_round(x) == want, x
+        assert _math_round(x) == want, x
